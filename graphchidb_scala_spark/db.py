@@ -1,0 +1,286 @@
+"""GraphDB — the engine's core: a typed directed property multigraph.
+
+Capability parity with the reference's ``GraphChiDatabase``
+(GraphChiDatabase.scala) re-expressed as two DataFrames:
+
+- ``edges``:   ``etype int, src bigint, dst bigint, *edge property columns``.
+  The uniqueness key is exactly ``(etype, src, dst)`` — the reference's
+  find/update/delete all key on this triple (QueryShard.java:207,
+  GraphChiDatabase.scala:1234, 1273).
+- ``vertices``: ``id bigint, *vertex property columns`` (optional; derivable
+  from edge endpoints). The reference's vertices are implicit in the id space
+  (GraphChiDatabase.scala:56-58); we allow an explicit table because property
+  columns (Column.scala:40-80) hang off it.
+
+Edge types are 0..14 — the reference packs the type into 4 bits and reserves
+0xf as the DELETED tombstone (VertexIdTranslate.java:148-169,
+GraphChiDatabase.scala:1115-1117). We validate the range for parity but have
+no tombstones: deletes are real anti-join deletes.
+
+Scale notes
+-----------
+Every method returns a *lazy* DataFrame plan; Catalyst pushes the
+``etype/src/dst`` filters into the parquet scan (min/max + dictionary row-group
+pruning replaces the reference's shard skip-indexes, SURVEY.md §4). Point
+lookups on a 100 TB edge table should additionally rely on the layout produced
+by :mod:`graphchidb_scala_spark.streaming.ingest` (sorted-within-partition by
+``src`` → parquet row-group stats prune on src). Mutations are rewrites of the
+lazy plan — at scale they are batched and materialized by compaction, not
+applied per edge (SURVEY.md §7.4 "Mutation semantics").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: 4-bit edge types; 0xf reserved as tombstone in the reference
+#: (VertexIdTranslate.java:152) — never user-visible here.
+MAX_EDGE_TYPE = 14
+
+EDGE_KEY = ("etype", "src", "dst")
+
+
+def _check_etype(etype: int | None) -> None:
+    if etype is not None and not (0 <= int(etype) <= MAX_EDGE_TYPE):
+        raise ValueError(
+            f"edge type must be in [0, {MAX_EDGE_TYPE}] (4-bit types, 0xf reserved); got {etype}"
+        )
+
+
+class GraphDB:
+    """A property graph over two DataFrames. All operations are lazy plans."""
+
+    def __init__(self, edges: DataFrame, vertices: DataFrame | None = None):
+        for c in EDGE_KEY:
+            if c not in edges.columns:
+                raise ValueError(f"edges DataFrame must have column '{c}'; has {edges.columns}")
+        if vertices is not None and "id" not in vertices.columns:
+            raise ValueError("vertices DataFrame must have column 'id'")
+        self.edges = edges
+        self._vertices = vertices
+
+    # ------------------------------------------------------------------ basics
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    @property
+    def edge_props(self) -> list[str]:
+        return [c for c in self.edges.columns if c not in EDGE_KEY]
+
+    @property
+    def vertices(self) -> DataFrame:
+        """Vertex table; derived from edge endpoints when not supplied
+        (vertices are implicit in the reference too, GraphChiDatabase.scala:56-58)."""
+        if self._vertices is not None:
+            return self._vertices
+        return (
+            self.edges.select(F.col("src").alias("id"))
+            .unionAll(self.edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def _typed(self, etype: int | None) -> DataFrame:
+        """Edge-type filter; ``None`` is the reference's ignoreType wildcard
+        (QueryShard.java:322,402)."""
+        _check_etype(etype)
+        return self.edges if etype is None else self.edges.filter(F.col("etype") == int(etype))
+
+    def with_vertices(self, vertices: DataFrame) -> "GraphDB":
+        return GraphDB(self.edges, vertices)
+
+    # ------------------------------------------------- neighborhood queries (§2.4)
+
+    def query_out(self, vertex: int, etype: int | None = None) -> DataFrame:
+        """All out-edges of one vertex — reference ``queryOut``
+        (GraphChiDatabase.scala:1478-1556). The buffer+shard probe machinery
+        collapses to a pushed-down filter on (src, etype)."""
+        return self._typed(etype).filter(F.col("src") == int(vertex))
+
+    def query_in(self, vertex: int, etype: int | None = None) -> DataFrame:
+        """All in-edges of one vertex — reference ``queryIn``
+        (GraphChiDatabase.scala:1425-1475); the in-edge linked-list walk
+        (QueryShard.java:662-812) is a filter on (dst, etype)."""
+        return self._typed(etype).filter(F.col("dst") == int(vertex))
+
+    def query_out_multiple(
+        self, vertices: Sequence[int] | DataFrame, etype: int | None = None,
+        broadcast_frontier: bool = True,
+    ) -> DataFrame:
+        """Batched out-neighbors — reference ``queryOutMultiple``
+        (GraphChiDatabase.scala:1561-1695). Small id sets become an IN-list
+        (pushed to the scan); DataFrame frontiers become a (broadcast) semi
+        pattern: join keeps the edge row per frontier hit."""
+        e = self._typed(etype)
+        if isinstance(vertices, DataFrame):
+            fr = vertices.select(F.col(vertices.columns[0]).alias("src"))
+            if broadcast_frontier:
+                fr = F.broadcast(fr)
+            return e.join(fr, "src", "inner")
+        ids = [int(v) for v in vertices]
+        return e.filter(F.col("src").isin(ids))
+
+    def query_in_multiple(
+        self, vertices: Sequence[int] | DataFrame, etype: int | None = None,
+        broadcast_frontier: bool = True,
+    ) -> DataFrame:
+        e = self._typed(etype)
+        if isinstance(vertices, DataFrame):
+            fr = vertices.select(F.col(vertices.columns[0]).alias("dst"))
+            if broadcast_frontier:
+                fr = F.broadcast(fr)
+            return e.join(fr, "dst", "inner")
+        ids = [int(v) for v in vertices]
+        return e.filter(F.col("dst").isin(ids))
+
+    def join_vertex_columns(
+        self, result: DataFrame, columns: Sequence[str], on: str = "dst"
+    ) -> DataFrame:
+        """Neighbor set ⋈ vertex property columns — reference
+        ``QueryResult.join(column[, column2])`` (QueryResult.scala:44-69).
+        Catalyst picks broadcast vs shuffle; property fetch by pointer becomes
+        an equi-join on id."""
+        v = self.vertices.select("id", *columns)
+        return result.join(v, result[on] == v["id"], "left").drop("id")
+
+    # -------------------------------------------------------- point ops (§2.2)
+
+    def find_edge(self, etype: int, src: int, dst: int) -> DataFrame:
+        """Point edge lookup — reference ``find`` (QueryShard.java:207-253).
+        All three key predicates push down to the scan."""
+        _check_etype(etype)
+        return self.edges.filter(
+            (F.col("etype") == int(etype)) & (F.col("src") == int(src)) & (F.col("dst") == int(dst))
+        )
+
+    def edge_exists(self, etype: int, src: int, dst: int) -> bool:
+        return bool(self.find_edge(etype, src, dst).limit(1).count() > 0)
+
+    def get_edge_value(self, etype: int, src: int, dst: int, column: str) -> DataFrame:
+        """Single-edge property read — reference ``getEdgeValue``
+        (GraphChiDatabase.scala:1385-1399)."""
+        return self.find_edge(etype, src, dst).select(column)
+
+    def update_edge(self, etype: int, src: int, dst: int, column: str, value) -> "GraphDB":
+        """Set one property of one edge — reference ``updateEdge``
+        (GraphChiDatabase.scala:1234-1265). Expressed as a conditional
+        projection; at scale batch many updates and apply via
+        :meth:`upsert_edges` (MERGE-style) instead of per-edge calls."""
+        _check_etype(etype)
+        key = (
+            (F.col("etype") == int(etype)) & (F.col("src") == int(src)) & (F.col("dst") == int(dst))
+        )
+        new_edges = self.edges.withColumn(column, F.when(key, F.lit(value)).otherwise(F.col(column)))
+        return GraphDB(new_edges, self._vertices)
+
+    def delete_edge(self, etype: int, src: int, dst: int) -> "GraphDB":
+        """Delete one edge — reference ``deleteEdge`` tombstones type→0xf
+        (GraphChiDatabase.scala:1273-1303); we delete for real via a filter."""
+        _check_etype(etype)
+        keep = ~(
+            (F.col("etype") == int(etype)) & (F.col("src") == int(src)) & (F.col("dst") == int(dst))
+        )
+        return GraphDB(self.edges.filter(keep), self._vertices)
+
+    def delete_edges(self, keys: DataFrame) -> "GraphDB":
+        """Batch delete by key set — anti-join (the scale path for deletes)."""
+        keys = keys.select(*EDGE_KEY)
+        return GraphDB(self.edges.join(F.broadcast(keys), list(EDGE_KEY), "left_anti"), self._vertices)
+
+    def delete_vertex(self, vertex: int) -> "GraphDB":
+        """Delete all in+out edges of a vertex — reference ``deleteVertex``
+        (GraphChiDatabase.scala:1307-1337)."""
+        v = int(vertex)
+        edges = self.edges.filter((F.col("src") != v) & (F.col("dst") != v))
+        vertices = None
+        if self._vertices is not None:
+            vertices = self._vertices.filter(F.col("id") != v)
+        return GraphDB(edges, vertices)
+
+    # ------------------------------------------------------------ writes (§2.1)
+
+    def add_edges(self, new_edges: DataFrame, upsert: bool = True) -> "GraphDB":
+        """Append a micro-batch of edges — reference ``addEdge``
+        (GraphChiDatabase.scala:1112-1164). The buffer/LSM machinery
+        (SURVEY.md §3.1) is replaced by union-at-read; durability comes from
+        the compaction job in ``streaming.ingest``. ``upsert`` keeps the
+        reference's (etype,src,dst) key discipline: a re-added key replaces
+        the old edge."""
+        new_edges = new_edges.select(*self.edges.columns)
+        base = self.edges
+        if upsert:
+            base = base.join(
+                F.broadcast(new_edges.select(*EDGE_KEY)), list(EDGE_KEY), "left_anti"
+            )
+        return GraphDB(base.unionAll(new_edges), self._vertices)
+
+    # ------------------------------------------------------- aggregations (§2.6)
+
+    def degrees(self, etype: int | None = None) -> DataFrame:
+        """Per-vertex (in_deg, out_deg) — the reference maintains these
+        incrementally in a packed long column (GraphChiDatabase.scala:1759-1833);
+        we recompute with one map-side-combined shuffle."""
+        e = self._typed(etype)
+        ends = e.select(
+            F.col("src").alias("id"), F.lit(0).alias("in_c"), F.lit(1).alias("out_c")
+        ).unionAll(e.select(F.col("dst").alias("id"), F.lit(1), F.lit(0)))
+        return ends.groupBy("id").agg(
+            F.sum("in_c").cast("bigint").alias("in_deg"),
+            F.sum("out_c").cast("bigint").alias("out_deg"),
+        )
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    # ----------------------------------------------------- subgraphs & misc (§2.8)
+
+    def induced_subgraph(
+        self, vertex_ids: Sequence[int] | DataFrame, etype: int | None = None,
+        broadcast_set: bool = True,
+    ) -> DataFrame:
+        """Edges whose BOTH endpoints are in the vertex set — reference
+        ``inducedSubgraph`` (Queries.scala:87-103) as a double semi-join.
+        Broadcast both probes when the set is small (ego-nets); pass
+        ``broadcast_set=False`` for huge sets to let Catalyst shuffle."""
+        e = self._typed(etype)
+        if not isinstance(vertex_ids, DataFrame):
+            ids = [int(v) for v in vertex_ids]
+            return e.filter(F.col("src").isin(ids) & F.col("dst").isin(ids))
+        vs = vertex_ids.select(F.col(vertex_ids.columns[0]).alias("id"))
+        if broadcast_set:
+            vs = F.broadcast(vs)
+        return (
+            e.join(vs.withColumnRenamed("id", "src"), "src", "semi")
+            .join(vs.withColumnRenamed("id", "dst"), "dst", "semi")
+            .select(e.columns)
+        )
+
+    def undirected_edges(self, etype: int | None = None) -> DataFrame:
+        """Distinct symmetric closure (a, b) — building block for CC,
+        FoF-undirected, triangles."""
+        e = self._typed(etype)
+        return (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionAll(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .distinct()
+        )
+
+    def random_vertex(self, seed: int = 42) -> DataFrame:
+        """Deterministic pseudo-random existing vertex — reference
+        ``randomVertex`` (GraphChiDatabase.scala:1839-1852). Uses an explicit
+        LCG mix so the choice is reproducible across engines (FIXTURES.md
+        determinism rules): argmin of ``(id*1103515245 + seed) mod 2^31``."""
+        mixed = F.pmod(F.col("id") * F.lit(1103515245) + F.lit(int(seed)), F.lit(2147483648))
+        return (
+            self.vertices.select("id")
+            .withColumn("_mix", mixed)
+            .orderBy("_mix", "id")
+            .limit(1)
+            .select("id")
+        )

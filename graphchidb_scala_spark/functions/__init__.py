@@ -1,0 +1,8 @@
+"""Large-scale training-data pipeline functions: text analysis, dedup,
+similarity search, multimodal column plumbing. These go beyond the reference's
+surface (which has no scalar-function library, SURVEY.md §2.11) and are
+first-class operators of this engine."""
+
+from graphchidb_scala_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- **exact**: hash-groupBy on normalized content — one shuffle, scales to any
+  size (the hash is the shuffle key; no row ever meets another row except in
+  its hash bucket).
+- **n-gram Jaccard** (exact pairwise within a blocking key): shingle → join on
+  (block, shingle) → per-pair intersection counts. The blocking key bounds
+  the quadratic blow-up; at 100 TB, block by (source, length bucket) or by an
+  LSH band (below).
+- **MinHash + LSH**: shingle → k minhashes → band buckets → candidate pairs
+  from bucket joins only. Linear shuffles; the classic web-scale near-dup
+  pipeline. Verification of candidates uses minhash-estimated Jaccard (cheap)
+  or the exact n-gram kernel on the (tiny) candidate set.
+- **SimHash**: 64-bit signed-bit aggregate of token hashes; near-dups have
+  small Hamming distance. One projection + one groupBy for banding.
+
+Everything is deterministic: hash functions are xxhash64 with fixed seeds —
+no rand() anywhere. JVM-side higher-order functions (sequence/transform/
+aggregate) keep shingling and minhashing inside codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------------ exact dedup
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """Exact-duplicate groups by content hash: DF(h, keep_id, cnt) with
+    keep_id = min id (the canonical survivor). One map-side-combined shuffle."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    return (
+        df.groupBy(F.md5(t).alias("h"))
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row per exact content group (window-free: semi-join on
+    the survivor set, avoiding a row_number window over the full table)."""
+    keep = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "semi")
+
+
+# ------------------------------------------------------------------- shingling
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as an array column (JVM sequence +
+    transform; stays in codegen)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    grams = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: text.substr(i, F.lit(k)))
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exploded (id, shingle) table — the join-ready form."""
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(char_shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-gram Jaccard over all pairs within a blocking key.
+    DF(id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4 dp
+    (cross-engine fp safety: the division is of exact integer counts).
+
+    Shuffle plan: explode → join on (block, shingle) → two aggregations.
+    The (block, shingle) join key keeps hot shingles bounded per block; for
+    skew (a shingle present in every doc of a block) AQE skew-join splits the
+    partition."""
+    sh = shingle_table(
+        df, id_col, text_col, k, extra_cols=(block_col,) if block_col else ()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    keys = [F.col("a.sh") == F.col("b.sh")]
+    if block_col:
+        keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, keys[0] if len(keys) == 1 else (keys[0] & keys[1]))
+        .filter(cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+    )
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """DF(id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). The whole signature is computed in one
+    projection over the shingle array — no explode, no shuffle."""
+    sh = char_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int | None = None
+) -> DataFrame:
+    """Banded-LSH candidate pairs from minhash signatures: hash each band of
+    the signature, self-join on (band, band_hash). DF(id_a, id_b) distinct,
+    id_a < id_b. Shuffles are linear in corpus size; only same-bucket docs
+    ever pair up."""
+    sig_len = signatures.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
+    if rows_per_band is None:
+        rows_per_band = sig_len // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_estimated_jaccard(
+    signatures: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing minhashes
+    (zip_with on the two signature arrays; JVM-side)."""
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.size("sig_a"), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs: signatures → band buckets →
+    candidates → estimate → threshold. DF(id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, bands)
+    est = minhash_estimated_jaccard(sigs, cands)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------- SimHash
+
+def simhash64(text: Column, k_tokens: bool = True) -> Column:
+    """64-bit SimHash over whitespace tokens: per-bit signed vote of token
+    xxhash64 bits, sign → bit. Pure JVM expression (transform/aggregate over
+    the 64 bit positions)."""
+    tokens = F.split(F.trim(text), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    def bit_vote(i: int) -> Column:
+        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1); bit set iff vote > 0
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    out = F.lit(0).cast("long")
+    for i in range(63):  # bit 63 left clear: keeps the value positive
+        out = out.bitwiseOR(bit_vote(i))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into 4×16-bit chunks;
+    by pigeonhole any pair within Hamming distance 3 shares a chunk (wider
+    distances are still usually caught); verify exact Hamming on candidates.
+    DF(id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    n_bands = 64 // band_bits
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

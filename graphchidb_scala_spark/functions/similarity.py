@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM higher-order functions
+(zip_with + aggregate — no Python in the loop, no shuffle for a single query
+vector: the query is a literal folded into the projection).
+
+Scale path: LSH bucketing by random-hyperplane sign bits — candidates only
+meet within a bucket, turning the O(N) scan into O(N/2^bits) per probe, and
+the all-pairs join into a per-bucket join. The projection matrix is derived
+deterministically from xxhash64 of (dimension, plane) — no stored model, no
+rand(); every executor regenerates the same planes.
+
+At 100 TB: partition embeddings by bucket id (the hyperplane signature) so a
+query touches one partition; IVF-style coarse quantization would follow the
+same plan shape with learned centroids instead of hashed planes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double precision."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+    DF(id, cos_sim) ordered by (rounded sim DESC, id ASC) — the rounding is
+    the tie-break key too, keeping top-k selection stable across engines.
+    Plan: one scan, projection-only, then a global top-k (TakeOrderedAndProject
+    — no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_dp)
+    return (
+        df.select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine within a blocking key (embedding near-dup).
+    DF(id_a, id_b, cos_sim), id_a < id_b, rounded-sim threshold. The block
+    join key bounds the quadratic term; use lsh_bucket as the block at scale."""
+    a = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ LSH buckets
+
+def _plane_component(dim_idx: int, plane: int, seed: int) -> float:
+    """Deterministic pseudo-gaussian component via hash → uniform → sum of 4
+    (central limit); pure Python, evaluated once at plan build."""
+    import hashlib
+
+    acc = 0.0
+    for j in range(4):
+        h = hashlib.md5(f"{seed}:{plane}:{dim_idx}:{j}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") / 2**64
+        acc += u - 0.5
+    return acc
+
+
+def hyperplane_lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Bucket id = sign bits of ``n_planes`` fixed pseudo-random hyperplane
+    projections, packed into a long. Plan-time constant planes → pure
+    projection, codegen-friendly, reproducible everywhere."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = [ _plane_component(d, p, seed) for d in range(dim) ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket (multi-probe
+    recovers recall lost to quantization). Same output shape as cosine_topk."""
+    dim = len(query_vec)
+    bucket = hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    # query bucket computed driver-side with the same planes
+    qb = 0
+    for p in range(n_planes):
+        proj = sum(
+            float(query_vec[d]) * _plane_component(d, p, seed) for d in range(dim)
+        )
+        if proj > 0:
+            qb |= 1 << p
+    probes = {qb}
+    if multiprobe_hamming >= 1:
+        for p in range(n_planes):
+            probes.add(qb ^ (1 << p))
+    cand = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin([int(x) for x in probes]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

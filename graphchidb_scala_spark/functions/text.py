@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: token counting, language ID,
+quality scoring, document fingerprinting.
+
+All functions are pure Column expressions built from pyspark.sql.functions —
+JVM-side, whole-stage-codegen friendly, no Python UDFs in the hot path. Each
+has an exact ANSI-SQL twin used by the DuckDB oracle (see __spark_entry__),
+so the implementations deliberately stick to portable constructs
+(replace-count instead of regex lookahead, explicit punctuation classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------------ tokenizing
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish pre-tokenization lower bound)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+# ------------------------------------------------------------------ language id
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Space-padded so counting is exact-word, replace-based (portable to SQL).
+LANG_STOPWORDS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " que "],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    # count = (len(s) - len(replace(s, w, ''))) / len(w) — portable to any SQL
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(word), F.lit("")))) / F.lit(len(word))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum((_occurrences(padded, w) for w in words), F.lit(0.0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def _argmax_lang(s: dict[str, Column]) -> Column:
+    """Argmax with deterministic tie-break (en > de > fr > es); 'und' when no
+    stopword hits at all. Pass *column references* (not deep expression
+    trees): each ``s[lang]`` is referenced ~3×, and nesting raw score
+    expressions multiplies the tree size enough to stall codegen."""
+    best = s[_LANG_ORDER[0]]
+    for lang in _LANG_ORDER[1:]:
+        best = F.greatest(best, s[lang])
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when(s[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax stopword-hit language (see ``_argmax_lang``). Prefer
+    ``text_stats`` for bulk scoring — it stages the score columns so the
+    expression tree stays linear."""
+    return _argmax_lang(lang_scores(text))
+
+
+# --------------------------------------------------------------- quality scoring
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def punct_count(text: Column) -> Column:
+    stripped = text
+    for ch in PUNCT_CHARS:
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    return (F.length(text) - F.length(stripped)).cast("bigint")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length credit (saturates at 50 tokens)
+    discounted by punctuation density. Deterministic, SQL-portable."""
+    t = token_count(text).cast("double")
+    c = char_count(text).cast("double")
+    p = punct_count(text).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), t / F.lit(50.0)) * (F.lit(1.0) - p / F.greatest(c, F.lit(1.0))), 4
+    )
+
+
+# ----------------------------------------------------------------- fingerprints
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text. Stable across engines (md5 over UTF-8 bytes)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def rolling_hashes(text: Column, window: int = 16) -> Column:
+    """Winnowing-style fingerprint set: xxhash64 of each ``window``-gram,
+    distinct. Used for document-level near-dup pre-filters (JVM-side hash;
+    no SQL twin — covered by unit tests, not the oracle)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(window - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(window))))
+    return F.array_distinct(grams)
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats block: tokens, chars, punctuation, quality, lang.
+
+    Two-stage projection: raw counts/scores first, then derived columns over
+    column *references*. One stage of reuse keeps the Catalyst expression
+    tree linear (the naive all-in-one-select version duplicates each score
+    expression ~4×, which blows up analysis + codegen time)."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_m"),
+        punct_count(t).alias("n_punct"),
+        *[s.alias(f"_s_{lang}") for lang, s in lang_scores(t).items()],
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(50.0))
+        * (
+            F.lit(1.0)
+            - F.col("n_punct").cast("double")
+            / F.greatest(F.col("n_chars_m").cast("double"), F.lit(1.0))
+        ),
+        4,
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_STOPWORDS}
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_chars_m",
+        "n_punct",
+        quality.alias("quality"),
+        _argmax_lang(scores).alias("lang_pred"),
+    )

@@ -1,0 +1,243 @@
+"""Composite graph queries — parity with the reference's Queries.scala and
+SubgraphFrequencies.scala, expressed as DataFrame plans.
+
+All functions return DataFrames (lazy). Seeds/limits are explicit for
+determinism (FIXTURES.md). Scale notes are per-function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchidb_scala_spark.db import GraphDB
+from graphchidb_scala_spark.operators.frontier import Frontier
+
+
+def friends_of_friends(db: GraphDB, vertex: int, etype: int | None = None) -> DataFrame:
+    """Plain 2-hop reachable set — reference ``friendsOfFriends``
+    (Queries.scala:72-76). Hop 1 is a pushed-down point filter; hop 2 a
+    broadcast join of the (small) hop-1 set against the edge table."""
+    hop1 = db.query_out(vertex, etype).select(F.col("dst").alias("src"))
+    hop2 = db._typed(etype).join(F.broadcast(hop1), "src", "inner")
+    return hop2.select(F.col("dst").alias("id")).distinct()
+
+
+def friends_of_friends_counts(
+    db: GraphDB,
+    vertex: int,
+    etype1: int | None = None,
+    etype2: int | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """2-hop targets of ``vertex`` grouped by #paths, top-k — the directed/
+    typed form of the reference's FoF scoring (Queries.scala:49-54 +
+    SocialNetworkExample.scala:143-147). Deterministic total order:
+    (cnt DESC, id ASC). Returns DF(id, cnt)."""
+    hop1 = db.query_out(vertex, etype1).select(F.col("dst").alias("src"))
+    hop2 = db._typed(etype2).join(F.broadcast(hop1), "src", "inner")
+    return (
+        hop2.groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def friends_of_friends_excl(
+    db: GraphDB,
+    vertex: int,
+    etype: int | None = None,
+    k: int = 20,
+    max_friends: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Undirected FoF excluding direct friends and self, scored by #common
+    friends — reference ``friendsOfFriendsExcl`` (Queries.scala:49-54) and the
+    ``WithLimit`` variant (Queries.scala:64-70, hop-1 capped at ``max_friends``
+    pseudo-random friends). Returns DF(id, cnt), top-k by (cnt DESC, id ASC).
+
+    Plan shape: hop1 = broadcast point lookup; cap via deterministic hash
+    order; hop2 = broadcast join; exclusion = broadcast anti-join; then one
+    shuffle for the count. On a 100 TB edge table only hop2's scan is large,
+    and its frontier stays broadcast."""
+    und = db.undirected_edges(etype)
+    v = int(vertex)
+    hop1 = und.filter(F.col("a") == v).select(F.col("b").alias("id"))
+    fr1 = Frontier(db, hop1, size=None).materialize()
+    if max_friends is not None:
+        fr1 = fr1.limit(max_friends, randomize=True, seed=seed).materialize()
+    hop2 = und.join(
+        F.broadcast(fr1.ids.withColumnRenamed("id", "a")), "a", "inner"
+    ).select(F.col("b").alias("id"))
+    excl = hop2.join(F.broadcast(fr1.ids), "id", "left_anti").filter(F.col("id") != v)
+    return (
+        excl.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def shortest_path_length(
+    db: GraphDB, source: int, target: int, max_depth: int = 5, etype: int | None = None
+) -> DataFrame:
+    """Unweighted s-t distance (≤ max_depth hops, directed) — reference
+    ``shortestPath`` (Queries.scala:107-194; default maxDepth=5). The
+    reference meets a forward BFS against the target's in-neighbor set; in
+    Spark a forward BFS with a per-hop membership check is the same number of
+    scans without the bidirectional bookkeeping. Returns 1-row DF(dist) with
+    NULL when unreachable within the bound."""
+    levels = bfs_levels(db, source, max_depth, etype)
+    return levels.filter(F.col("id") == int(target)).agg(
+        F.min("level").cast("bigint").alias("dist")
+    )
+
+
+def bfs_levels(
+    db: GraphDB, source: int, max_depth: int, etype: int | None = None
+) -> DataFrame:
+    """BFS level per reachable vertex (≤ max_depth) — reference
+    ``singleSourceShortestPath`` tree (Queries.scala:198-213). Iterative
+    frontier expansion; each hop localCheckpoints (cuts lineage, the Spark
+    analogue of the reference's in-place parent array). Returns DF(id, level)."""
+    spark = db.spark
+    visited = spark.createDataFrame([(int(source), 0)], "id bigint, level bigint")
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    fsize = 1
+    for depth in range(1, max_depth + 1):
+        e = db._typed(etype)
+        fr = F.broadcast(frontier) if fsize < 100_000 else frontier
+        nxt = (
+            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("level", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        fsize = nxt.count()
+        if fsize == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited
+
+
+def multi_bfs_levels(
+    db: GraphDB, seeds: Sequence[int], max_depth: int, etype: int | None = None
+) -> DataFrame:
+    """K simultaneous BFS — reference MultiBFS (MultiBFS.scala:37-157 runs
+    1200 at once with 3-bit level counters). Here all frontiers advance in the
+    SAME join per hop: state is DF(seed, id, level) and one edge join expands
+    every seed's frontier at once — the work-sharing that motivated MultiBFS
+    falls out of relational batching. Returns DF(seed, id, level)."""
+    spark = db.spark
+    rows = [(int(s), int(s), 0) for s in seeds]
+    visited = spark.createDataFrame(rows, "seed bigint, id bigint, level bigint")
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("seed", "id")
+    fsize = len(rows)
+    for depth in range(1, max_depth + 1):
+        e = db._typed(etype)
+        fr = F.broadcast(frontier) if fsize < 100_000 else frontier
+        nxt = (
+            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+            .withColumn("level", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        fsize = nxt.count()
+        if fsize == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "id")
+    return visited
+
+
+def ego_net(db: GraphDB, vertex: int, etype: int | None = None) -> DataFrame:
+    """Induced neighborhood graph minus the ego, canonicalized (min,max) and
+    deduped — reference ``inducedNeighborhoodGraph``
+    (SubgraphFrequencies.scala:92-99). Returns DF(x, y) with x < y."""
+    und = db.undirected_edges(etype)
+    nbrs = und.filter(F.col("a") == int(vertex)).select(F.col("b").alias("id"))
+    inner = db.induced_subgraph(nbrs, etype)
+    return (
+        inner.select(
+            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+
+
+def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
+    """Global triangle count on the undirected simple graph. Canonical edge
+    orientation (x<y) makes each triangle counted once; the standard two-join
+    formulation lets Catalyst pick SMJ and AQE handle skew. (Motif machinery
+    parity: SubgraphFrequencies.scala classifies sampled 3-sets; triangles are
+    its exact closed-class counterpart.) Returns 1-row DF(triangles)."""
+    ce = (
+        db.undirected_edges(etype)
+        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    e1, e2, e3 = ce.alias("e1"), ce.alias("e2"), ce.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e2.x") == F.col("e1.x")) & (F.col("e2.y") > F.col("e1.y")))
+        .join(e3, (F.col("e3.x") == F.col("e1.y")) & (F.col("e3.y") == F.col("e2.y")))
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+
+
+def motif_census_3(
+    db: GraphDB, n_samples: int = 1000, seed: int = 42, etype: int | None = None
+) -> DataFrame:
+    """3-vertex motif census over deterministic pseudo-random vertex triples —
+    reference ``computeThreeVertexSubgraphFrequencies``
+    (SubgraphFrequencies.scala:107-123): classify each sampled connected
+    triple by its undirected edge count (1, 2, or 3). Sampling uses seeded
+    hash ordering (not rand()) so the census is reproducible. Returns
+    DF(n_edges, cnt)."""
+    ce = (
+        db.undirected_edges(etype)
+        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    mixed = F.pmod(F.col("id") * F.lit(1103515245) + F.lit(int(seed)), F.lit(2147483648))
+    vs = db.vertices.select("id").withColumn("_m", mixed).orderBy("_m", "id")
+    # deterministic triple construction: consecutive ids in the hash order
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("_m", "id")
+    trip = (
+        vs.limit(3 * int(n_samples))
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("t", (F.col("rn") / 3).cast("bigint"))
+        .groupBy("t")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") == 3)
+        .select(
+            F.col("ids")[0].alias("v1"), F.col("ids")[1].alias("v2"), F.col("ids")[2].alias("v3")
+        )
+    )
+    pairs = (
+        trip.select(F.col("v1").alias("x"), F.col("v2").alias("y"), "v1", "v2", "v3")
+        .unionAll(trip.select(F.col("v1"), F.col("v3"), "v1", "v2", "v3"))
+        .unionAll(trip.select(F.col("v2"), F.col("v3"), "v1", "v2", "v3"))
+    )
+    # broadcast the sampled pairs (small), stream the edge table (huge)
+    hit = ce.join(F.broadcast(pairs), ["x", "y"], "inner")
+    return (
+        hit.groupBy("v1", "v2", "v3")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .groupBy("n_edges")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("n_edges")
+    )

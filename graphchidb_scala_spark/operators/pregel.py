@@ -1,0 +1,173 @@
+"""Vertex-centric computation — the reference's GraphChi engine surface
+(VertexCentricComputation.scala:37-54, runGraphChiComputation
+GraphChiDatabase.scala:2125-2255) as Pregel-style DataFrame loops.
+
+One iteration = messages (edges ⋈ state, groupBy(dst).agg) + state update
+(state ⋈ messages). The reference's BitSetScheduler (Scheduler.scala:31-83,
+only changed vertices rerun) maps to an *active-set* DataFrame that gates the
+message join. Lineage is cut every iteration with localCheckpoint — the
+equivalent of the reference's in-place column updates; without it the plan
+tree grows exponentially (SURVEY.md §7.4).
+
+Scale: each iteration is two shuffles (messages, update-join) over data
+partitioned by vertex id; the same hash partitioning is reused across
+iterations so exchange reuse kicks in. At 100 TB, persist state to
+cluster-backed checkpoints (``spark.sparkContext.setCheckpointDir``) instead
+of localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchidb_scala_spark.db import GraphDB
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------- PageRank
+
+def pagerank(
+    db: GraphDB,
+    iterations: int = 10,
+    damping: float = 0.85,
+    etype: int | None = None,
+    tol: float | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank, non-normalized accumulator formulation of the reference
+    (Pagerank.scala:34-61): rank = 0.15 + 0.85 * Σ_in rank(u)/outdeg(u),
+    rank0 = 1.0 over all vertices. Fixed ``iterations`` (set ``tol`` for
+    convergence-stop instead). Returns DF(id, rank).
+
+    The out-degree table is computed once and re-joined per iteration
+    (map-side combine; one shuffle), exactly the degree column the reference
+    maintains incrementally (GraphChiDatabase.scala:1777-1833)."""
+    e = db._typed(etype).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = _checkpoint(e.join(deg, "src"))
+    ranks = _checkpoint(db.vertices.select("id").withColumn("rank", F.lit(1.0)))
+
+    for i in range(1, iterations + 1):
+        contrib = (
+            edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("acc"))
+        )
+        new_ranks = (
+            ranks.select("id", F.col("rank").alias("old_rank"))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
+                "old_rank",
+            )
+        )
+        if tol is not None:
+            new_ranks = _checkpoint(new_ranks)
+            delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+            ranks = new_ranks.select("id", "rank")
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks.select("id", "rank")
+            if i % checkpoint_every == 0 or i == iterations:
+                ranks = _checkpoint(ranks)
+    return ranks
+
+
+# ---------------------------------------------------------- connected components
+
+def connected_components(
+    db: GraphDB,
+    etype: int | None = None,
+    max_iterations: int = 50,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Min-label propagation over the undirected graph — reference
+    ConnectedComponentsLabelProp.scala:38-85 (label init = own id; iterate
+    lbl(v) = min(lbl(v), min_{u~v} lbl(u))). With ``fixed_iterations`` runs
+    exactly that many rounds (deterministic partial result, used for oracle
+    parity); otherwise runs to fixpoint with an early-stop changed-count check
+    (the Scheduler's "no new tasks" break, GraphChiDatabase.scala:2247-2252).
+    Returns DF(id, cc).
+
+    Scale note: plain label-prop needs O(diameter) rounds; for 100 TB graphs
+    with long chains switch to the large-star/small-star contraction
+    (alternating optimization) — label-prop is kept for parity because it is
+    what the reference implements."""
+    und = _checkpoint(db.undirected_edges(etype))
+    labels = _checkpoint(db.vertices.select("id").withColumn("lbl", F.col("id")))
+    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    for i in range(rounds):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nlbl"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nlbl").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("new_lbl"), "lbl")
+        )
+        if fixed_iterations is None:
+            new_labels = _checkpoint(new_labels)
+            changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+            labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                break
+            labels = _checkpoint(labels)
+        else:
+            labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
+            if (i + 1) % 3 == 0:
+                labels = _checkpoint(labels)
+    return labels.select("id", F.col("lbl").alias("cc"))
+
+
+def cc_stats(cc: DataFrame, k: int = 20) -> DataFrame:
+    """Component size top-k — reference ``printStats``
+    (ConnectedComponentsLabelProp.scala:66-84). Returns DF(cc, size)."""
+    return (
+        cc.groupBy("cc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.desc("size"), F.asc("cc"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------- label propagation
+
+def propagate_labels(
+    db: GraphDB,
+    initial: DataFrame,
+    iterations: int,
+    etype: int | None = None,
+    agg: str = "min",
+) -> DataFrame:
+    """Generic directed label propagation (building block mirroring the
+    reference's update-function plug-in point,
+    VertexCentricComputation.scala:37-54): state DF(id, lbl) evolves by
+    lbl(v) ← agg(lbl(v), agg_{u→v} lbl(u))."""
+    agg_fn = {"min": F.min, "max": F.max, "sum": F.sum}[agg]
+    comb = {"min": F.least, "max": F.greatest}.get(agg)
+    e = _checkpoint(db._typed(etype).select("src", "dst"))
+    labels = _checkpoint(initial.select("id", "lbl"))
+    for i in range(iterations):
+        msgs = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(agg_fn("lbl").alias("m"))
+        )
+        joined = labels.join(msgs, "id", "left")
+        if comb is not None:
+            upd = comb(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl")))
+        else:
+            upd = F.col("lbl") + F.coalesce(F.col("m"), F.lit(0))
+        labels = joined.select("id", upd.alias("lbl"))
+        if (i + 1) % 3 == 0:
+            labels = _checkpoint(labels)
+    return labels

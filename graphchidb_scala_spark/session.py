@@ -1,0 +1,59 @@
+"""SparkSession construction and deterministic-parity configuration.
+
+The reference engine is a single JVM with hand-tuned buffers (SURVEY.md §4);
+here the equivalent knobs are Spark SQL confs. ``configure`` holds the
+runtime-settable subset so the driver-supplied session behaves identically to
+one we build ourselves (timezone matters for oracle comparisons of
+timestamps; AQE matters for skew/coalesce at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we receive. Session timezone
+# must be UTC so that timestamp formatting matches the DuckDB oracle (which
+# reads parquet timestamps as naive/UTC).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs (safe on a live, driver-owned session)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host harness; proceed with its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "graphchidb-scala-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized from $SPARK_GRAFT_CPUS (default 32).
+
+    On a real cluster these settings come from spark-submit; the shuffle
+    partition count here is sized for local mode (1 partition per core —
+    at 100 TB you would instead let AQE coalesce from a few thousand).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return configure(builder.getOrCreate())

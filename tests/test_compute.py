@@ -1,0 +1,83 @@
+"""Pregel loop: PageRank / connected components vs exact python oracles."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from graphchidb_scala_spark.operators import pregel
+
+
+def test_pagerank_matches_python(social_db):
+    edges = [(r["src"], r["dst"]) for r in social_db.edges.select("src", "dst").collect()]
+    verts = {v for e in edges for v in e}
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ranks = {v: 1.0 for v in verts}
+    for _ in range(5):
+        acc = defaultdict(float)
+        for s, d in edges:
+            acc[d] += ranks[s] / outdeg[s]
+        ranks = {v: 0.15 + 0.85 * acc.get(v, 0.0) for v in verts}
+    got = {r["id"]: r["rank"] for r in pregel.pagerank(social_db, iterations=5).collect()}
+    assert set(got) == verts
+    for v in verts:
+        assert abs(got[v] - ranks[v]) < 1e-9
+
+
+def test_pagerank_convergence_stop(social_db):
+    pr = pregel.pagerank(social_db, iterations=100, tol=1e-6)
+    assert pr.count() == social_db.num_vertices()
+
+
+def test_connected_components_converged(social_db):
+    edges = [(r["src"], r["dst"]) for r in social_db.edges.select("src", "dst").collect()]
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for s, d in edges:
+        union(s, d)
+    comp = defaultdict(set)
+    verts = {v for e in edges for v in e}
+    for v in verts:
+        comp[find(v)].add(v)
+    expected = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            expected[v] = m
+    got = {r["id"]: r["cc"] for r in pregel.connected_components(social_db).collect()}
+    assert got == expected
+
+
+def test_cc_fixed_iterations_partial(social_db):
+    # fixed-iteration variant is deterministic and monotone toward fixpoint
+    a = {r["id"]: r["cc"] for r in pregel.connected_components(social_db, fixed_iterations=2).collect()}
+    b = {r["id"]: r["cc"] for r in pregel.connected_components(social_db, fixed_iterations=2).collect()}
+    assert a == b
+    full = {r["id"]: r["cc"] for r in pregel.connected_components(social_db).collect()}
+    assert all(a[v] >= full[v] for v in full)
+
+
+def test_cc_stats(social_db):
+    cc = pregel.connected_components(social_db)
+    stats = pregel.cc_stats(cc, k=5).collect()
+    assert stats and stats[0]["size"] >= stats[-1]["size"]
+
+
+def test_propagate_labels_sum(social_db, spark):
+    init = social_db.vertices.selectExpr("id", "CAST(1 AS BIGINT) AS lbl")
+    one = pregel.propagate_labels(social_db, init, iterations=1, agg="sum")
+    # after 1 round: lbl(v) = 1 + in_degree(v)
+    deg = {r["id"]: r["in_deg"] for r in social_db.degrees().collect()}
+    got = {r["id"]: r["lbl"] for r in one.collect()}
+    assert all(got[v] == 1 + deg.get(v, 0) for v in got)

@@ -1,0 +1,176 @@
+"""Text analysis, dedup, similarity: invariants + exact-vs-approx agreement."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base, "src0"),
+        (2, base, "src0"),                                  # exact dup of 1
+        (3, base.replace("quick", "slow"), "src0"),         # near dup of 1
+        (4, "der hund und die katze und der vogel", "src0"),
+        (5, "le chat et la souris et le chien", "src1"),
+        (6, "completely different text about spark engines", "src1"),
+        (7, "", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+# ------------------------------------------------------------------------ text
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(" a  b c ",), ("",), ("one",)], "t string")
+    got = [r[0] for r in df.select(text.token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.text_stats(docs).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+    assert got[7] == "und"
+
+
+def test_quality_bounds(docs):
+    rows = text.text_stats(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([("a  b\tc",), ("A b C",)], "t string")
+    fps = [r[0] for r in df.select(text.fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1]
+
+
+# ----------------------------------------------------------------------- dedup
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    dup = [g for g in groups if g["cnt"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["cnt"] == 2
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == docs.count() - 1
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("abc",)], "t string")
+    got = df.select(dedup.char_shingles(F.col("t"), 5).alias("s")).collect()
+    assert sorted(got[0]["s"]) == ["abcde", "bcdef"]
+    assert got[1]["s"] == []
+
+
+def test_ngram_jaccard_exact_pair(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, block_col="source", k=5, threshold=0.99)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert (1, 2) in got  # identical docs → jaccard 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0          # identical → every minhash equal
+    assert (1, 3) in got                    # near dup caught by LSH
+    assert (1, 6) not in got                # unrelated text not a near dup
+
+
+def test_minhash_estimate_tracks_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, block_col="source", threshold=0.0).collect()
+    }
+    sigs = dedup.minhash_signatures(docs, num_hashes=128)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=32)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_estimated_jaccard(sigs, cands).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.25  # 128 hashes → ~σ=0.04, generous bound
+
+
+def test_simhash_properties(docs, spark):
+    pairs = dedup.simhash_pairs(docs, max_hamming=64)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0            # identical docs → identical simhash
+    if (1, 3) in got and (1, 6) in got:
+        assert got[(1, 3)] < got[(1, 6)]   # near dup closer than unrelated
+
+
+# ------------------------------------------------------------------ similarity
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, [1.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+    assert top[1]["vec_id"] == 9 and abs(top[1]["cos_sim"] - round(1 / math.sqrt(2), 4)) < 1e-9
+
+
+def test_cosine_pairs_blocked(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.01]), (2, 0, [0.0, 1.0]),
+        (3, 1, [1.0, 0.0]),  # same direction as 0 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_pairs_blocked(df, "label", 0.9).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_ann_lsh_agrees_with_bruteforce(spark):
+    # deterministic vectors on a ring; LSH with multiprobe must recover top-3
+    rows = [
+        (i, [math.cos(2 * math.pi * i / 40), math.sin(2 * math.pi * i / 40)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [1.0, 0.05]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(df, q, k=3, n_planes=4).collect()]
+    assert set(exact) & set(approx)  # overlap; with multiprobe usually equal
+    assert approx[0] == exact[0]
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [(1, "image", b"\x89PNG fake bytes", '{"frame_count": 30}'),
+            (2, "video", b"\x00\x00mp4 fake", '{"frame_count": 95}'),
+            (3, "audio", None, "{}")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 15 and len(by_id[1]["features"]) == 8
+    assert by_id[3]["n_bytes"] == 0
+    # deterministic decode
+    feats2 = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == {
+        r["media_id"]: r["features"] for r in feats
+    }
+
+
+def test_frame_sample_plan(spark):
+    rows = [(2, "video", b"x", '{"frame_count": 95}')]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    idx = [r["frame_idx"] for r in multimodal.frame_sample_plan(media, every_n=10).collect()]
+    assert idx == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def test_not_implemented_decoder_contract(spark):
+    rows = [(1, "image", b"abc", "{}")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decoder=multimodal.not_implemented_decoder).collect()

@@ -1,0 +1,50 @@
+"""Plan-shape assertions: the scale story must be visible in the physical
+plan — pushed filters for point lookups, broadcast joins for small frontiers,
+codegen for scalar pipelines. (SURVEY.md §4: these replace the reference's
+hand-coded index/sparse-dense machinery.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark import plans
+from graphchidb_scala_spark.db import GraphDB
+from graphchidb_scala_spark.operators.frontier import Frontier
+
+
+@pytest.fixture(scope="module")
+def parquet_db(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "edges.parquet")
+    rows = [(0, i, i + 1, float(i)) for i in range(1000)]
+    spark.createDataFrame(rows, "etype int, src bigint, dst bigint, weight double").write.parquet(p)
+    return GraphDB(spark.read.parquet(p))
+
+
+def test_point_lookup_pushes_filters(parquet_db):
+    q = parquet_db.find_edge(0, 10, 11)
+    pushed = plans.pushed_filters(q)
+    assert "src" in pushed and "dst" in pushed and "etype" in pushed
+
+
+def test_query_out_pushes_src(parquet_db):
+    assert "src" in plans.pushed_filters(parquet_db.query_out(42, etype=0))
+
+
+def test_small_frontier_broadcasts(parquet_db):
+    fr = Frontier.of(parquet_db, [1, 2, 3])
+    hop = parquet_db.query_out_multiple(fr.ids, etype=0)
+    assert plans.uses_broadcast_join(hop)
+
+
+def test_scan_prunes_columns(parquet_db):
+    q = parquet_db.query_out(42, etype=0).select("dst")
+    plan = plans.explain_str(q)
+    assert "weight" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_codegen_covers_scalar_pipeline(spark):
+    from graphchidb_scala_spark.functions import text
+
+    df = spark.createDataFrame([(1, "hello world the and of"),], "doc_id bigint, text string")
+    assert plans.wholestage_codegen_spans(text.text_stats(df)) >= 1

@@ -1,0 +1,158 @@
+"""Composite queries + frontier layer on the social fixture, cross-checked
+against a driver-side networkx-free python oracle (plain dict/set math on the
+collected edge list — small fixture, exact answers)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark.operators import graph_queries as gq
+from graphchidb_scala_spark.operators.frontier import Frontier
+
+
+@pytest.fixture(scope="module")
+def adj(social_db):
+    rows = social_db.edges.select("src", "dst").collect()
+    out = defaultdict(set)
+    for r in rows:
+        out[r["src"]].add(r["dst"])
+    return out
+
+
+def bfs_py(adj, source, max_depth):
+    levels = {source: 0}
+    frontier = {source}
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj[v]
+        nxt -= levels.keys()
+        for v in nxt:
+            levels[v] = d
+        frontier = nxt
+        if not frontier:
+            break
+    return levels
+
+
+def test_bfs_levels_matches_python(social_db, adj):
+    got = {r["id"]: r["level"] for r in gq.bfs_levels(social_db, 1, 4).collect()}
+    assert got == bfs_py(adj, 1, 4)
+
+
+def test_multi_bfs_matches_python(social_db, adj):
+    got = defaultdict(dict)
+    for r in gq.multi_bfs_levels(social_db, [1, 2, 3], 3).collect():
+        got[r["seed"]][r["id"]] = r["level"]
+    for s in (1, 2, 3):
+        assert got[s] == bfs_py(adj, s, 3)
+
+
+def test_shortest_path_length(social_db, adj):
+    levels = bfs_py(adj, 1, 5)
+    # pick a vertex at level 2 and one unreachable-within-1
+    v2 = min(v for v, l in levels.items() if l == 2)
+    got = gq.shortest_path_length(social_db, 1, v2, max_depth=5).collect()[0]["dist"]
+    assert got == 2
+
+
+def test_friends_of_friends(social_db, adj):
+    expected = set()
+    for u in adj[1]:
+        expected |= adj[u]
+    got = {r["id"] for r in gq.friends_of_friends(social_db, 1, etype=0).collect()}
+    assert got == expected
+
+
+def test_fof_counts_top_k(social_db, adj):
+    counts = defaultdict(int)
+    for u in adj[1]:
+        for w in adj[u]:
+            counts[w] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["id"], r["cnt"]) for r in gq.friends_of_friends_counts(social_db, 1, 0, 0, k=10).collect()]
+    assert got == top
+
+
+def test_fof_excl_semantics(social_db):
+    und = defaultdict(set)
+    for r in social_db.edges.select("src", "dst").collect():
+        und[r["src"]].add(r["dst"])
+        und[r["dst"]].add(r["src"])
+    counts = defaultdict(int)
+    for u in und[1]:
+        for w in und[u]:
+            if w != 1 and w not in und[1]:
+                counts[w] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["id"], r["cnt"]) for r in gq.friends_of_friends_excl(social_db, 1, k=10).collect()]
+    assert got == top
+
+
+def test_frontier_traverse_and_algebra(social_db, adj):
+    f1 = Frontier.of(social_db, [1]).traverse_out(0).materialize()
+    assert {r["id"] for r in f1.ids.collect()} == adj[1]
+    f2 = f1.traverse_out(0).materialize()
+    exp2 = set()
+    for u in adj[1]:
+        exp2 |= adj[u]
+    assert {r["id"] for r in f2.ids.collect()} == exp2
+
+    inter = f1.intersect(f2)
+    assert {r["id"] for r in inter.ids.collect()} == (adj[1] & exp2)
+    diff = f2.remove(f1)
+    assert {r["id"] for r in diff.ids.collect()} == (exp2 - adj[1])
+    assert f1.union(f2).count() == len(adj[1] | exp2)
+    assert f1.has_any_vertex(f2) == bool(adj[1] & exp2)
+
+
+def test_frontier_limit_deterministic(social_db):
+    f = Frontier.of(social_db, [1]).traverse_out(0)
+    a = sorted(r["id"] for r in f.limit(5, randomize=True, seed=9).ids.collect())
+    b = sorted(r["id"] for r in f.limit(5, randomize=True, seed=9).ids.collect())
+    assert a == b and len(a) == 5
+
+
+def test_traverse_out_until_early_exit(social_db, adj):
+    levels = bfs_py(adj, 1, 5)
+    v3 = min((v for v, l in levels.items() if l == 3), default=None)
+    if v3 is not None:
+        hop = Frontier.of(social_db, [1]).traverse_out_until(v3, etype=0, max_hops=5)
+        assert hop == 3
+
+
+def test_ego_net_and_triangles(social_db):
+    und = defaultdict(set)
+    for r in social_db.edges.select("src", "dst").collect():
+        und[r["src"]].add(r["dst"])
+        und[r["dst"]].add(r["src"])
+    nbrs = und[1]
+    expected = set()
+    for u in nbrs:
+        for w in und[u] & nbrs:
+            if u != w:
+                expected.add((min(u, w), max(u, w)))
+    got = {(r["x"], r["y"]) for r in gq.ego_net(social_db, 1).collect()}
+    assert got == expected
+
+    # triangle oracle
+    canon = set()
+    for a, ns in und.items():
+        for b in ns:
+            canon.add((min(a, b), max(a, b)))
+    tri = 0
+    for (x, y) in canon:
+        for z in und[y]:
+            if z > y and (x, z) in canon and (y, z) in canon:
+                tri += 1
+    got_tri = gq.triangle_count(social_db).collect()[0]["triangles"]
+    assert got_tri == tri
+
+
+def test_motif_census_deterministic(social_db):
+    a = gq.motif_census_3(social_db, n_samples=100, seed=4).collect()
+    b = gq.motif_census_3(social_db, n_samples=100, seed=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
