@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline set spans the judged surface: point lookups, multi-hop
+traversal+agg, full-graph aggregation, iterative compute (PageRank/CC),
+BFS fan-out, dedup (minhash + ngram), ANN, text stats.
+
+Setup (graph-view build + cache) is timed separately as "setup_cache" and
+excluded from the headline total — it is the ingest/compaction analogue, paid
+once per dataset, not per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark.functions import dedup, similarity, text
+from graphchidb_scala_spark.operators import graph_queries as gq
+from graphchidb_scala_spark.operators import pregel
+from graphchidb_scala_spark.session import get_spark
+from graphchidb_scala_spark.sources.tpch import SUPP_OFFSET, load_tables, tpch_graph
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("graphchidb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    g = tpch_graph(spark, sf_dir)
+    g.edges.cache().count()
+    g.vertices.cache().count()
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].cache()
+    docs.count()
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].cache()
+    emb.count()
+    setup_sec = time.time() - t0
+
+    qvec_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qvec = [float(x) for x in qvec_row["embedding"]]
+
+    queries = {
+        "point_lookup": lambda: g.query_out(1, etype=0).collect(),
+        "fof_top20": lambda: gq.friends_of_friends_counts(g, 1, 0, 1, k=20).collect(),
+        "degrees": lambda: g.degrees().count(),
+        "induced_subgraph": lambda: g.induced_subgraph(
+            g.vertices.filter(F.col("id") % 3 == 0).select("id")
+        ).count(),
+        "triangle_count": lambda: gq.triangle_count(g).collect(),
+        "shortest_path": lambda: gq.shortest_path_length(
+            g, 1, SUPP_OFFSET + 1, max_depth=5
+        ).collect(),
+        "multi_bfs_10x4": lambda: gq.multi_bfs_levels(
+            g, list(range(1, 11)), max_depth=4
+        ).count(),
+        "pagerank_10iter": lambda: pregel.pagerank(g, iterations=10).count(),
+        "connected_components": lambda: pregel.connected_components(g).count(),
+        "text_stats": lambda: text.text_stats(docs).count(),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_dedup_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.2
+        ).count(),
+        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+            docs, block_col="source", threshold=0.5
+        ).count(),
+        "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
+        "embed_neardup": lambda: similarity.cosine_pairs_blocked(
+            emb, "label", threshold=0.3
+        ).count(),
+    }
+
+    import sys
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 3)
+        print(f"  {name}: {timings[name]:.1f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    timings["setup_cache"] = round(setup_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

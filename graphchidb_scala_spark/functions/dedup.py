@@ -142,16 +142,25 @@ def minhash_signatures(
     k: int = 5,
 ) -> DataFrame:
     """DF(id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). The whole signature is computed in one
-    projection over the shingle array — no explode, no shuffle."""
-    sh = char_shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    xxhash64(shingle, seed=i).
+
+    Explode → groupBy formulation: each shingle is materialized ONCE and
+    hashed ``num_hashes`` times inside the map-side partial aggregate, then
+    one shuffle moves just ``num_hashes`` longs per document. (The tempting
+    all-in-one-projection form — num_hashes × array_min(transform(shingles))
+    — re-evaluates the shingle array per hash function after Catalyst's
+    projection collapse: O(num_hashes × |text|) substring work, ~30× slower.)
+    Documents with no shingles (len < k) drop out — they cannot near-match
+    anything; exact dedup covers empties."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text_col), k)).alias("sh")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -232,25 +241,35 @@ def minhash_lsh_dedup_pairs(
 
 # --------------------------------------------------------------------- SimHash
 
-def simhash64(text: Column, k_tokens: bool = True) -> Column:
-    """64-bit SimHash over whitespace tokens: per-bit signed vote of token
-    xxhash64 bits, sign → bit. Pure JVM expression (transform/aggregate over
-    the 64 bit positions)."""
-    tokens = F.split(F.trim(text), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    def bit_vote(i: int) -> Column:
-        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1); bit set iff vote > 0
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DF(id, sh): 64-bit SimHash over whitespace tokens — per-bit signed
+    vote of token xxhash64 bits, sign → bit (bit 63 left clear so the value
+    stays positive).
+
+    Explode → groupBy: each token hashed once, 63 bit-votes accumulated in
+    the map-side partial aggregate, one shuffle of 63 longs per document.
+    (A pure-Column formulation re-evaluates the token array per bit position
+    after projection collapse — 63× the work.)"""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(63)
+        ]
+    )
     out = F.lit(0).cast("long")
-    for i in range(63):  # bit 63 left clear: keeps the value positive
-        out = out.bitwiseOR(bit_vote(i))
-    return out
+    for i in range(63):
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", out.alias("sh"))
 
 
 def simhash_pairs(
@@ -264,7 +283,7 @@ def simhash_pairs(
     by pigeonhole any pair within Hamming distance 3 shares a chunk (wider
     distances are still usually caught); verify exact Hamming on candidates.
     DF(id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = simhash_table(df, id_col, text_col)
     n_bands = 64 // band_bits
     banded = sh.select(
         "id",
