@@ -96,37 +96,44 @@ def ngram_jaccard_pairs(
     Shuffle plan: explode → join on (block, shingle) → two aggregations.
     The (block, shingle) join key keeps hot shingles bounded per block; for
     skew (a shingle present in every doc of a block) AQE skew-join splits the
-    partition."""
-    sh = shingle_table(
-        df, id_col, text_col, k, extra_cols=(block_col,) if block_col else ()
+    partition. A lossless size-ratio prune (J(A,B) ≤ min/max of the set
+    sizes, so J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ) is applied inside the
+    shingle join, cutting candidate pairs before the expensive intersection
+    count — the oracle semantics are unchanged."""
+    # shingle-set size is computed from the array BEFORE exploding — no
+    # extra shuffle, and each exploded row carries (id, n, shingle)
+    extra = [F.col(block_col)] if block_col else []
+    base = df.select(
+        F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_arr")
+    ).withColumn("n", F.size("_sh_arr"))
+    sh = base.select(
+        F.col(id_col), *extra, "n", F.explode("_sh_arr").alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    keys = [F.col("a.sh") == F.col("b.sh")]
+    keys = (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
-        keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        keys = keys & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    if threshold > 0:
+        keys = keys & (F.col("b.n") * float(threshold) <= F.col("a.n")) & (
+            F.col("a.n") * float(threshold) <= F.col("b.n")
+        )
     inter = (
-        a.join(b, keys[0] if len(keys) == 1 else (keys[0] & keys[1]))
-        .filter(cond)
+        a.join(b, keys)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return jac.select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
     )

@@ -88,6 +88,7 @@ def connected_components(
     etype: int | None = None,
     max_iterations: int = 50,
     fixed_iterations: int | None = None,
+    check_every: int = 3,
 ) -> DataFrame:
     """Min-label propagation over the undirected graph — reference
     ConnectedComponentsLabelProp.scala:38-85 (label init = own id; iterate
@@ -115,12 +116,17 @@ def connected_components(
             .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("new_lbl"), "lbl")
         )
         if fixed_iterations is None:
-            new_labels = _checkpoint(new_labels)
-            changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
-            labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
-            if changed == 0:
-                break
-            labels = _checkpoint(labels)
+            # convergence check every `check_every` rounds: the check is a full
+            # job, so probing each round costs more than the (≤ check_every-1)
+            # extra cheap rounds it saves
+            if (i + 1) % check_every == 0 or (i + 1) == rounds:
+                new_labels = _checkpoint(new_labels)
+                changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+                labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
+                if changed == 0:
+                    break
+            else:
+                labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
         else:
             labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
             if (i + 1) % 3 == 0:

@@ -45,23 +45,23 @@ def chain_db(spark):
 def social_db(spark):
     """FIXTURES.md §F2 `social`: deterministic pseudo-random digraph with
     timestamp/weight edge columns (reference SocialNetworkExample.scala:85-86).
-    Built with a seeded LCG — no rand()."""
+    Built with a seeded PRNG — no rand()."""
+    import random
+
     from graphchidb_scala_spark.db import GraphDB
 
     n_vertices, n_edges = 500, 5000
     rows, seen = [], set()
-    state = 42
-    def nxt():
-        nonlocal state
-        state = (state * 1103515245 + 12345) % (1 << 31)
-        return state
+    rng = random.Random(42)
     while len(rows) < n_edges:
-        src = nxt() % n_vertices
-        dst = nxt() % n_vertices
+        src = rng.randrange(n_vertices)
+        dst = rng.randrange(n_vertices)
         if src == dst or (src, dst) in seen:
             continue
         seen.add((src, dst))
-        rows.append((0, src, dst, 1_700_000_000 - nxt() % 1_000_000, (nxt() % 1000) / 1000.0))
+        rows.append(
+            (0, src, dst, 1_700_000_000 - rng.randrange(1_000_000), rng.randrange(1000) / 1000.0)
+        )
     edges = spark.createDataFrame(
         rows, "etype int, src bigint, dst bigint, timestamp bigint, weight double"
     )
