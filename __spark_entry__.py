@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphchidb_scala_spark.db import GraphDB
-from graphchidb_scala_spark.functions import dedup, multimodal, similarity, text
+from graphchidb_scala_spark.functions import dedup, events, multimodal, similarity, text
 from graphchidb_scala_spark.functions.text import LANG_STOPWORDS
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.operators import pregel
@@ -188,6 +188,58 @@ def _q_frontier_algebra(spark, sf):
     )
 
 
+def _q_out_joined(spark, sf):
+    g = _g(spark, sf)
+    res = g.query_out(1, etype=0).select("dst", "weight")
+    return g.join_vertex_columns(res, ["vtype", "name"], on="dst")
+
+
+def _q_in_multi(spark, sf):
+    return (
+        _g(spark, sf)
+        .query_in_multiple([SUPP_OFFSET + i for i in range(1, 6)], etype=2)
+        .select("src", "dst", "weight")
+    )
+
+
+def _q_sssp_parents(spark, sf):
+    return gq.sssp_parents(_g(spark, sf), 1, max_depth=4)
+
+
+def _q_shortest_route(spark, sf):
+    return gq.shortest_path_route(_g(spark, sf), 1, SUPP_OFFSET + 1, max_depth=5)
+
+
+def _q_edge_upsert(spark, sf):
+    g = _g(spark, sf)
+    d = _min_dst(g)
+    batch = spark.createDataFrame(
+        [(0, 1, d, 111.5, None), (0, 1, 999_999, 1.0, None)],
+        "etype int, src bigint, dst bigint, weight double, ts timestamp",
+    )
+    g2 = g.add_edges(batch)
+    return g2.query_out(1, etype=0).select("dst", F.round("weight", 2).alias("weight"))
+
+
+# ------------------------------------------------------- events / time-series
+
+
+def _events(spark, sf):
+    return events.load_events(spark, sf)
+
+
+def _q_events_window(spark, sf):
+    return events.window_agg(_events(spark, sf), window_minutes=60)
+
+
+def _q_events_sessionize(spark, sf):
+    return events.sessionize(_events(spark, sf), gap_minutes=30)
+
+
+def _q_events_props(spark, sf):
+    return events.extract_props(_events(spark, sf), keys=("k",))
+
+
 # --------------------------------------------------- data-pipeline callables
 
 def _q_doc_dedup_exact(spark, sf):
@@ -219,6 +271,18 @@ def _q_ann_topk(spark, sf):
 
 def _q_embed_neardup(spark, sf):
     return similarity.cosine_pairs_blocked(_emb(spark, sf), "label", threshold=0.3)
+
+
+def _q_embed_centroids(spark, sf):
+    return similarity.label_centroids(_emb(spark, sf)).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "centroid",
+    )
+
+
+def _q_token_histogram(spark, sf):
+    return text.token_histogram(_docs(spark, sf), k=20)
 
 
 # ------------------------------------------------------ rows-only callables
@@ -290,10 +354,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_neighbors": _q_out_neighbors,
         "in_neighbors": _q_in_neighbors,
         "out_neighbors_multi": _q_out_multi,
+        "in_neighbors_multi": _q_in_multi,
+        "out_neighbors_joined": _q_out_joined,
         # §2.2 point ops / mutations
         "edge_lookup": _q_edge_lookup,
         "edge_update": _q_edge_update,
         "edge_delete": _q_edge_delete,
+        "edge_upsert": _q_edge_upsert,
         "vertex_delete": _q_vertex_delete,
         # §2.6 aggregations
         "degrees": _q_degrees,
@@ -307,7 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.7 frontier / traversal
         "frontier_algebra": _q_frontier_algebra,
         "shortest_path": _q_shortest_path,
+        "shortest_path_route": _q_shortest_route,
         "sssp_levels": _q_sssp_levels,
+        "sssp_parents": _q_sssp_parents,
         "multi_bfs": _q_multi_bfs,
         # §2.14 vertex-centric computation (fixed-iteration parity forms)
         "pagerank3": _q_pagerank3,
@@ -319,8 +388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": _q_doc_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_ngram_neardup": _q_doc_ngram_neardup,
+        "token_histogram": _q_token_histogram,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
+        "embedding_centroids": _q_embed_centroids,
+        # events / streaming-analogue (batch plans of the streaming ops)
+        "events_window_hourly": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_props": _q_events_props,
         # rows-only (seeded approximate / ML / sampled ops)
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash,
@@ -432,6 +507,15 @@ def oracle_sql() -> dict[str, str]:
         "out_neighbors_multi": _gsql(
             "SELECT src, dst FROM edges WHERE etype = 0 AND src BETWEEN 1 AND 10"
         ),
+        "in_neighbors_multi": _gsql(
+            f"SELECT src, dst, weight FROM edges WHERE etype = 2 "
+            f"AND dst BETWEEN {SUPP_OFFSET + 1} AND {SUPP_OFFSET + 5}"
+        ),
+        "out_neighbors_joined": _gsql(
+            "SELECT e.dst, e.weight, v.vtype, v.name "
+            "FROM edges e LEFT JOIN vertices v ON v.id = e.dst "
+            "WHERE e.etype = 0 AND e.src = 1"
+        ),
         "edge_lookup": _gsql(
             "SELECT etype, src, dst, weight FROM edges "
             "WHERE etype = 0 AND src = 1 ORDER BY dst LIMIT 1"
@@ -445,6 +529,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges "
             "WHERE etype = 0 AND src = 1 "
             "AND dst <> (SELECT min(dst) FROM edges WHERE etype = 0 AND src = 1)"
+        ),
+        "edge_upsert": _gsql(
+            "SELECT dst, round(weight, 2) AS weight FROM edges "
+            "WHERE etype = 0 AND src = 1 "
+            "AND dst <> (SELECT min(dst) FROM edges WHERE etype = 0 AND src = 1) "
+            "UNION ALL SELECT (SELECT min(dst) FROM edges WHERE etype = 0 AND src = 1), 111.5 "
+            "UNION ALL SELECT CAST(999999 AS BIGINT), 1.0"
         ),
         "vertex_delete": _gsql(
             "SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges WHERE src <> 1 AND dst <> 1"
@@ -516,6 +607,37 @@ def oracle_sql() -> dict[str, str]:
             ")\n"
             "SELECT node AS id, CAST(min(depth) AS BIGINT) AS level FROM walk GROUP BY node"
         ),
+        "sssp_parents": (
+            "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"
+            "walk(node, depth) AS (\n"
+            "  SELECT CAST(1 AS BIGINT), 0\n"
+            "  UNION\n"
+            "  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.depth < 4\n"
+            "),\n"
+            "lvl AS (SELECT node AS id, CAST(min(depth) AS BIGINT) AS level FROM walk GROUP BY node)\n"
+            "SELECT l.id, l.level, "
+            "(SELECT CAST(min(e.src) AS BIGINT) FROM edges e JOIN lvl p ON p.id = e.src "
+            "WHERE e.dst = l.id AND p.level = l.level - 1) AS parent FROM lvl l"
+        ),
+        "shortest_path_route": (
+            "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"
+            "walk(node, depth) AS (\n"
+            "  SELECT CAST(1 AS BIGINT), 0\n"
+            "  UNION\n"
+            "  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.depth < 5\n"
+            "),\n"
+            "lvl AS (SELECT node AS id, CAST(min(depth) AS BIGINT) AS level FROM walk GROUP BY node),\n"
+            "par AS (SELECT l.id, l.level, "
+            "(SELECT CAST(min(e.src) AS BIGINT) FROM edges e JOIN lvl p ON p.id = e.src "
+            "WHERE e.dst = l.id AND p.level = l.level - 1) AS parent FROM lvl l),\n"
+            "route(step, id) AS (\n"
+            f"  SELECT level, id FROM par WHERE id = {SUPP_OFFSET + 1}\n"
+            "  UNION ALL\n"
+            "  SELECT r.step - 1, p.parent FROM route r JOIN par p ON p.id = r.id "
+            "WHERE p.parent IS NOT NULL\n"
+            ")\n"
+            "SELECT step, id FROM route"
+        ),
         "multi_bfs": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"
             "mwalk(seed, node, depth) AS (\n"
@@ -558,6 +680,39 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
 WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
 """.strip(),
+        "token_histogram": (
+            "SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"
+            ") t WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "embedding_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos, "
+            "round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid "
+            "FROM embeddings, range(1, 65) t(i) GROUP BY label, i"
+        ),
+        "events_window_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (\n"
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new\n"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)\n"
+            "),\n"
+            "s AS (SELECT user_id, ts, CAST(sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM g)\n"
+            "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "events_props": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_k FROM events"
+        ),
         "ann_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id,

@@ -1,0 +1,111 @@
+"""Event-stream analytics over the ``events`` table — the batch-equivalent
+plans of the Structured Streaming operators (tumbling windows, sessionization,
+JSON property extraction).
+
+The reference is "online but not a stream processor" (SURVEY.md §2.12): no
+windows or watermarks exist there. These operators are the training-pipeline /
+streaming surface a Spark-native engine adds on top: the same plans run under
+``readStream`` with a watermark on ``ts`` (tumbling windows via ``window()``
+aggregate state; sessions via ``session_window`` or
+``applyInPandasWithState``); here they are expressed for batch so the DuckDB
+oracle can check them exactly.
+
+Scale: both aggregations shuffle once on their group keys ((window, type) /
+(user, session)); sessionization's lag-window partitions by user — naturally
+parallel, skew-bounded by per-user event counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing ``ts`` to a timestamp. The testdata
+    stores TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set by session.configure) it arrives as nanosecond longs — integer-divide
+    to microseconds (matching DuckDB's truncation; fp division would round)."""
+    from graphchidb_scala_spark.session import configure
+
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def window_agg(
+    events: DataFrame,
+    window_minutes: int = 60,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts + sums per event type.
+    DF(ws, event_type, n_events, sum_value) with ws = window start.
+    Under readStream the identical expression becomes stateful window
+    aggregation with a watermark on ``ts``."""
+    w = F.window(F.col(ts_col), f"{int(window_minutes)} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. DF(user_id, session_id,
+    n_events, start_s, end_s) — session_id is the per-user ordinal.
+    The lag+cumsum formulation is the standard batch sessionizer; streaming
+    uses ``session_window`` with the same gap."""
+    byuser = Window.partitionBy(user_col).orderBy(ts_col)
+    # microsecond-exact gap: second-truncating casts would disagree with the
+    # oracle on boundary gaps
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(byuser)
+    with_new = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessioned = with_new.withColumn(
+        "session_id",
+        F.sum("is_new").over(Window.partitionBy("user_id").orderBy("ts")).cast("bigint"),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+    )
+
+
+def extract_props(
+    events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
+) -> DataFrame:
+    """JSON sidecar property extraction (scalar-function surface):
+    DF(event_id, <key>...) with each key pulled via get_json_object —
+    JVM-side, no UDF."""
+    return events.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        *[
+            F.get_json_object(F.col(props_col), f"$.{k}").cast("bigint").alias(f"p_{k}")
+            for k in keys
+        ],
+    )

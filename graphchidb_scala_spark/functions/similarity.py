@@ -91,6 +91,26 @@ def cosine_pairs_blocked(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label centroid, exploded to DF(label, pos, centroid) rows — the
+    IVF coarse-quantization building block (train step of an IVF index:
+    centroid per partition/label). posexplode keeps the aggregation a plain
+    (label, pos) groupBy — one shuffle, no array UDAF."""
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("centroid"))
+    )
+
+
 # ------------------------------------------------------------------ LSH buckets
 
 def _plane_component(dim_idx: int, plane: int, seed: int) -> float:

@@ -112,6 +112,23 @@ def rolling_hashes(text: Column, window: int = 16) -> Column:
     return F.array_distinct(grams)
 
 
+def token_histogram(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies — DF(tok, cnt), (cnt DESC, tok ASC).
+    explode → map-side-combined groupBy → TakeOrdered top-k; the workhorse
+    vocabulary/frequency pass of a tokenizer-training pipeline."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+    )
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats block: tokens, chars, punctuation, quality, lang.
 

@@ -103,9 +103,13 @@ def bfs_levels(
     frontier expansion; each hop localCheckpoints (cuts lineage, the Spark
     analogue of the reference's in-place parent array). Returns DF(id, level)."""
     spark = db.spark
-    visited = spark.createDataFrame([(int(source), 0)], "id bigint, level bigint")
-    visited = visited.localCheckpoint(eager=True)
-    frontier = visited.select("id")
+    seed = spark.createDataFrame([(int(source), 0)], "id bigint, level bigint")
+    seed = seed.localCheckpoint(eager=True)
+    # visited stays a lazy union of already-checkpointed per-hop deltas —
+    # re-reading it costs nothing, and skipping its re-checkpoint saves one
+    # eager job per hop
+    visited = seed
+    frontier = seed.select("id")
     fsize = 1
     for depth in range(1, max_depth + 1):
         e = db._typed(etype)
@@ -121,7 +125,7 @@ def bfs_levels(
         fsize = nxt.count()
         if fsize == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("id")
     return visited
 
@@ -136,9 +140,10 @@ def multi_bfs_levels(
     falls out of relational batching. Returns DF(seed, id, level)."""
     spark = db.spark
     rows = [(int(s), int(s), 0) for s in seeds]
-    visited = spark.createDataFrame(rows, "seed bigint, id bigint, level bigint")
-    visited = visited.localCheckpoint(eager=True)
-    frontier = visited.select("seed", "id")
+    seed_df = spark.createDataFrame(rows, "seed bigint, id bigint, level bigint")
+    seed_df = seed_df.localCheckpoint(eager=True)
+    visited = seed_df  # lazy union of checkpointed deltas (see bfs_levels)
+    frontier = seed_df.select("seed", "id")
     fsize = len(rows)
     for depth in range(1, max_depth + 1):
         e = db._typed(etype)
@@ -154,9 +159,52 @@ def multi_bfs_levels(
         fsize = nxt.count()
         if fsize == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("seed", "id")
     return visited
+
+
+def sssp_parents(
+    db: GraphDB, source: int, max_depth: int, etype: int | None = None
+) -> DataFrame:
+    """BFS tree with parent pointers — reference ``singleSourceShortestPath``
+    stores parent+1 per vertex in a temp column (Queries.scala:198-213);
+    here the tree is DF(id, level, parent) with the deterministic min-parent
+    rule: parent(v) = min u with level(u) = level(v) - 1 and edge u→v."""
+    levels = bfs_levels(db, source, max_depth, etype)
+    e = db._typed(etype).select("src", "dst")
+    pred = (
+        e.join(levels.withColumnRenamed("id", "src").withColumnRenamed("level", "plevel"), "src")
+        .join(levels.withColumnRenamed("id", "dst"), "dst")
+        .filter(F.col("plevel") == F.col("level") - 1)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("parent"))
+    )
+    return levels.join(pred, "id", "left").select("id", "level", "parent")
+
+
+def shortest_path_route(
+    db: GraphDB, source: int, target: int, max_depth: int = 5, etype: int | None = None
+) -> DataFrame:
+    """One concrete shortest path source→target as DF(step, id) — the
+    reference reconstructs the path by walking the parent array
+    (``ShortestPathTree.pathTo``, Queries.scala:220-243). Deterministic via
+    the min-parent tree; empty when unreachable within ``max_depth``. The
+    walk-back is a driver loop over the (≤ max_depth+1)-row collected chain."""
+    spark = db.spark
+    rows = {
+        r["id"]: (r["level"], r["parent"])
+        for r in sssp_parents(db, source, max_depth, etype).collect()
+    }
+    path: list[tuple[int, int]] = []
+    node = int(target)
+    if node in rows:
+        while node is not None:
+            path.append((int(rows[node][0]), node))
+            node = rows[node][1]
+    if not path:
+        return spark.createDataFrame([], "step bigint, id bigint")
+    return spark.createDataFrame(sorted(path), "step bigint, id bigint")
 
 
 def ego_net(db: GraphDB, vertex: int, etype: int | None = None) -> DataFrame:
@@ -186,6 +234,9 @@ def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
         .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .distinct()
+        # materialized once: the three self-join aliases would otherwise each
+        # recompute the symmetric-closure + distinct shuffle
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = ce.alias("e1"), ce.alias("e2"), ce.alias("e3")
     tri = (

@@ -20,6 +20,14 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions by target size, not cluster parallelism:
+    # iterative graph loops run dozens of small shuffles whose 32-way task
+    # fan-out is pure scheduling overhead locally; at cluster scale the
+    # advisory size (64 MB) keeps partitions right-sized either way.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # the testdata events table stores TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects by default; read as long and convert (events.load_events)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -55,5 +63,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # ContextCleaner frees shuffle files / broadcasts only when the driver
+        # GCs; with a large heap that can be never, and accumulated shuffle
+        # state progressively inflates per-job scheduling cost (measured 8x
+        # slowdown over a long session). Force a periodic GC so cleanup keeps
+        # pace with iterative workloads.
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     return configure(builder.getOrCreate())

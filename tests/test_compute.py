@@ -68,6 +68,26 @@ def test_cc_fixed_iterations_partial(social_db):
     assert all(a[v] >= full[v] for v in full)
 
 
+def test_cc_star_multi_component(spark):
+    # long chains + rings + isolated stars: worst case for label-prop,
+    # exercises several large/small-star rounds
+    from graphchidb_scala_spark.db import GraphDB
+
+    edges = []
+    for base in (0, 1000, 2000):  # three 50-chains
+        edges += [(base + i, base + i + 1) for i in range(50)]
+    edges += [(3000 + i, 3000 + (i + 1) % 40) for i in range(40)]  # ring
+    edges += [(4000, 4000 + i) for i in range(1, 20)]  # star
+    df = spark.createDataFrame(
+        [(0, s, d) for s, d in edges], "etype int, src bigint, dst bigint"
+    )
+    got = {r["id"]: r["cc"] for r in pregel.connected_components(GraphDB(df)).collect()}
+    comps = {0: 0, 1000: 1000, 2000: 2000, 3000: 3000, 4000: 4000}
+    for base, root in comps.items():
+        members = [v for v in got if base <= v < base + 1000]
+        assert all(got[v] == root for v in members), f"component {base}"
+
+
 def test_cc_stats(social_db):
     cc = pregel.connected_components(social_db)
     stats = pregel.cc_stats(cc, k=5).collect()

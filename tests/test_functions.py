@@ -7,7 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from graphchidb_scala_spark.functions import dedup, multimodal, similarity, text
+from graphchidb_scala_spark.functions import dedup, events, multimodal, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +50,54 @@ def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame([("a  b\tc",), ("A b C",)], "t string")
     fps = [r[0] for r in df.select(text.fingerprint(F.col("t"))).collect()]
     assert fps[0] == fps[1]
+
+
+def test_token_histogram(docs):
+    got = [(r["tok"], r["cnt"]) for r in text.token_histogram(docs, k=3).collect()]
+    # 'the' ×4 (2 copies of base ×2) then 'und'/'et' ×2 each...: verify vs python
+    import collections
+
+    cnt = collections.Counter()
+    for r in docs.collect():
+        cnt.update(t for t in r["text"].split() if t)
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------- events
+
+def test_sessionize_and_window(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0, "a", 1.0, '{"k": 5}'),
+        (2, 10, t0 + dt.timedelta(minutes=10), "a", 2.0, '{"k": 6}'),
+        (3, 10, t0 + dt.timedelta(minutes=50), "b", 3.0, None),   # gap 40m → new session
+        (4, 20, t0 + dt.timedelta(minutes=90), "a", 4.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double, props string"
+    )
+    sess = {(r["user_id"], r["session_id"]): r["n_events"] for r in events.sessionize(df).collect()}
+    assert sess == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+    win = {(r["ws"], r["event_type"]): r["n_events"] for r in events.window_agg(df).collect()}
+    assert win == {
+        ("2024-01-01 00:00:00", "a"): 2,
+        ("2024-01-01 00:00:00", "b"): 1,
+        ("2024-01-01 01:00:00", "a"): 1,
+    }
+    props = {r["event_id"]: r["p_k"] for r in events.extract_props(df).collect()}
+    assert props == {1: 5, 2: 6, 3: None, 4: 7}
+
+
+def test_label_centroids(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["pos"]): r["centroid"] for r in similarity.label_centroids(df).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
 
 
 # ----------------------------------------------------------------------- dedup

@@ -59,6 +59,31 @@ def test_shortest_path_length(social_db, adj):
     assert got == 2
 
 
+def test_sssp_parents_and_route(social_db, adj):
+    levels = bfs_py(adj, 1, 4)
+    got = {r["id"]: (r["level"], r["parent"]) for r in gq.sssp_parents(social_db, 1, 4).collect()}
+    assert {v: l for v, (l, _) in got.items()} == levels
+    for v, (l, p) in got.items():
+        if l == 0:
+            assert p is None
+        else:
+            # min predecessor at the previous level
+            preds = [u for u, ns in adj.items() if v in ns and levels.get(u) == l - 1]
+            assert p == min(preds)
+    # route: walk any level-3 vertex back to the source
+    v3 = min((v for v, l in levels.items() if l == 3), default=None)
+    if v3 is not None:
+        path = gq.shortest_path_route(social_db, 1, v3, max_depth=4).collect()
+        ids = [r["id"] for r in sorted(path, key=lambda r: r["step"])]
+        assert ids[0] == 1 and ids[-1] == v3 and len(ids) == 4
+        for a, b in zip(ids, ids[1:]):
+            assert b in adj[a]
+
+
+def test_shortest_path_route_unreachable(social_db):
+    assert gq.shortest_path_route(social_db, 1, 10**9, max_depth=3).count() == 0
+
+
 def test_friends_of_friends(social_db, adj):
     expected = set()
     for u in adj[1]:
