@@ -221,6 +221,34 @@ def _q_edge_upsert(spark, sf):
     return g2.query_out(1, etype=0).select("dst", F.round("weight", 2).alias("weight"))
 
 
+# ---------------------------------------------- vertex property columns (§2.2-2.3)
+
+def _q_vertex_point_read(spark, sf):
+    return _g(spark, sf).get_vertex_value(1, "name")
+
+
+def _q_vertex_point_write(spark, sf):
+    g2 = _g(spark, sf).set_vertex_value(1, "name", "renamed#000000001")
+    return g2.vertices.filter(F.col("id") <= 3).select("id", "name")
+
+
+def _q_vertex_select_scan(spark, sf):
+    return _g(spark, sf).select_vertices(F.col("vtype") == "supplier", ["name"])
+
+
+def _q_vertex_update_all(spark, sf):
+    g2 = _g(spark, sf).update_vertex_column("name", F.upper(F.col("name")))
+    return g2.select_vertices(F.col("vtype") == "customer", ["name"])
+
+
+def _q_vertex_batch_get(spark, sf):
+    return _g(spark, sf).get_vertex_values(list(range(1, 11)), ["vtype", "name"])
+
+
+def _q_bfs_vertex_program(spark, sf):
+    return pregel.bfs_via_vertex_program(_g(spark, sf), 1, max_depth=4)
+
+
 # ------------------------------------------------------- events / time-series
 
 
@@ -381,6 +409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.14 vertex-centric computation (fixed-iteration parity forms)
         "pagerank3": _q_pagerank3,
         "cc5": _q_cc5,
+        # §2.2-2.3 vertex property columns
+        "vertex_point_read": _q_vertex_point_read,
+        "vertex_point_write": _q_vertex_point_write,
+        "vertex_select_scan": _q_vertex_select_scan,
+        "vertex_update_all": _q_vertex_update_all,
+        "vertex_batch_get": _q_vertex_batch_get,
+        # §2.13 generic vertex program (BFS instantiation)
+        "bfs_vertex_program": _q_bfs_vertex_program,
         # §2.9/§2.10 misc
         "random_vertex": _q_random_vertex,
         # training-data pipeline (oracle-checked)
@@ -650,6 +686,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank3": _pagerank3_sql(),
         "cc5": _cc5_sql(),
+        "vertex_point_read": _gsql("SELECT name FROM vertices WHERE id = 1"),
+        "vertex_point_write": _gsql(
+            "SELECT id, CASE WHEN id = 1 THEN 'renamed#000000001' ELSE name END AS name "
+            "FROM vertices WHERE id <= 3"
+        ),
+        "vertex_select_scan": _gsql(
+            "SELECT id, name FROM vertices WHERE vtype = 'supplier'"
+        ),
+        "vertex_update_all": _gsql(
+            "SELECT id, upper(name) AS name FROM vertices WHERE vtype = 'customer'"
+        ),
+        "vertex_batch_get": _gsql(
+            "SELECT id, vtype, name FROM vertices WHERE id BETWEEN 1 AND 10"
+        ),
+        "bfs_vertex_program": (
+            "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"
+            "walk(node, depth) AS (\n"
+            "  SELECT CAST(1 AS BIGINT), 0\n"
+            "  UNION\n"
+            "  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.depth < 4\n"
+            ")\n"
+            "SELECT node AS id, CAST(min(depth) AS BIGINT) AS level FROM walk GROUP BY node"
+        ),
         "random_vertex": _gsql(
             "SELECT id FROM (SELECT id, (id * 1103515245 + 7) % 2147483648 AS m FROM vertices) t "
             "ORDER BY m, id LIMIT 1"

@@ -200,6 +200,46 @@ class GraphDB:
             vertices = self._vertices.filter(F.col("id") != v)
         return GraphDB(edges, vertices)
 
+    # ------------------------------------------- vertex property columns (§2.2-2.3)
+
+    def get_vertex_value(self, vertex: int, column: str) -> DataFrame:
+        """Vertex property point read — reference
+        ``getVertexColumnValueOrigId`` (GraphChiDatabase.scala:1342-1347) /
+        ``Column.get`` (Column.scala:48-57)."""
+        return self.vertices.filter(F.col("id") == int(vertex)).select(column)
+
+    def set_vertex_value(self, vertex: int, column: str, value) -> "GraphDB":
+        """Vertex property point write — reference
+        ``setVertexColumnValueOrigId``; conditional projection, batched via
+        :meth:`update_vertex_column` at scale."""
+        v = self.vertices.withColumn(
+            column, F.when(F.col("id") == int(vertex), F.lit(value)).otherwise(F.col(column))
+        )
+        return GraphDB(self.edges, v)
+
+    def select_vertices(self, condition, columns: Sequence[str] = ()) -> DataFrame:
+        """Filtered vertex-column scan — reference ``Column.select(cond)``
+        (Column.scala:198-225): DF(id, *columns) for vertices passing the
+        predicate; the filter pushes into the vertex scan."""
+        cols = ["id", *columns] if columns else ["id", *[c for c in self.vertices.columns if c != "id"]]
+        return self.vertices.filter(condition).select(*cols)
+
+    def update_vertex_column(self, column: str, expr) -> "GraphDB":
+        """Map over all values of a vertex column in place — reference
+        ``Column.updateAll`` (Column.scala:187-190); one projection, no
+        shuffle."""
+        return GraphDB(self.edges, self.vertices.withColumn(column, expr))
+
+    def get_vertex_values(self, vertex_ids: Sequence[int] | DataFrame, columns: Sequence[str]) -> DataFrame:
+        """Batch vertex-property read — reference ``Column.getMany``
+        (Column.scala:137-168): IN-list filter for small id sets, semi-join
+        for DataFrame sets."""
+        v = self.vertices.select("id", *columns)
+        if isinstance(vertex_ids, DataFrame):
+            ids = vertex_ids.select(F.col(vertex_ids.columns[0]).alias("id"))
+            return v.join(F.broadcast(ids), "id", "semi")
+        return v.filter(F.col("id").isin([int(x) for x in vertex_ids]))
+
     # ------------------------------------------------------------ writes (§2.1)
 
     def add_edges(self, new_edges: DataFrame, upsert: bool = True) -> "GraphDB":

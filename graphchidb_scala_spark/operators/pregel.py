@@ -209,6 +209,82 @@ def cc_stats(cc: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ generic vertex program
+
+def run_vertex_program(
+    db: GraphDB,
+    initial: DataFrame,
+    msg_fn,
+    agg_fn,
+    combine_fn,
+    max_iterations: int = 30,
+    etype: int | None = None,
+    initial_active: DataFrame | None = None,
+) -> DataFrame:
+    """Generic vertex-centric computation with selective scheduling — the
+    reference's ``VertexCentricComputation.update`` plug-in point
+    (VertexCentricComputation.scala:37-54) plus ``BitSetScheduler`` semantics
+    (Scheduler.scala:31-83: only vertices whose value changed send messages
+    next round; terminate when no vertex changed).
+
+    - ``initial``: DF(id, val) starting state (val may be NULL = unset)
+    - ``msg_fn(src_val) -> Column``: message each out-edge carries
+    - ``agg_fn``: message combiner (F.min / F.max / F.sum / ...)
+    - ``combine_fn(old_val, msg) -> Column``: vertex update rule
+    - ``initial_active``: DF(id) of initially-scheduled vertices (default all)
+
+    The active-set semi-join gates message generation exactly like the
+    bitset gate in the reference's interval loop
+    (GraphChiDatabase.scala:2131-2252). Each superstep is two shuffles
+    (messages, update); state is checkpointed every round; one count job on
+    the checkpointed state drives termination. Returns DF(id, val)."""
+    e = _checkpoint(db._typed(etype).select("src", "dst"))
+    state = _checkpoint(initial.select("id", "val"))
+    active = (initial_active if initial_active is not None else state).select("id")
+    for _ in range(max_iterations):
+        src_state = state.select(F.col("id").alias("src"), F.col("val").alias("src_val"))
+        msgs = (
+            e.join(active.select(F.col("id").alias("src")), "src", "semi")
+            .join(src_state, "src")
+            .select(F.col("dst").alias("id"), msg_fn(F.col("src_val")).alias("m"))
+            .groupBy("id")
+            .agg(agg_fn(F.col("m")).alias("m"))
+        )
+        new_state = _checkpoint(
+            state.join(msgs, "id", "left")
+            .select("id", "val", combine_fn(F.col("val"), F.col("m")).alias("new_val"))
+        )
+        active = new_state.filter(~F.col("new_val").eqNullSafe(F.col("val"))).select("id")
+        state = new_state.select("id", F.col("new_val").alias("val"))
+        if new_state.filter(~F.col("new_val").eqNullSafe(F.col("val"))).limit(1).count() == 0:
+            break
+    return state
+
+
+def bfs_via_vertex_program(
+    db: GraphDB, source: int, max_depth: int, etype: int | None = None
+) -> DataFrame:
+    """BFS expressed on the generic vertex program (parity demonstration of
+    the reference's MultiBFS-as-computation form, MultiBFS.scala:37-157).
+    Returns DF(id, level) for reached vertices."""
+    init = db.vertices.select(
+        "id",
+        F.when(F.col("id") == int(source), F.lit(0).cast("bigint")).alias("val"),
+    )
+    src_only = db.spark.createDataFrame([(int(source),)], "id bigint")
+    out = run_vertex_program(
+        db,
+        init,
+        msg_fn=lambda sv: sv + F.lit(1),
+        agg_fn=F.min,
+        combine_fn=lambda old, m: F.least(old, m),
+        max_iterations=max_depth,
+        etype=etype,
+        initial_active=src_only,
+    )
+    return out.filter(F.col("val").isNotNull()).select("id", F.col("val").alias("level"))
+
+
 # ------------------------------------------------------------- label propagation
 
 def propagate_labels(

@@ -94,6 +94,29 @@ def test_cc_stats(social_db):
     assert stats and stats[0]["size"] >= stats[-1]["size"]
 
 
+def test_vertex_program_bfs(social_db):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for r in social_db.edges.select("src", "dst").collect():
+        adj[r["src"]].add(r["dst"])
+    levels = {1: 0}
+    frontier = {1}
+    for d in range(1, 5):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj[v]
+        nxt -= levels.keys()
+        for v in nxt:
+            levels[v] = d
+        frontier = nxt
+    got = {
+        r["id"]: r["level"]
+        for r in pregel.bfs_via_vertex_program(social_db, 1, max_depth=4).collect()
+    }
+    assert got == levels
+
+
 def test_propagate_labels_sum(social_db, spark):
     init = social_db.vertices.selectExpr("id", "CAST(1 AS BIGINT) AS lbl")
     one = pregel.propagate_labels(social_db, init, iterations=1, agg="sum")
