@@ -1,0 +1,152 @@
+"""Custom stateful streaming operators.
+
+The reference is online-but-not-a-stream-processor (SURVEY.md §2.12): its
+only "streaming" behaviors are immediately-visible inserts and a continuous
+background recompute (GraphChiDatabase.scala:2260-2283 ``runIteration(comp,
+continuous=true)``, started at SocialNetworkExample.scala:99). Here both get
+first-class Structured Streaming forms, plus the stateful-session operator a
+training-data pipeline needs:
+
+- :func:`sessionize_stream` — per-user session assembly with
+  ``applyInPandasWithState``: Arrow-batched per-group state, event-time
+  timeout driven by the watermark. This is the custom-stateful-operator path
+  (state that ``session_window`` can't express, e.g. carrying arbitrary
+  per-session aggregates).
+- :func:`continuous_recompute` — ``foreachBatch`` hook that appends each
+  micro-batch to an :class:`~graphchidb_scala_spark.streaming.ingest.EdgeStore`
+  and re-runs a computation over the updated graph, the reference's
+  continuous-PageRank pattern ("results may lag mutations", README.md:72).
+
+Scale: state is partitioned by the group key across executors; each
+micro-batch shuffles once on the key. State size is O(open sessions), not
+O(events) — closed sessions are emitted and dropped. The recompute hook runs
+a full computation per micro-batch by design (parity with the reference's
+continuous mode); incremental variants belong to the computation itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+# open-session carryover: (start_us, end_us, n_events)
+_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def _session_fn(gap_us: int) -> Callable[..., Iterable[pd.DataFrame]]:
+    def fn(key: tuple[Any, ...], pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed the open session's end + gap: it can no longer
+            # grow — flush it (the append-mode close condition)
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts = pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values()
+        ts_us = (ts.astype("int64") // 1000).to_numpy()  # ns → µs
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = int(ts_us[0])
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            t = int(t)
+            if n > 0 and t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us, n = t, 0
+            end_us = max(end_us, t)
+            n += 1
+        state.update((start_us, end_us, n))
+        # close the open session once event time passes end + gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization with explicit per-user state.
+
+    ``events`` is a streaming DF with (user_id, ts, ...). Sessions close when
+    the watermark passes ``last_event + gap`` (event-time timeout); each
+    closed session is emitted exactly once (append semantics). The batch
+    twin (same session boundaries) is
+    :func:`graphchidb_scala_spark.functions.events.sessionize`.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return (
+        events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_us),
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def continuous_recompute(
+    edge_stream: DataFrame,
+    store,
+    compute_fn: Callable[[Any], DataFrame],
+    sink_path: str,
+    etype: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous background computation over an evolving graph — the
+    reference's ``runIteration(comp, continuous=true)``
+    (GraphChiDatabase.scala:2260-2283): after every micro-batch of edges is
+    appended (immediately queryable), re-run ``compute_fn(GraphDB)`` and
+    overwrite the result table. Readers of ``sink_path`` see the newest
+    completed result; results may lag mutations by one micro-batch, exactly
+    the reference's documented semantics (README.md:72).
+
+    ``edge_stream`` must have (etype, src, dst [, props...]) columns or
+    (user_id, event_id) pairs convertible by the caller beforehand.
+    Returns the StreamingQuery.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            store.add_batch(batch_df)
+        result = compute_fn(store.graph())
+        result.write.mode("overwrite").parquet(sink_path)
+
+    writer = edge_stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -68,3 +68,102 @@ def test_stream_from_events(store, spark, tmp_path):
     g = store.graph()
     assert g.edge_exists(1, 100, 200)
     assert g.edge_exists(1, 101, 201)
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: session boundaries must match
+    the batch twin (functions.events.sessionize) once the watermark closes
+    every session."""
+    import datetime as dt
+
+    from graphchidb_scala_spark.functions.events import sessionize
+    from graphchidb_scala_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 45 min > 30), user 2: one session
+    for m in (0, 5, 10, 55, 60):
+        rows.append((1, base + dt.timedelta(minutes=m)))
+    for m in (0, 20):
+        rows.append((2, base + dt.timedelta(minutes=m)))
+    # sentinel far in the future advances the watermark past all sessions
+    rows.append((99, base + dt.timedelta(days=2)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+
+    src = tmp_path / "sess_in"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(str(src))
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more (empty-ish) trigger so event-time timeouts fire
+        (tmp_path / "sess_in2").mkdir(exist_ok=True)
+        spark.createDataFrame(
+            [(98, base + dt.timedelta(days=3))], "user_id bigint, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE user_id IN (1, 2)"
+        ).collect()
+    }
+    expect = {
+        (
+            r["user_id"],
+            dt.datetime.strptime(r["start_s"], "%Y-%m-%d %H:%M:%S"),
+            dt.datetime.strptime(r["end_s"], "%Y-%m-%d %H:%M:%S"),
+            r["n_events"],
+        )
+        for r in sessionize(
+            df.filter("user_id IN (1, 2)"), gap_minutes=30
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_continuous_recompute(spark, tmp_path):
+    """foreachBatch continuous recompute: after the stream drains, the sink
+    holds degrees of the fully-updated graph (reference continuous
+    runIteration semantics)."""
+    from graphchidb_scala_spark.streaming.ingest import EdgeStore
+    from graphchidb_scala_spark.streaming.stateful import continuous_recompute
+
+    store = EdgeStore(spark, str(tmp_path / "es"), num_buckets=2)
+    store.init_base(
+        spark.createDataFrame(
+            [(0, 1, 2, 1.0)], "etype int, src bigint, dst bigint, weight double"
+        )
+    )
+    src = tmp_path / "edges_in"
+    spark.createDataFrame(
+        [(0, 2, 3, 1.0), (0, 3, 1, 1.0)],
+        "etype int, src bigint, dst bigint, weight double",
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "etype int, src bigint, dst bigint, weight double"
+    ).parquet(str(src))
+    sink_path = str(tmp_path / "degrees_out")
+    q = continuous_recompute(
+        stream,
+        store,
+        compute_fn=lambda g: g.degrees(),
+        sink_path=sink_path,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in spark.read.parquet(sink_path).collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
