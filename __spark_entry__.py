@@ -313,6 +313,22 @@ def _q_token_histogram(spark, sf):
     return text.token_histogram(_docs(spark, sf), k=20)
 
 
+def _q_degree_quantiles(spark, sf):
+    # reference QuickSelect n-th element (Util.scala:42-55) generalized to
+    # exact interpolated percentiles of the degree distribution — one
+    # map-side-combined shuffle then a single-row agg.
+    d = _g(spark, sf).degrees()
+    return d.agg(
+        *[
+            F.round(F.percentile(F.col("out_deg"), F.lit(p)), 4).alias(
+                f"out_p{int(p * 100)}"
+            )
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ],
+        F.round(F.percentile(F.col("in_deg"), F.lit(0.5)), 4).alias("in_p50"),
+    )
+
+
 # ------------------------------------------------------ rows-only callables
 # (non-SQL-expressible: seeded LSH/ML internals; the driver records the
 #  weaker rows-only check — SURVEY.md §5 notes which)
@@ -329,6 +345,12 @@ def _q_simhash(spark, sf):
 
 def _q_ann_lsh(spark, sf):
     return similarity.ann_topk_lsh(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def _q_ann_ivf(spark, sf):
+    # deterministic codebook (label centroids), but the nested array math is
+    # not worth a 100-line oracle — rows-only, like the LSH variant
+    return similarity.ann_topk_ivf(_emb(spark, sf), _query_vec(spark, sf), k=10, nprobe=3)
 
 
 def _q_pagerank_conv(spark, sf):
@@ -425,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_ngram_neardup": _q_doc_ngram_neardup,
         "token_histogram": _q_token_histogram,
+        "degree_quantiles": _q_degree_quantiles,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "embedding_centroids": _q_embed_centroids,
@@ -436,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "pagerank_converged": _q_pagerank_conv,
         "cc_converged_stats": _q_cc_converged,
         "motif_census": _q_motif_census,
@@ -580,6 +604,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, CAST(SUM(in_c) AS BIGINT) AS in_deg, CAST(SUM(out_c) AS BIGINT) AS out_deg "
             "FROM (SELECT src AS id, 0 AS in_c, 1 AS out_c FROM edges "
             "      UNION ALL SELECT dst, 1, 0 FROM edges) t GROUP BY id"
+        ),
+        "degree_quantiles": _gsql(
+            "SELECT round(quantile_cont(out_deg, 0.25), 4) AS out_p25, "
+            "round(quantile_cont(out_deg, 0.5), 4) AS out_p50, "
+            "round(quantile_cont(out_deg, 0.75), 4) AS out_p75, "
+            "round(quantile_cont(out_deg, 0.9), 4) AS out_p90, "
+            "round(quantile_cont(in_deg, 0.5), 4) AS in_p50 "
+            "FROM (SELECT id, SUM(in_c) AS in_deg, SUM(out_c) AS out_deg "
+            "      FROM (SELECT src AS id, 0 AS in_c, 1 AS out_c FROM edges "
+            "            UNION ALL SELECT dst, 1, 0 FROM edges) t GROUP BY id) deg"
         ),
         "graph_counts": _gsql(
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM vertices) AS num_vertices, "

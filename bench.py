@@ -40,6 +40,19 @@ def main() -> None:
     docs.count()
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].cache()
     emb.count()
+    # Warm up the engine machinery the iterative queries rely on (Arrow
+    # createDataFrame, broadcast-hash-join build, localCheckpoint, shuffle
+    # agg): first use of each costs seconds of JIT/classloading that would
+    # otherwise land on whichever query happens to run it first. Part of
+    # setup, like the cache fill — paid once per session, not per query.
+    warm = spark.createDataFrame([(1,)], "id bigint").localCheckpoint(eager=True)
+    (
+        g.edges.join(F.broadcast(warm.withColumnRenamed("id", "src")), "src")
+        .groupBy("dst")
+        .count()
+        .localCheckpoint(eager=True)
+        .count()
+    )
     setup_sec = time.time() - t0
 
     qvec_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]

@@ -111,6 +111,83 @@ def label_centroids(
     )
 
 
+# ------------------------------------------------------------------ IVF index
+
+def ivf_codebook(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Driver-side coarse-quantizer codebook: one centroid per label cell,
+    collected as plain floats. The codebook is tiny (cells ≪ rows) by
+    construction — at 100 TB it is the K of a k-means coarse quantizer
+    (K ≈ sqrt(N) ≈ thousands), still driver-resident; only the assignment
+    scan is distributed. Deterministic: built from label_centroids, no rand()."""
+    rows = (
+        label_centroids(df, label_col, vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s.getField("centroid"),
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    return sorted((int(r["label"]), [float(x) for x in r["centroid"]]) for r in rows)
+
+
+def ivf_cell(vec_col: Column, codebook: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a pure projection: the codebook is folded
+    into the plan as literals, so assignment is codegen'd JVM arithmetic —
+    no join, no shuffle, no Python. argmin = array_min over (dist, cell)
+    structs (lexicographic struct ordering; cell breaks exact ties)."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.array(*[F.lit(float(c)) for c in centroid]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            F.lit(int(cell)).alias("c"),
+        )
+        for cell, centroid in codebook
+    ]
+    return F.array_min(F.array(*dists)).getField("c")
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to nearest-centroid cells, probe
+    only the ``nprobe`` cells nearest the query, brute-force within them.
+    Probe selection is driver-side (codebook is small); the scan reads
+    N·nprobe/K of the data. At scale, persist the assignment
+    (partitionBy(cell)) so probes become partition pruning instead of a scan."""
+    if codebook is None:
+        codebook = ivf_codebook(df, vec_col=vec_col)
+
+    def _sqdist(c: Sequence[float]) -> float:
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
+
+    probes = [cell for cell, c in sorted(codebook, key=lambda t: (_sqdist(t[1]), t[0]))[:nprobe]]
+    cand = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook)).filter(
+        F.col("_cell").isin([int(p) for p in probes])
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 # ------------------------------------------------------------------ LSH buckets
 
 def _plane_component(dim_idx: int, plane: int, seed: int) -> float:

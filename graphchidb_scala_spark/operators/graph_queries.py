@@ -84,27 +84,82 @@ def shortest_path_length(
     db: GraphDB, source: int, target: int, max_depth: int = 5, etype: int | None = None
 ) -> DataFrame:
     """Unweighted s-t distance (≤ max_depth hops, directed) — reference
-    ``shortestPath`` (Queries.scala:107-194; default maxDepth=5). The
-    reference meets a forward BFS against the target's in-neighbor set; in
-    Spark a forward BFS with a per-hop membership check is the same number of
-    scans without the bidirectional bookkeeping. Returns 1-row DF(dist) with
-    NULL when unreachable within the bound."""
-    levels = bfs_levels(db, source, max_depth, etype)
-    return levels.filter(F.col("id") == int(target)).agg(
-        F.min("level").cast("bigint").alias("dist")
+    ``shortestPath`` (Queries.scala:107-194; default maxDepth=5). Exactly the
+    reference's algorithm: precompute the target's in-neighbor set once, then
+    meet the forward BFS against it — any frontier vertex in that set proves
+    dist = depth + 1, so the loop stops one (most expensive, widest-frontier)
+    hop early and never expands past the first meet. Returns 1-row DF(dist)
+    with NULL when unreachable within the bound."""
+    spark = db.spark
+    source, target = int(source), int(target)
+
+    def _dist(d) -> DataFrame:
+        return spark.createDataFrame([(d,)], "dist bigint")
+
+    if max_depth < 1:
+        return _dist(0 if source == target else None)
+    if source == target:
+        return _dist(0)
+    e = db._typed(etype)
+    # the reference's dst-in-neighbor hash set; here a checkpointed DF so a
+    # celebrity target (100M in-neighbors at 100 TB) still fits — the per-hop
+    # probe is a join, broadcast by AQE only when the set is actually small
+    tin = (
+        e.filter(F.col("dst") == target)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    if tin.filter(F.col("id") == source).limit(1).count() > 0:
+        return _dist(1)
+    seed = spark.createDataFrame([(source,)], "id bigint").localCheckpoint(eager=True)
+    visited, frontier, fsize = seed, seed, 1
+    for depth in range(1, max_depth):
+        fr = F.broadcast(frontier) if fsize < 100_000 else frontier
+        nxt = (
+            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # one job: frontier size + meet-check against the in-neighbor set
+        stats = (
+            nxt.join(tin.withColumn("hit", F.lit(1)), "id", "left")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("hit").alias("hit"))
+            .collect()[0]
+        )
+        if stats["hit"] is not None:
+            # every ≤max_depth path ends with an edge from this set, so the
+            # first meet is the minimum distance
+            return _dist(depth + 1)
+        fsize = stats["n"]
+        if fsize == 0:
+            return _dist(None)
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return _dist(None)
 
 
 def bfs_levels(
-    db: GraphDB, source: int, max_depth: int, etype: int | None = None
+    db: GraphDB,
+    source: int,
+    max_depth: int,
+    etype: int | None = None,
+    stop_at: int | None = None,
 ) -> DataFrame:
     """BFS level per reachable vertex (≤ max_depth) — reference
     ``singleSourceShortestPath`` tree (Queries.scala:198-213). Iterative
     frontier expansion; each hop localCheckpoints (cuts lineage, the Spark
-    analogue of the reference's in-place parent array). Returns DF(id, level)."""
+    analogue of the reference's in-place parent array). ``stop_at`` stops
+    expanding once that vertex is reached (the ``FinishQueryException``
+    early-exit, emulated per-hop per SURVEY §7.4); the partial tree still
+    holds every vertex at levels ≤ level(stop_at). Returns DF(id, level)."""
     spark = db.spark
     seed = spark.createDataFrame([(int(source), 0)], "id bigint, level bigint")
     seed = seed.localCheckpoint(eager=True)
+    if stop_at is not None and int(stop_at) == int(source):
+        return seed
     # visited stays a lazy union of already-checkpointed per-hop deltas —
     # re-reading it costs nothing, and skipping its re-checkpoint saves one
     # eager job per hop
@@ -122,11 +177,20 @@ def bfs_levels(
             .withColumn("level", F.lit(depth).cast("bigint"))
             .localCheckpoint(eager=True)
         )
-        fsize = nxt.count()
+        # one job: frontier size + optional target-reached probe
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.when(F.col("id") == int(stop_at), 1) if stop_at is not None else F.lit(None)
+            ).alias("hit"),
+        ).collect()[0]
+        fsize = stats["n"]
         if fsize == 0:
             break
         visited = visited.unionAll(nxt)
         frontier = nxt.select("id")
+        if stats["hit"] is not None:
+            break
     return visited
 
 
@@ -165,13 +229,19 @@ def multi_bfs_levels(
 
 
 def sssp_parents(
-    db: GraphDB, source: int, max_depth: int, etype: int | None = None
+    db: GraphDB,
+    source: int,
+    max_depth: int,
+    etype: int | None = None,
+    stop_at: int | None = None,
 ) -> DataFrame:
     """BFS tree with parent pointers — reference ``singleSourceShortestPath``
     stores parent+1 per vertex in a temp column (Queries.scala:198-213);
     here the tree is DF(id, level, parent) with the deterministic min-parent
-    rule: parent(v) = min u with level(u) = level(v) - 1 and edge u→v."""
-    levels = bfs_levels(db, source, max_depth, etype)
+    rule: parent(v) = min u with level(u) = level(v) - 1 and edge u→v.
+    With ``stop_at`` the tree is truncated at that vertex's level — every
+    ancestor level is complete, so parents along the walk-back are exact."""
+    levels = bfs_levels(db, source, max_depth, etype, stop_at=stop_at)
     e = db._typed(etype).select("src", "dst")
     pred = (
         e.join(levels.withColumnRenamed("id", "src").withColumnRenamed("level", "plevel"), "src")
@@ -194,7 +264,7 @@ def shortest_path_route(
     spark = db.spark
     rows = {
         r["id"]: (r["level"], r["parent"])
-        for r in sssp_parents(db, source, max_depth, etype).collect()
+        for r in sssp_parents(db, source, max_depth, etype, stop_at=target).collect()
     }
     path: list[tuple[int, int]] = []
     node = int(target)

@@ -72,8 +72,10 @@ def get_spark(
         # ContextCleaner frees shuffle files / broadcasts only when the driver
         # GCs; with a large heap that can be never, and accumulated shuffle
         # state progressively inflates per-job scheduling cost (measured 8x
-        # slowdown over a long session). Force a periodic GC so cleanup keeps
-        # pace with iterative workloads.
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # slowdown over a long session). But each forced GC is a full
+        # stop-the-world pause that stalls whatever stage is running
+        # (measured: 30s interval made star-CC 2x slower than 10min). 5min
+        # keeps long sessions clean while staying out of individual queries.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     return configure(builder.getOrCreate())

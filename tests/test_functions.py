@@ -192,6 +192,32 @@ def test_ann_lsh_agrees_with_bruteforce(spark):
     assert approx[0] == exact[0]
 
 
+def test_ann_ivf_agrees_with_bruteforce(spark):
+    # two tight clusters around +x and +y; labels give the codebook
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0, 0.001 * i]))
+        rows.append((100 + i, 1, [0.001 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    cb = similarity.ivf_codebook(df)
+    assert [c for c, _ in cb] == [0, 1]
+    q = [1.0, 0.01]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    # nprobe=1 scans only the +x cell, which holds the true top-3
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(df, q, k=3, nprobe=1, codebook=cb).collect()
+    ]
+    assert approx == exact
+    # cell assignment is a pure projection: every +x vector lands in cell 0
+    cells = (
+        df.withColumn("c", similarity.ivf_cell(F.col("embedding"), cb))
+        .select("vec_id", "c")
+        .collect()
+    )
+    assert all((r["c"] == 0) == (r["vec_id"] < 100) for r in cells)
+
+
 # ------------------------------------------------------------------ multimodal
 
 def test_multimodal_feature_plumbing(spark):
