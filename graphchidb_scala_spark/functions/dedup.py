@@ -93,24 +93,49 @@ def ngram_jaccard_pairs(
     DF(id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4 dp
     (cross-engine fp safety: the division is of exact integer counts).
 
-    Shuffle plan: explode → join on (block, shingle) → two aggregations.
-    The (block, shingle) join key keeps hot shingles bounded per block; for
-    skew (a shingle present in every doc of a block) AQE skew-join splits the
-    partition. A lossless size-ratio prune (J(A,B) ≤ min/max of the set
-    sizes, so J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ) is applied inside the
-    shingle join, cutting candidate pairs before the expensive intersection
-    count — the oracle semantics are unchanged."""
-    # shingle-set size is computed from the array BEFORE exploding — no
-    # extra shuffle, and each exploded row carries (id, n, shingle)
+    Plan: prefix-filtered candidate generation (AllPairs/PPJoin family,
+    Bayardo et al. "Scaling Up All Pairs Similarity Search") + exact
+    array-intersect verification:
+
+    1. global shingle document-frequency table (one shuffle);
+    2. each doc keeps only its ``n - ceil(τ·n) + 1`` rarest shingles (the
+       *prefix* under the global (df, shingle) canonical order) — any pair
+       with J ≥ τ must share a prefix shingle, so recall is exact;
+    3. candidates = self-join of the tiny prefix table on the shingle
+       (+ block) with the lossless size-ratio prune (τ·|A| ≤ |B| ≤ |A|/τ);
+    4. verify each distinct candidate pair once via size(array_intersect)
+       on the full hashed shingle arrays.
+
+    The naive inverted-index join is quadratic in a hot shingle's document
+    frequency (a stopword 5-gram in every doc of a block ⇒ |block|² rows);
+    the prefix filter sends hot shingles to the back of the canonical order,
+    so they never generate candidates — this is what survives 100 TB.
+    Shingles are compared as xxhash64 keys (8-byte shuffle rows; collision
+    odds over a corpus are ~#pairs/2⁶⁴, far below fp rounding noise)."""
+    from pyspark.sql.window import Window
+
     extra = [F.col(block_col)] if block_col else []
-    base = df.select(
-        F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_arr")
-    ).withColumn("n", F.size("_sh_arr"))
-    sh = base.select(
-        F.col(id_col), *extra, "n", F.explode("_sh_arr").alias("sh")
+    # hashed distinct shingle set per doc, computed once and reused by both
+    # the candidate and the verification sides
+    base = (
+        df.select(
+            F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_str")
+        )
+        .withColumn("sh_arr", F.transform("_sh_str", lambda s: F.xxhash64(s)))
+        .withColumn("n", F.size("sh_arr"))
+        .drop("_sh_str")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    expl = base.select(F.col(id_col), *extra, "n", F.explode("sh_arr").alias("sh"))
+    dfreq = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(F.col(id_col)).orderBy("_df", "sh")
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + F.lit(1)
+    pref = (
+        expl.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), *extra, "n", "sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
     keys = (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
         keys = keys & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -118,16 +143,15 @@ def ngram_jaccard_pairs(
         keys = keys & (F.col("b.n") * float(threshold) <= F.col("a.n")) & (
             F.col("a.n") * float(threshold) <= F.col("b.n")
         )
-    inter = (
+    cand = (
         a.join(b, keys)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
+    inter = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "c", F.size(F.array_intersect("_sa", "_sb"))
     )
     jac = inter.select(
         "id_a",

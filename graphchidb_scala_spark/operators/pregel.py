@@ -46,11 +46,20 @@ def pagerank(
 
     The out-degree table is computed once and re-joined per iteration
     (map-side combine; one shuffle), exactly the degree column the reference
-    maintains incrementally (GraphChiDatabase.scala:1777-1833)."""
+    maintains incrementally (GraphChiDatabase.scala:1777-1833).
+
+    Shuffle structure: edges_deg is checkpointed pre-partitioned by src and
+    the static vertex set by id; checkpoint preserves output partitioning, so
+    per iteration only the groupBy(dst) exchanges data — the contrib→update
+    join and the next iteration's rank→edge join are both already
+    co-partitioned. One shuffle per iteration is the minimum for a
+    message-passing step and is what keeps 100 iterations tractable at
+    100 TB."""
     e = db._typed(etype).select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = _checkpoint(e.join(deg, "src"))
-    ranks = _checkpoint(db.vertices.select("id").withColumn("rank", F.lit(1.0)))
+    edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
+    vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
+    ranks = vstatic.withColumn("rank", F.lit(1.0))
 
     for i in range(1, iterations + 1):
         contrib = (
@@ -59,23 +68,22 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("acc"))
         )
-        new_ranks = (
-            ranks.select("id", F.col("rank").alias("old_rank"))
-            .join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
-                "old_rank",
-            )
+        new_ranks = vstatic.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
         )
         if tol is not None:
             new_ranks = _checkpoint(new_ranks)
-            delta = new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
-            ranks = new_ranks.select("id", "rank")
+            delta = (
+                new_ranks.join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = new_ranks.select("id", "rank")
+            ranks = new_ranks
             if i % checkpoint_every == 0 or i == iterations:
                 ranks = _checkpoint(ranks)
     return ranks
