@@ -386,6 +386,28 @@ def _q_als_recommend(spark, sf):
     return als_mod.recommend_for_user(model, 1, k=10)
 
 
+def _q_als_rmse(spark, sf):
+    # reference computeRMSE (ALSMatrixFactorization.scala:204-214); 1-row DF.
+    # rows-only: factor init depends on ml-lib internals, value not portable
+    from graphchidb_scala_spark.operators import als as als_mod
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    ratings = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+            (F.col("l_quantity") % 5 + 1).alias("rating"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    model = als_mod.train_als(ratings, rank=8, max_iter=5, seed=42)
+    val = als_mod.rmse(model, ratings)
+    return spark.createDataFrame([(float(val),)], "rmse double")
+
+
 def _q_multimodal_features(spark, sf):
     media = _docs(spark, sf).select(
         F.col("doc_id").alias("media_id"),
@@ -464,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged_stats": _q_cc_converged,
         "motif_census": _q_motif_census,
         "als_recommend": _q_als_recommend,
+        "als_rmse": _q_als_rmse,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -115,8 +115,10 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     extra = [F.col(block_col)] if block_col else []
-    # hashed distinct shingle set per doc, computed once and reused by both
-    # the candidate and the verification sides
+    # hashed distinct shingle set per doc, materialized once — the shingling
+    # projection is the CPU-heavy step and is reused by the df table, the
+    # prefix table, and both verification sides (recomputing it 4x was 3x the
+    # whole query's cost)
     base = (
         df.select(
             F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_str")
@@ -124,15 +126,24 @@ def ngram_jaccard_pairs(
         .withColumn("sh_arr", F.transform("_sh_str", lambda s: F.xxhash64(s)))
         .withColumn("n", F.size("sh_arr"))
         .drop("_sh_str")
+        .localCheckpoint(eager=True)
     )
     expl = base.select(F.col(id_col), *extra, "n", F.explode("sh_arr").alias("sh"))
-    dfreq = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(F.col(id_col)).orderBy("_df", "sh")
+    # only shingles shared by ≥2 docs can generate a candidate; df-unique
+    # shingles still occupy prefix slots (they must, for the canonical-order
+    # guarantee) but are dropped from the join input afterwards — lossless
+    dfreq = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") >= 2
+    )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + F.lit(1)
     pref = (
-        expl.join(dfreq, "sh")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
+        expl.join(dfreq, "sh", "left")
+        .withColumn("_d", F.coalesce("_df", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(F.col(id_col)).orderBy("_d", "sh")),
+        )
+        .filter((F.col("_rn") <= prefix_len) & (F.col("_d") >= 2))
         .select(F.col(id_col), *extra, "n", "sh")
     )
     a, b = pref.alias("a"), pref.alias("b")
