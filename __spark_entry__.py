@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_vertex_program": _q_bfs_vertex_program,
         # §2.9/§2.10 misc
         "random_vertex": _q_random_vertex,
+        "motif_census": _q_motif_census,
         # training-data pipeline (oracle-checked)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_text_stats": _q_doc_text_stats,
@@ -484,7 +485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "pagerank_converged": _q_pagerank_conv,
         "cc_converged_stats": _q_cc_converged,
-        "motif_census": _q_motif_census,
         "als_recommend": _q_als_recommend,
         "als_rmse": _q_als_rmse,
         "multimodal_features": _q_multimodal_features,
@@ -514,6 +514,27 @@ def _pagerank3_sql() -> str:
         + "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM vertices),\n"
         + ",\n".join(iters)
         + "\nSELECT id, round(rank, 6) AS rank FROM r3"
+    )
+
+
+def _motif_sql(n_samples: int = 500, seed: int = 42) -> str:
+    # mirrors motif_census_3 exactly: seeded-hash vertex order, consecutive
+    # triples, classify by undirected edge count among the 3 pairs
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + "ce AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM und WHERE a <> b),\n"
+        + f"v AS (SELECT id, (id * 1103515245 + {seed}) % 2147483648 AS m FROM vertices),\n"
+        + "r AS (SELECT id, row_number() OVER (ORDER BY m, id) - 1 AS rn "
+        + f"FROM v ORDER BY m, id LIMIT {3 * n_samples}),\n"
+        + "trip AS (SELECT rn // 3 AS t, list_sort(list(id)) AS ids FROM r "
+        + "GROUP BY rn // 3 HAVING count(*) = 3),\n"
+        + "tri AS (SELECT ids[1] AS v1, ids[2] AS v2, ids[3] AS v3 FROM trip),\n"
+        + "pairs AS (SELECT v1 AS x, v2 AS y, v1, v2, v3 FROM tri "
+        + "UNION ALL SELECT v1, v3, v1, v2, v3 FROM tri "
+        + "UNION ALL SELECT v2, v3, v1, v2, v3 FROM tri),\n"
+        + "hit AS (SELECT p.v1, p.v2, p.v3 FROM ce JOIN pairs p ON ce.x = p.x AND ce.y = p.y),\n"
+        + "cls AS (SELECT v1, v2, v3, count(*) AS n_edges FROM hit GROUP BY v1, v2, v3)\n"
+        + "SELECT n_edges, CAST(count(*) AS BIGINT) AS cnt FROM cls GROUP BY n_edges ORDER BY n_edges"
     )
 
 
@@ -743,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank3": _pagerank3_sql(),
         "cc5": _cc5_sql(),
+        "motif_census": _motif_sql(),
         "vertex_point_read": _gsql("SELECT name FROM vertices WHERE id = 1"),
         "vertex_point_write": _gsql(
             "SELECT id, CASE WHEN id = 1 THEN 'renamed#000000001' ELSE name END AS name "
