@@ -348,8 +348,8 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    # deterministic codebook (label centroids), but the nested array math is
-    # not worth a 100-line oracle — rows-only, like the LSH variant
+    # deterministic end-to-end (label-centroid codebook, hash-free argmin);
+    # oracle twin: _ann_ivf_sql
     return similarity.ann_topk_ivf(_emb(spark, sf), _query_vec(spark, sf), k=10, nprobe=3)
 
 
@@ -536,6 +536,38 @@ def _motif_sql(n_samples: int = 500, seed: int = 42) -> str:
         + "cls AS (SELECT v1, v2, v3, count(*) AS n_edges FROM hit GROUP BY v1, v2, v3)\n"
         + "SELECT n_edges, CAST(count(*) AS BIGINT) AS cnt FROM cls GROUP BY n_edges ORDER BY n_edges"
     )
+
+
+def _ann_ivf_sql(k: int = 10, nprobe: int = 3) -> str:
+    # mirrors ann_topk_ivf: label-centroid codebook (round 6), nearest-cell
+    # assignment (L2, tie-break by cell), nprobe nearest cells to the query,
+    # exact cosine top-k within them (round 4, ties by vec_id)
+    return f"""
+WITH cb AS (
+  SELECT label, list(round(avg_x, 6) ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x::DOUBLE) AS avg_x FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) t(label, pos, avg_x) GROUP BY label
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cb.label FROM cb, qv
+  ORDER BY list_distance(cb.centroid::DOUBLE[], qv.v), cb.label
+  LIMIT {nprobe}
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cb.label FROM cb
+          ORDER BY list_distance(cb.centroid::DOUBLE[], e.embedding::DOUBLE[]), cb.label
+          LIMIT 1) AS cell
+  FROM embeddings e
+)
+SELECT c.vec_id, round(list_cosine_similarity(c.embedding::DOUBLE[], (SELECT v FROM qv)), 4) AS cos_sim
+FROM cells c WHERE c.cell IN (SELECT label FROM probes)
+ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+""".strip()
 
 
 def _cc5_sql() -> str:
@@ -765,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank3": _pagerank3_sql(),
         "cc5": _cc5_sql(),
         "motif_census": _motif_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         "vertex_point_read": _gsql("SELECT name FROM vertices WHERE id = 1"),
         "vertex_point_write": _gsql(
             "SELECT id, CASE WHEN id = 1 THEN 'renamed#000000001' ELSE name END AS name "
