@@ -9,6 +9,7 @@ from graphchidb_scala_spark.sources.tpch import (
     tpch_graph,
 )
 from graphchidb_scala_spark.sources.edgelist import read_edge_list
+from graphchidb_scala_spark.sources.bucketed import load_bucketed, save_bucketed
 
 __all__ = [
     "GRAPH_SQL_CTES",
@@ -18,4 +19,6 @@ __all__ = [
     "load_tables",
     "tpch_graph",
     "read_edge_list",
+    "save_bucketed",
+    "load_bucketed",
 ]

@@ -57,3 +57,52 @@ def test_point_query_pushes_filters_to_parquet(spark, tmp_path):
     pruned = g.query_out(7, etype=0).select("dst")
     scan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "weight" not in scan.split("ReadSchema")[-1]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from graphchidb_scala_spark.sources.bucketed import load_bucketed, save_bucketed
+
+    df = spark.createDataFrame(
+        [(0, s % 50, s, float(s)) for s in range(2000)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    save_bucketed(df, "edges_bkt_test", buckets=4, path=str(tmp_path / "bkt"))
+    t = load_bucketed(spark, "edges_bkt_test")
+    # force the shuffle-join path (a table this small would broadcast, which
+    # sidesteps bucketing entirely; at scale neither side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # self-join on the bucket column: both sides co-located, no shuffle
+        joined = t.alias("a").join(t.alias("b"), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == sum(40 * 40 for _ in range(50))
+        # aggregation on the bucket column also skips the exchange
+        agg = t.groupBy("src").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS edges_bkt_test")
+
+
+def test_salted_aggregation_and_join(spark):
+    from graphchidb_scala_spark.operators import skew
+
+    # one celebrity key (90% of rows) + uniform tail
+    rows = [(0, i, float(i % 7)) for i in range(1800)] + [
+        (k, 10_000 + k, 1.0) for k in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "key bigint, payload bigint, val double")
+    plain = {r["key"]: r["cnt"] for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    salted = {r["key"]: r["cnt"] for r in skew.salted_count(df, "key").collect()}
+    assert salted == plain
+    plain_sum = {r["key"]: r["s"] for r in df.groupBy("key").agg(F.sum("val").alias("s")).collect()}
+    salted_sum = {r["key"]: r["total"] for r in skew.salted_sum(df, "key", "val").collect()}
+    assert all(abs(plain_sum[k] - salted_sum[k]) < 1e-9 for k in plain_sum)
+
+    dim = spark.createDataFrame([(k, f"n{k}") for k in range(0, 201)], "key bigint, name string")
+    j = skew.salted_join(df, dim, "key")
+    assert j.count() == df.count()  # every row matches exactly one dim row
+    assert j.filter(F.col("key") == 0).select("name").distinct().collect()[0]["name"] == "n0"
