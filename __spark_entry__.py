@@ -409,13 +409,28 @@ def _q_als_rmse(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
+    # full Arrow mapInPandas round-trip (the real multimodal plumbing), then
+    # flattened to scalar rows so the deterministic fake-decode features are
+    # value-comparable against the md5-arithmetic SQL twin
     media = _docs(spark, sf).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
         F.to_json(F.struct(F.col("n_chars").alias("frame_count"))).alias("meta"),
     )
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "f"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("f", 6).alias("feature"),
+    )
 
 
 # ----------------------------------------------------------------- registries
@@ -474,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
         "embedding_centroids": _q_embed_centroids,
+        "multimodal_features": _q_multimodal_features,
         # events / streaming-analogue (batch plans of the streaming ops)
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -487,7 +503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged_stats": _q_cc_converged,
         "als_recommend": _q_als_recommend,
         "als_rmse": _q_als_rmse,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -798,6 +813,15 @@ def oracle_sql() -> dict[str, str]:
         "cc5": _cc5_sql(),
         "motif_census": _motif_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
+        # md5-arithmetic twin of the deterministic fake decoder
+        # (multimodal.fake_decoder): 2-byte big-endian slices of the digest
+        "multimodal_features": (
+            "WITH feats AS (SELECT doc_id AS media_id, 'image' AS kind, "
+            "octet_length(text::BLOB) AS n_bytes, md5(text) AS h FROM documents) "
+            "SELECT media_id, kind, n_bytes, i AS pos, "
+            "round(('0x' || substr(h, CAST(i * 4 + 1 AS INT), 4))::BIGINT / 65535.0, 6) AS feature "
+            "FROM feats, range(8) t(i)"
+        ),
         "vertex_point_read": _gsql("SELECT name FROM vertices WHERE id = 1"),
         "vertex_point_write": _gsql(
             "SELECT id, CASE WHEN id = 1 THEN 'renamed#000000001' ELSE name END AS name "
