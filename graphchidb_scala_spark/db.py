@@ -278,6 +278,34 @@ class GraphDB:
     def num_vertices(self) -> int:
         return self.vertices.count()
 
+    # ------------------------------------------------------- persistence (§2.1)
+
+    def save(self, path: str, num_buckets: int = 32) -> None:
+        """Persist the graph — the reference's ``createDatabase`` + shard
+        files (GraphChiDatabase.scala:56-80; FastSharder.java:55-198). Edges
+        are written src-bucketed and (src, dst)-sorted so reloaded point
+        queries prune row groups on parquet min/max, the role of the
+        reference's shard pointer/skip indexes; vertices id-sorted likewise."""
+        (
+            self.edges.repartition(int(num_buckets), "src")
+            .sortWithinPartitions("src", "dst")
+            .write.mode("overwrite")
+            .parquet(f"{path}/edges")
+        )
+        (
+            self.vertices.repartition(max(int(num_buckets) // 4, 1), "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/vertices")
+        )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "GraphDB":
+        return GraphDB(
+            spark.read.parquet(f"{path}/edges"),
+            spark.read.parquet(f"{path}/vertices"),
+        )
+
     # ----------------------------------------------------- subgraphs & misc (§2.8)
 
     def induced_subgraph(

@@ -62,6 +62,38 @@ def window_agg(
     )
 
 
+def stream_window_agg(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form of :func:`window_agg`: the same tumbling-window
+    count/sum with an event-time watermark bounding state — windows older
+    than (max event time − watermark) are finalized and their state dropped,
+    which is what keeps an unbounded stream's aggregation memory constant at
+    100 TB/day rates. Late rows inside the allowance still merge into their
+    window (update mode) or hold the window open (append mode); later ones
+    are dropped. Apply to a ``readStream`` DataFrame."""
+    w = F.window(F.col(ts_col), f"{int(window_minutes)} minutes")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

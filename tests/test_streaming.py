@@ -167,3 +167,66 @@ def test_continuous_recompute(spark, tmp_path):
         q.stop()
     got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in spark.read.parquet(sink_path).collect()}
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_stream_window_agg_matches_batch(spark, tmp_path):
+    """Watermarked streaming window agg finalizes the same windows the batch
+    twin computes (append mode emits a window only once its watermark
+    passes; the far-future sentinel closes all real windows)."""
+    import datetime as dt
+
+    from graphchidb_scala_spark.functions.events import stream_window_agg, window_agg
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for m, et, v in [(1, "click", 1.0), (5, "click", 2.0), (61, "click", 4.0),
+                     (10, "view", 0.5), (70, "view", 0.25)]:
+        rows.append((et, base + dt.timedelta(minutes=m), v))
+    rows.append(("sentinel", base + dt.timedelta(days=3), 0.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    src = tmp_path / "wagg_in"
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("event_type string, ts timestamp, value double").parquet(str(src))
+    out = stream_window_agg(stream, window_minutes=60, watermark="1 minute")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wagg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("wagg_out").collect()
+        if r["event_type"] != "sentinel"
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in window_agg(df, window_minutes=60).collect()
+        if r["event_type"] != "sentinel"
+    }
+    assert got == want and len(got) == 4
+
+
+def test_graphdb_save_load_roundtrip(spark, tmp_path):
+    from graphchidb_scala_spark.db import GraphDB
+
+    edges = spark.createDataFrame(
+        [(0, s, s + 1, float(s)) for s in range(100)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    verts = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(101)], "id bigint, name string"
+    )
+    g = GraphDB(edges, verts)
+    g.save(str(tmp_path / "gdb"), num_buckets=4)
+    g2 = GraphDB.load(spark, str(tmp_path / "gdb"))
+    assert g2.num_edges() == 100 and g2.num_vertices() == 101
+    assert {r["dst"] for r in g2.query_out(7, etype=0).collect()} == {8}
+    # reloaded point query pushes all key predicates to the scan
+    plan = g2.find_edge(0, 7, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(src,7)" in plan
