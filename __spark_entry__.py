@@ -106,6 +106,14 @@ def _min_dst(g: GraphDB) -> int:
     return g.query_out(1, etype=0).agg(F.min("dst")).collect()[0][0]
 
 
+def _q_edge_batch_get(spark, sf):
+    g = _g(spark, sf)
+    keys = g.edges.filter((F.col("etype") == 0) & F.col("src").isin(1, 2, 3)).select(
+        "etype", "src", "dst"
+    )
+    return g.get_edge_values(keys, ["weight"])
+
+
 def _q_edge_update(spark, sf):
     g = _g(spark, sf)
     g2 = g.update_edge(0, 1, _min_dst(g), "weight", 999999.5)
@@ -445,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_neighbors_joined": _q_out_joined,
         # §2.2 point ops / mutations
         "edge_lookup": _q_edge_lookup,
+        "edge_batch_get": _q_edge_batch_get,
         "edge_update": _q_edge_update,
         "edge_delete": _q_edge_delete,
         "edge_upsert": _q_edge_upsert,
@@ -670,6 +679,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_lookup": _gsql(
             "SELECT etype, src, dst, weight FROM edges "
             "WHERE etype = 0 AND src = 1 ORDER BY dst LIMIT 1"
+        ),
+        "edge_batch_get": _gsql(
+            "SELECT etype, src, dst, weight FROM edges "
+            "WHERE etype = 0 AND src IN (1, 2, 3)"
         ),
         "edge_update": _gsql(
             "SELECT dst, round(CASE WHEN dst = (SELECT min(dst) FROM edges WHERE etype = 0 AND src = 1) "

@@ -164,6 +164,23 @@ class GraphDB:
         (GraphChiDatabase.scala:1385-1399)."""
         return self.find_edge(etype, src, dst).select(column)
 
+    def get_edge_values(
+        self,
+        keys: DataFrame | Sequence[tuple[int, int, int]],
+        columns: Sequence[str],
+    ) -> DataFrame:
+        """Batch edge-property lookup for a set of (etype, src, dst) keys —
+        reference ``edgeColumnValues`` (GraphChiDatabase.scala:1409-1422),
+        where the pointer set becomes a broadcast semi-join on the edge key.
+        Returns DF(etype, src, dst, *columns)."""
+        e = self.edges.select("etype", "src", "dst", *columns)
+        if isinstance(keys, DataFrame):
+            k = keys.select("etype", "src", "dst")
+        else:
+            rows = [(int(t), int(s), int(d)) for t, s, d in keys]
+            k = self.spark.createDataFrame(rows, "etype int, src bigint, dst bigint")
+        return e.join(F.broadcast(k), ["etype", "src", "dst"], "semi")
+
     def update_edge(self, etype: int, src: int, dst: int, column: str, value) -> "GraphDB":
         """Set one property of one edge — reference ``updateEdge``
         (GraphChiDatabase.scala:1234-1265). Expressed as a conditional
