@@ -212,8 +212,8 @@ def lsh_candidate_pairs(
     the signature, self-join on (band, band_hash). DF(id_a, id_b) distinct,
     id_a < id_b. Shuffles are linear in corpus size; only same-bucket docs
     ever pair up."""
-    sig_len = signatures.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
     if rows_per_band is None:
+        sig_len = signatures.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
         rows_per_band = sig_len // bands
     banded = signatures.select(
         "id",
@@ -274,9 +274,16 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs: signatures → band buckets →
-    candidates → estimate → threshold. DF(id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, bands)
+    candidates → estimate → threshold. DF(id_a, id_b, est_jaccard).
+
+    Signatures are materialized once — the banding scan and both sides of
+    the estimate join reuse them (recomputing the shingle+hash aggregation
+    three times dominated the query); rows_per_band comes from num_hashes,
+    not a probe job."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint(
+        eager=True
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band=max(num_hashes // bands, 1))
     est = minhash_estimated_jaccard(sigs, cands)
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -324,8 +331,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: band the 64-bit simhash into 4×16-bit chunks;
     by pigeonhole any pair within Hamming distance 3 shares a chunk (wider
     distances are still usually caught); verify exact Hamming on candidates.
-    DF(id_a, id_b, hamming)."""
-    sh = simhash_table(df, id_col, text_col)
+    DF(id_a, id_b, hamming). The simhash table (63-vote aggregation) is
+    materialized once; both sides of the bucket self-join reuse it."""
+    sh = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
     n_bands = 64 // band_bits
     banded = sh.select(
         "id",
