@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python models
+on randomized inputs. Few examples, small inputs — each example runs Spark
+jobs; the value is randomized coverage of edge cases (hot shingles, empty
+docs, self-loops, disconnected vertices), not volume."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark.db import GraphDB
+from graphchidb_scala_spark.functions import dedup
+from graphchidb_scala_spark.operators.frontier import Frontier
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_ngram_jaccard_matches_bruteforce(spark, seed):
+    """Prefix-filtered exact Jaccard == brute-force all-pairs on random docs
+    over a tiny alphabet (forces shared/hot shingles)."""
+    rng = random.Random(seed)
+    k, tau = 3, 0.4
+    docs = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 12))))
+        for i in range(12)
+    ]
+
+    def shingles(t):
+        return {t[j : j + k] for j in range(max(len(t) - k + 1, 0))}
+
+    want = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if round(jac, 4) >= tau:
+                want[(i, j)] = round(jac, 4)
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, k=k, threshold=tau).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_frontier_traversal_matches_set_model(spark, seed):
+    rng = random.Random(seed)
+    n = 15
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(30)}
+    df = spark.createDataFrame(
+        [(0, s, d) for s, d in edges], "etype int, src bigint, dst bigint"
+    )
+    g = GraphDB(df)
+    seeds = sorted(rng.sample(range(n), 3))
+    fr = Frontier.of(g, seeds)
+
+    # one traversal hop == set-model successor union
+    model_hop = {d for s, d in edges if s in set(seeds)}
+    hop = fr.traverse_out(etype=0)
+    assert {r["id"] for r in hop.ids.collect()} == model_hop
+
+    # set algebra round-trip: (hop ∪ seeds) − seeds == hop − seeds
+    seeds_fr = Frontier.of(g, seeds)
+    lhs = hop.union(seeds_fr).remove(seeds_fr)
+    assert {r["id"] for r in lhs.ids.collect()} == model_hop - set(seeds)
+
+    # select_out counts paths, not just reachability
+    from collections import Counter
+
+    cnt = Counter(d for s, d in edges if s in set(seeds))
+    got = {r["id"]: r["cnt"] for r in fr.select_out(etype=0).collect()}
+    assert got == dict(cnt)
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_connected_components_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 20
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(15)}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    # only vertices that appear in the edge set exist in the derived graph
+    present = {v for e in edges for v in e}
+    want = {
+        v: min(u for u in present if find(u) == find(v)) for v in present
+    }
+
+    from graphchidb_scala_spark.operators import pregel
+
+    df = spark.createDataFrame(
+        [(0, s, d) for s, d in edges], "etype int, src bigint, dst bigint"
+    )
+    got = {
+        r["id"]: r["cc"]
+        for r in pregel.connected_components(GraphDB(df)).collect()
+    }
+    assert got == want
