@@ -294,25 +294,57 @@ def ego_net(db: GraphDB, vertex: int, etype: int | None = None) -> DataFrame:
 
 
 def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
-    """Global triangle count on the undirected simple graph. Canonical edge
-    orientation (x<y) makes each triangle counted once; the standard two-join
-    formulation lets Catalyst pick SMJ and AQE handle skew. (Motif machinery
-    parity: SubgraphFrequencies.scala classifies sampled 3-sets; triangles are
-    its exact closed-class counterpart.) Returns 1-row DF(triangles)."""
+    """Global triangle count on the undirected simple graph, degree-ordered.
+
+    Orienting every edge from its lower-(degree, id) endpoint to the higher
+    one bounds each wedge center's out-degree by ~sqrt(2m) regardless of how
+    skewed the raw degree distribution is — the id-ordered formulation is
+    quadratic in a hub's degree (a 10M-follower vertex would generate 10^14
+    wedge pairs); degree ordering is what survives a power-law graph at
+    100 TB. Each triangle has exactly one wedge at its lowest-rank vertex,
+    so the count is exact. (Motif machinery parity:
+    SubgraphFrequencies.scala classifies sampled 3-sets; triangles are its
+    exact closed-class counterpart.) Returns 1-row DF(triangles)."""
     ce = (
         db.undirected_edges(etype)
         .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        # materialized once: the three self-join aliases would otherwise each
-        # recompute the symmetric-closure + distinct shuffle
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = ce.alias("e1"), ce.alias("e2"), ce.alias("e3")
-    tri = (
-        e1.join(e2, (F.col("e2.x") == F.col("e1.x")) & (F.col("e2.y") > F.col("e1.y")))
-        .join(e3, (F.col("e3.x") == F.col("e1.y")) & (F.col("e3.y") == F.col("e2.y")))
+    deg = (
+        ce.select(F.col("x").alias("id"))
+        .unionAll(ce.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    dx = deg.select(F.col("id").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("id").alias("y"), F.col("d").alias("dy"))
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = (
+        ce.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+            F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("db_"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    # wedges at the lowest-rank vertex; (deg, id) ordering of the two tips
+    # makes each wedge unique and gives the closing edge's orientation
+    wedges = e1.join(
+        e2,
+        (F.col("e2.a") == F.col("e1.a"))
+        & (
+            (F.col("e1.db_") < F.col("e2.db_"))
+            | ((F.col("e1.db_") == F.col("e2.db_")) & (F.col("e1.b") < F.col("e2.b")))
+        ),
+    ).select(F.col("e1.b").alias("a"), F.col("e2.b").alias("b"))
+    tri = wedges.join(oe.select("a", "b"), ["a", "b"], "semi")
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
 
 
