@@ -121,6 +121,9 @@ def main() -> None:
         # 57s mid-session vs 17s fresh). Collecting in the untimed gap keeps
         # every query on a clean engine without pausing any timed stage.
         spark.sparkContext._jvm.System.gc()
+        # ContextCleaner drains its reference queue asynchronously after the
+        # GC; give it the (untimed) gap instead of the next query's stages
+        time.sleep(0.5)
         t = time.time()
         fn()
         timings[name] = round(time.time() - t, 3)
