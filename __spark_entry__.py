@@ -321,6 +321,14 @@ def _q_token_histogram(spark, sf):
     return text.token_histogram(_docs(spark, sf), k=20)
 
 
+def _q_token_count_bpe(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
 def _q_degree_quantiles(spark, sf):
     # reference QuickSelect n-th element (Util.scala:42-55) generalized to
     # exact interpolated percentiles of the degree distribution — one
@@ -494,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_ngram_neardup": _q_doc_ngram_neardup,
         "token_histogram": _q_token_histogram,
+        "token_count_bpe": _q_token_count_bpe,
         "degree_quantiles": _q_degree_quantiles,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
@@ -892,6 +901,14 @@ WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
             "SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"
             ") t WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe "
+            "FROM documents"
         ),
         "embedding_centroids": (
             "SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos, "

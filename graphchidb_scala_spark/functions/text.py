@@ -25,6 +25,22 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+#: BPE-style pre-tokenization pattern (GPT-2-family shape, simplified to the
+#: constructs Java regex and RE2 interpret identically — alternation is
+#: leftmost-first in both, no lookarounds): contraction suffixes, letter
+#: runs, 1-3 digit chunks, single non-space symbols.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-ish token count via BPE pre-tokenization regex — the
+    training-cost estimator (whitespace counting under-counts punctuation
+    and number-heavy text). One regexp_extract_all, no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
 # ------------------------------------------------------------------ language id
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
