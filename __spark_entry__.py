@@ -329,6 +329,14 @@ def _q_token_count_bpe(spark, sf):
     )
 
 
+def _q_out_degrees_salted(spark, sf):
+    # the skew-safe two-stage aggregation must agree exactly with the plain
+    # groupBy (deterministic hash salts) — same oracle as a direct count
+    from graphchidb_scala_spark.operators import skew
+
+    return skew.salted_count(_g(spark, sf).edges.select("src", "dst"), "src")
+
+
 def _q_degree_quantiles(spark, sf):
     # reference QuickSelect n-th element (Util.scala:42-55) generalized to
     # exact interpolated percentiles of the degree distribution — one
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_neardup": _q_doc_ngram_neardup,
         "token_histogram": _q_token_histogram,
         "token_count_bpe": _q_token_count_bpe,
+        "out_degrees_salted": _q_out_degrees_salted,
         "degree_quantiles": _q_degree_quantiles,
         "ann_topk": _q_ann_topk,
         "embed_neardup": _q_embed_neardup,
@@ -717,6 +726,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, CAST(SUM(in_c) AS BIGINT) AS in_deg, CAST(SUM(out_c) AS BIGINT) AS out_deg "
             "FROM (SELECT src AS id, 0 AS in_c, 1 AS out_c FROM edges "
             "      UNION ALL SELECT dst, 1, 0 FROM edges) t GROUP BY id"
+        ),
+        "out_degrees_salted": _gsql(
+            "SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM edges GROUP BY src"
         ),
         "degree_quantiles": _gsql(
             "SELECT round(quantile_cont(out_deg, 0.25), 4) AS out_p25, "
