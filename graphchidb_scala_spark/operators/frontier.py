@@ -36,10 +36,22 @@ BROADCAST_THRESHOLD = 100_000
 class Frontier:
     """An (optionally size-annotated) set of vertex ids under traversal."""
 
-    def __init__(self, db: GraphDB, ids: DataFrame, size: int | None = None):
+    def __init__(
+        self,
+        db: GraphDB,
+        ids: DataFrame,
+        size: int | None = None,
+        assume_distinct: bool = False,
+    ):
+        """Set semantics are unconditional: the input is deduplicated no matter
+        what the column is named (a caller passing a non-distinct ``id`` column
+        must not silently get multiset algebra). Internal call sites that
+        already produced a distinct set pass ``assume_distinct=True`` to skip
+        the redundant shuffle."""
         self.db = db
         col0 = ids.columns[0]
-        self.ids = ids.select(F.col(col0).alias("id")).distinct() if col0 != "id" else ids
+        ids = ids.select(F.col(col0).alias("id")) if col0 != "id" else ids
+        self.ids = ids if assume_distinct else ids.distinct()
         self.size = size  # None = unknown (not yet materialized)
 
     # ------------------------------------------------------------ constructors
@@ -49,8 +61,9 @@ class Frontier:
         """Singleton/literal frontier — reference ``queryVertex``
         (FrontierQueries.scala:41-43)."""
         spark = db.spark
-        ids = spark.createDataFrame([(int(v),) for v in vertices], "id bigint")
-        return cls(db, ids, size=len(vertices))
+        uniq = sorted({int(v) for v in vertices})
+        ids = spark.createDataFrame([(v,) for v in uniq], "id bigint")
+        return cls(db, ids, size=len(uniq), assume_distinct=True)
 
     # ------------------------------------------------------------- materialize
 
@@ -59,7 +72,7 @@ class Frontier:
         and — like the reference's per-hop frontier arrays — cuts lineage so
         iterative traversals don't re-execute prior hops)."""
         ids = self.ids.localCheckpoint(eager=True)
-        return Frontier(self.db, ids, size=ids.count())
+        return Frontier(self.db, ids, size=ids.count(), assume_distinct=True)
 
     def _hinted(self) -> DataFrame:
         if self.size is not None and self.size < BROADCAST_THRESHOLD:
@@ -78,14 +91,14 @@ class Frontier:
         if edge_filter is not None:
             e = e.filter(edge_filter)
         hop = e.join(self._hinted().withColumnRenamed("id", "src"), "src", "inner")
-        return Frontier(self.db, hop.select(F.col("dst").alias("id")).distinct())
+        return Frontier(self.db, hop.select(F.col("dst").alias("id")).distinct(), assume_distinct=True)
 
     def traverse_in(self, etype: int | None = None, edge_filter: Column | None = None) -> "Frontier":
         e = self.db._typed(etype)
         if edge_filter is not None:
             e = e.filter(edge_filter)
         hop = e.join(self._hinted().withColumnRenamed("id", "dst"), "dst", "inner")
-        return Frontier(self.db, hop.select(F.col("src").alias("id")).distinct())
+        return Frontier(self.db, hop.select(F.col("src").alias("id")).distinct(), assume_distinct=True)
 
     def select_out(
         self,
@@ -125,20 +138,20 @@ class Frontier:
             if nxt.filter(F.col("id") == int(target)).limit(1).count() > 0:
                 return hop
             seen = seen.unionAll(nxt).localCheckpoint(eager=True)
-            fr = Frontier(self.db, nxt, size=n)
+            fr = Frontier(self.db, nxt, size=n, assume_distinct=True)
         return None
 
     # -------------------------------------------------------------- set algebra
 
     def union(self, other: "Frontier") -> "Frontier":
-        return Frontier(self.db, self.ids.unionAll(other.ids).distinct())
+        return Frontier(self.db, self.ids.unionAll(other.ids).distinct(), assume_distinct=True)
 
     def remove(self, other: "Frontier") -> "Frontier":
         """Difference — reference VertexFrontier.remove (VertexFrontier.scala:94-103)."""
-        return Frontier(self.db, self.ids.join(other._hinted(), "id", "left_anti"))
+        return Frontier(self.db, self.ids.join(other._hinted(), "id", "left_anti"), assume_distinct=True)
 
     def intersect(self, other: "Frontier") -> "Frontier":
-        return Frontier(self.db, self.ids.join(other._hinted(), "id", "semi"))
+        return Frontier(self.db, self.ids.join(other._hinted(), "id", "semi"), assume_distinct=True)
 
     def has_vertex(self, v: int) -> bool:
         return self.ids.filter(F.col("id") == int(v)).limit(1).count() > 0
@@ -163,4 +176,4 @@ class Frontier:
             ids = ids.orderBy(mixed, "id")
         else:
             ids = ids.orderBy("id")
-        return Frontier(self.db, ids.limit(int(max_size)), size=None)
+        return Frontier(self.db, ids.limit(int(max_size)), size=None, assume_distinct=True)

@@ -136,8 +136,13 @@ def connected_components_star(
         L = _checkpoint(
             small.select("a", "b").unionAll(small.select(F.col("b"), F.col("a")))
         )
+        # collision-resistant fingerprint of the edge multiset: count plus a
+        # sum of 64-bit hashes — a changed set that preserves count AND the
+        # hash-sum is astronomically unlikely (a plain endpoint-sum is not:
+        # swapping (1,4),(2,3) for (1,3),(2,4) preserves it)
         metric = L.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         cur = (metric["n"], metric["s"])
         if cur == prev:
@@ -176,33 +181,17 @@ def connected_components(
         return connected_components_star(db, etype, max_iterations)
     und = _checkpoint(db.undirected_edges(etype))
     labels = _checkpoint(db.vertices.select("id").withColumn("lbl", F.col("id")))
-    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
-    for i in range(rounds):
+    for i in range(fixed_iterations):
         nbr_min = (
             und.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nlbl"), "b")
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("nlbl").alias("nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("new_lbl"), "lbl")
+        labels = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl")
         )
-        if fixed_iterations is None:
-            # convergence check every `check_every` rounds: the check is a full
-            # job, so probing each round costs more than the (≤ check_every-1)
-            # extra cheap rounds it saves
-            if (i + 1) % check_every == 0 or (i + 1) == rounds:
-                new_labels = _checkpoint(new_labels)
-                changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
-                labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
-                if changed == 0:
-                    break
-            else:
-                labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
-        else:
-            labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
-            if (i + 1) % 3 == 0:
-                labels = _checkpoint(labels)
+        if (i + 1) % check_every == 0:
+            labels = _checkpoint(labels)
     return labels.select("id", F.col("lbl").alias("cc"))
 
 
@@ -262,10 +251,55 @@ def run_vertex_program(
             state.join(msgs, "id", "left")
             .select("id", "val", combine_fn(F.col("val"), F.col("m")).alias("new_val"))
         )
+        # one changed-set over the checkpointed state drives both the next
+        # frontier and the termination probe (single extra job per superstep)
         active = new_state.filter(~F.col("new_val").eqNullSafe(F.col("val"))).select("id")
         state = new_state.select("id", F.col("new_val").alias("val"))
-        if new_state.filter(~F.col("new_val").eqNullSafe(F.col("val"))).limit(1).count() == 0:
+        if active.limit(1).count() == 0:
             break
+    return state
+
+
+def gather_apply(
+    db: GraphDB,
+    initial: DataFrame,
+    gather_fn,
+    sum_fn,
+    apply_fn,
+    iterations: int = 1,
+    etype: int | None = None,
+) -> DataFrame:
+    """Gather-Sum-Apply — the reference's second compute abstraction
+    (compute/GatherApplyComputation.scala: ``gather`` over in-edges, a
+    commutative ``sum``, ``apply`` at the vertex), beside
+    :func:`run_vertex_program`'s update/scheduler surface.
+
+    - ``initial``: DF(id, val)
+    - ``gather_fn(src_val) -> Column``: per-in-edge gathered value; the
+      expression may also reference edge property columns (e.g.
+      ``F.col("weight")``) — they are in scope at the gather join.
+    - ``sum_fn``: the gather combiner (F.sum / F.min / ...)
+    - ``apply_fn(old_val, acc) -> Column``: vertex update (``acc`` is NULL
+      for vertices that gathered nothing).
+
+    Each iteration is the canonical two-shuffle GAS step (gather groupBy +
+    apply join) over pre-partitioned, checkpointed edges — same scale shape
+    as :func:`pagerank` (which is this pattern specialized). Returns
+    DF(id, val)."""
+    e = _checkpoint(db._typed(etype).repartition("src"))
+    state = _checkpoint(initial.select("id", "val"))
+    for i in range(iterations):
+        gathered = (
+            e.join(state.select(F.col("id").alias("src"), F.col("val").alias("src_val")), "src")
+            .select(F.col("dst").alias("id"), gather_fn(F.col("src_val")).alias("g"))
+            .groupBy("id")
+            .agg(sum_fn(F.col("g")).alias("acc"))
+        )
+        state = state.join(gathered, "id", "left").select(
+            "id", apply_fn(F.col("val"), F.col("acc")).alias("val")
+        )
+        if (i + 1) % 3 == 0 or (i + 1) == iterations:
+            state = _checkpoint(state)
     return state
 
 

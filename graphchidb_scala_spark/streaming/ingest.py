@@ -33,12 +33,21 @@ from graphchidb_scala_spark.db import EDGE_KEY, GraphDB
 class EdgeStore:
     """Parquet-backed edge store with micro-batch appends and compaction."""
 
-    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 32,
+        maintain_degrees: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self.base_dir = os.path.join(path, "base")
         self.appends_dir = os.path.join(path, "appends")
+        self.deg_base_dir = os.path.join(path, "degrees", "base")
+        self.deg_appends_dir = os.path.join(path, "degrees", "appends")
         self.num_buckets = num_buckets
+        self.maintain_degrees = maintain_degrees
         self._batch_seq = 0
 
     # ------------------------------------------------------------------ writes
@@ -51,38 +60,122 @@ class EdgeStore:
             .write.mode("overwrite")
             .parquet(self.base_dir)
         )
+        if self.maintain_degrees:
+            (
+                GraphDB(self.spark.read.parquet(self.base_dir))
+                .degrees()
+                .repartition(max(self.num_buckets // 4, 1), "id")
+                .write.mode("overwrite")
+                .parquet(self.deg_base_dir)
+            )
 
     def add_batch(self, edges: DataFrame) -> None:
         """Append one micro-batch (immediately visible). ``_v`` is a
-        monotonically increasing batch version — the newest-wins key."""
+        monotonically increasing batch version — the newest-wins key.
+
+        With ``maintain_degrees``, a per-batch degree *delta* is appended too
+        — the reference maintains degrees incrementally on every insert
+        (GraphChiDatabase.scala:1777-1833). Only keys that did not previously
+        exist contribute (an upsert of an existing (etype,src,dst) key leaves
+        both endpoints' degrees unchanged). The delta computation touches the
+        batch plus one broadcast-probe scan of the current key set — the base
+        is read, never shuffled."""
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
-        (
-            edges.withColumn("_v", F.lit(version).cast("long"))
-            .write.mode("append")
-            .parquet(self.appends_dir)
-        )
+        batch = edges.withColumn("_v", F.lit(version).cast("long"))
+        if self.maintain_degrees:
+            batch = batch.localCheckpoint(eager=True)
+        batch.write.mode("append").parquet(self.appends_dir)
+        if self.maintain_degrees:
+            bkeys = batch.select(*EDGE_KEY).distinct()
+            # keys that already existed before this batch: broadcast-probe the
+            # pre-batch store (the just-written file carries a strictly newer
+            # _v, so exclude it by version)
+            pre = self._union_raw().filter(F.col("_v") < version)
+            existing = pre.select(*EDGE_KEY).join(
+                F.broadcast(bkeys), list(EDGE_KEY), "semi"
+            )
+            new_keys = bkeys.join(F.broadcast(existing.distinct()), list(EDGE_KEY), "left_anti")
+            delta = GraphDB(new_keys).degrees()
+            delta.write.mode("append").parquet(self.deg_appends_dir)
 
     # ------------------------------------------------------------------- reads
 
-    def edges(self) -> DataFrame:
-        """Current edge set: base ∪ appends with newest-version-wins per
-        (etype, src, dst) — one window per read; compaction folds it away."""
+    def _union_raw(self) -> DataFrame:
+        """base ∪ appends with the ``_v`` version column intact (no dedupe)."""
         dfs = []
         for d in (self.base_dir, self.appends_dir):
             if self._exists(d):
                 dfs.append(self.spark.read.parquet(d))
         if not dfs:
             raise ValueError(f"empty EdgeStore at {self.path}")
-        union = dfs[0]
+        out = dfs[0]
         for d in dfs[1:]:
-            union = union.unionByName(d, allowMissingColumns=True)
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def degrees_view(self) -> DataFrame:
+        """Maintained per-vertex degrees: base table + per-batch deltas.
+        DF(id, in_deg, out_deg) — identical to ``graph().degrees()`` but
+        without recomputing from edges.
+
+        Read shape: the delta set (O(batch) rows) is aggregated and broadcast
+        against the base degrees table — the base joins without an Exchange;
+        vertices first seen in a delta are appended via a broadcast anti-join
+        of the (tiny) delta aggregate against the base's matching ids."""
+        if not self.maintain_degrees:
+            raise ValueError("EdgeStore was not created with maintain_degrees=True")
+        base = self.spark.read.parquet(self.deg_base_dir)
+        if not self._exists(self.deg_appends_dir):
+            return base
+        delta = (
+            self.spark.read.parquet(self.deg_appends_dir)
+            .groupBy("id")
+            .agg(F.sum("in_deg").alias("d_in"), F.sum("out_deg").alias("d_out"))
+        )
+        merged = base.join(F.broadcast(delta), "id", "left").select(
+            "id",
+            (F.col("in_deg") + F.coalesce("d_in", F.lit(0))).cast("bigint").alias("in_deg"),
+            (F.col("out_deg") + F.coalesce("d_out", F.lit(0))).cast("bigint").alias("out_deg"),
+        )
+        ids_in_base = base.select("id").join(F.broadcast(delta.select("id")), "id", "semi")
+        new_part = delta.join(F.broadcast(ids_in_base), "id", "left_anti").select(
+            "id",
+            F.col("d_in").cast("bigint").alias("in_deg"),
+            F.col("d_out").cast("bigint").alias("out_deg"),
+        )
+        return merged.unionByName(new_part)
+
+    def edges(self) -> DataFrame:
+        """Current edge set: base ∪ appends with newest-version-wins per
+        (etype, src, dst).
+
+        Scale contract: the base (the 100 TB side) is NEVER shuffled on read.
+        Newest-wins is resolved with a window over the *appends only* (the
+        EdgeBuffer analogue — a few micro-batches, tiny by construction), then
+        overwritten base keys are masked with a broadcast LEFT ANTI join of
+        the appends' key set against the base scan. Compaction folds both
+        steps away."""
+        has_base = self._exists(self.base_dir)
+        has_appends = self._exists(self.appends_dir)
+        if not has_base and not has_appends:
+            raise ValueError(f"empty EdgeStore at {self.path}")
+        base = self.spark.read.parquet(self.base_dir).drop("_v") if has_base else None
+        if not has_appends:
+            return base
         w = Window.partitionBy(*EDGE_KEY).orderBy(F.desc("_v"))
-        return (
-            union.withColumn("_rn", F.row_number().over(w))
+        appends = (
+            self.spark.read.parquet(self.appends_dir)
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_v")
         )
+        if base is None:
+            return appends
+        masked = base.join(
+            F.broadcast(appends.select(*EDGE_KEY)), on=list(EDGE_KEY), how="left_anti"
+        )
+        return masked.unionByName(appends, allowMissingColumns=True)
 
     def graph(self, vertices: DataFrame | None = None) -> GraphDB:
         return GraphDB(self.edges(), vertices)
@@ -102,6 +195,13 @@ class EdgeStore:
         )
         tmp = self.base_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        if self.maintain_degrees:
+            dtmp = self.deg_base_dir + ".tmp"
+            self.degrees_view().repartition(max(self.num_buckets // 4, 1), "id").write.mode(
+                "overwrite"
+            ).parquet(dtmp)
+            self._replace(self.deg_base_dir, dtmp)
+            self._rm(self.deg_appends_dir)
         self._replace(self.base_dir, tmp)
         self._rm(self.appends_dir)
 

@@ -59,15 +59,33 @@ def _session_fn(gap_us: int) -> Callable[..., Iterable[pd.DataFrame]]:
             return
 
         ts = pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values()
-        ts_us = (ts.astype("int64") // 1000).to_numpy()  # ns → µs
+        ts_us = [int(t) for t in (ts.astype("int64") // 1000).to_numpy()]  # ns → µs
+        closed: list[tuple[int, int, int]] = []
         if state.exists:
             start_us, end_us, n = state.get
+            # within-watermark out-of-order events that precede the open
+            # session: sessionize them on their own, then merge the trailing
+            # run into the open session when it falls within the gap (the
+            # batch twin would have seen them in order — session_start must
+            # move backward, not stay pinned at state-creation time)
+            before = [t for t in ts_us if t < start_us]
+            ts_us = [t for t in ts_us if t >= start_us]
+            if before:
+                s0, e0, n0 = before[0], before[0], 1
+                for t in before[1:]:
+                    if t - e0 > gap_us:
+                        closed.append((s0, e0, n0))
+                        s0, e0, n0 = t, t, 1
+                    else:
+                        e0, n0 = t, n0 + 1
+                if start_us - e0 <= gap_us:
+                    start_us, n = s0, n + n0
+                else:
+                    closed.append((s0, e0, n0))
         else:
-            start_us = end_us = int(ts_us[0])
+            start_us = end_us = ts_us[0]
             n = 0
-        closed: list[tuple[int, int, int]] = []
         for t in ts_us:
-            t = int(t)
             if n > 0 and t - end_us > gap_us:
                 closed.append((start_us, end_us, n))
                 start_us, n = t, 0

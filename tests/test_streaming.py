@@ -52,6 +52,23 @@ def test_compaction_preserves_edges(store, spark):
     assert not EdgeStore._exists(store.appends_dir)
 
 
+def test_read_path_never_shuffles_base(store, spark):
+    """Scale contract of EdgeStore.edges(): newest-wins is resolved inside the
+    (tiny) appends set; the base is masked via a broadcast LEFT ANTI join and
+    must never hit an Exchange (at 100 TB a base shuffle per read is fatal)."""
+    b1 = spark.createDataFrame(
+        [(0, 1, 2, 9.0)], "etype int, src bigint, dst bigint, weight double"
+    )
+    store.add_batch(b1)
+    plan = store.edges()._jdf.queryExecution().executedPlan().toString()
+    # broadcast anti-join means the base side streams straight into the join;
+    # the only hashpartitioning Exchange left is the appends-side window (tiny)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # newest-wins semantics unchanged
+    assert store.graph().get_edge_value(0, 1, 2, "weight").collect()[0][0] == 9.0
+
+
 def test_stream_from_events(store, spark, tmp_path):
     from graphchidb_scala_spark.streaming.ingest import stream_edges_from_events
 
