@@ -95,6 +95,12 @@ def main() -> None:
         "multi_bfs_10x4": lambda: gq.multi_bfs_levels(
             g, list(range(1, 11)), max_depth=4
         ).count(),
+        # reference headline concurrency: 1,200 simultaneous BFS
+        # (MultiBFS.scala:51); all 1200 frontiers advance in one edge join
+        # per hop, shuffle-join once (seed,id) rows exceed the broadcast cap
+        "multi_bfs_1200x3": lambda: gq.multi_bfs_levels(
+            g, list(range(1, 1201)), max_depth=3
+        ).count(),
         "pagerank_10iter": lambda: pregel.pagerank(g, iterations=10).count(),
         "connected_components": lambda: pregel.connected_components(g).count(),
         "text_stats": lambda: text.text_stats(docs).count(),
@@ -105,8 +111,8 @@ def main() -> None:
             docs, block_col="source", threshold=0.5
         ).count(),
         "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
-        "embed_neardup": lambda: similarity.cosine_pairs_blocked(
-            emb, "label", threshold=0.3
+        "embed_neardup": lambda: similarity.cosine_pairs_lsh(
+            emb, dim=64, threshold=0.3, n_planes=6, seed=42
         ).count(),
         "ingest_100k_edges": ingest_100k,
     }
