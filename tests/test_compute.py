@@ -5,6 +5,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphchidb_scala_spark.operators import pregel
 
@@ -124,3 +125,33 @@ def test_propagate_labels_sum(social_db, spark):
     deg = {r["id"]: r["in_deg"] for r in social_db.degrees().collect()}
     got = {r["id"]: r["lbl"] for r in one.collect()}
     assert all(got[v] == 1 + deg.get(v, 0) for v in got)
+
+
+def test_gather_apply_weighted_sum(spark):
+    """GatherApplyComputation parity: two rounds of
+    val <- 0.5*val + sum_in(src_val * weight) against a hand-run model."""
+    from graphchidb_scala_spark.db import GraphDB
+
+    rows = [(0, 1, 2, 2.0), (0, 1, 3, 3.0), (0, 2, 3, 4.0), (0, 3, 1, 5.0)]
+    edges = spark.createDataFrame(
+        rows, "etype int, src bigint, dst bigint, weight double"
+    )
+    g = GraphDB(edges)
+    init = g.vertices.select("id", F.lit(1.0).alias("val"))
+    out = pregel.gather_apply(
+        g,
+        init,
+        gather_fn=lambda sv: sv * F.col("weight"),
+        sum_fn=F.sum,
+        apply_fn=lambda old, acc: old * F.lit(0.5) + F.coalesce(acc, F.lit(0.0)),
+        iterations=2,
+    )
+    vals = {1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(2):
+        acc = {v: 0.0 for v in vals}
+        for _, s, d, w in rows:
+            acc[d] += vals[s] * w
+        vals = {v: vals[v] * 0.5 + acc[v] for v in vals}
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got.keys() == vals.keys()
+    assert all(abs(got[v] - vals[v]) < 1e-9 for v in vals)

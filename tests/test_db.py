@@ -118,3 +118,49 @@ def test_join_vertex_columns(social_db, spark):
     joined = db.join_vertex_columns(out, ["name"], on="dst")
     rows = joined.collect()
     assert all(r["name"] == f"name_{r['dst']}" for r in rows)
+
+
+def test_add_edges_autofill_defaults(spark):
+    """autoFillEdge parity: NULL (or missing) property columns on upserted
+    edges receive the computed default; provided values are preserved and the
+    base rows are untouched."""
+    from graphchidb_scala_spark.db import GraphDB
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2, 10.0), (0, 2, 3, 20.0)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    g = GraphDB(edges)
+    batch = spark.createDataFrame(
+        [(0, 5, 6, None), (0, 7, 8, 99.0), (0, 1, 2, None)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    g2 = g.add_edges(
+        batch, defaults={"weight": (F.col("src") + F.col("dst")).cast("double")}
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert got[(5, 6)] == 11.0       # NULL filled with computed default
+    assert got[(7, 8)] == 99.0       # provided value preserved
+    assert got[(1, 2)] == 3.0        # upsert replaced base row, then filled
+    assert got[(2, 3)] == 20.0       # untouched base row
+
+
+def test_add_vertices_autofill_defaults(spark):
+    """autoFillVertex parity (ConnectedComponentsLabelProp.scala:43-44 inits
+    labels from the id; MovieDatabase.scala:76-77 derives type from id range):
+    missing column materialized, NULLs filled from an id-derived expression."""
+    from graphchidb_scala_spark.db import GraphDB
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2)], "etype int, src bigint, dst bigint"
+    )
+    verts = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    g = GraphDB(edges, verts)
+    batch = spark.createDataFrame([(3,), (4,)], "id bigint")  # no name column
+    g2 = g.add_vertices(
+        batch, defaults={"name": F.concat(F.lit("v"), F.col("id"))}
+    )
+    got = {r["id"]: r["name"] for r in g2.vertices.collect()}
+    assert got == {1: "a", 2: "b", 3: "v3", 4: "v4"}

@@ -248,3 +248,49 @@ def test_not_implemented_decoder_contract(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception):
         multimodal.extract_features(media, decoder=multimodal.not_implemented_decoder).collect()
+
+
+def test_minhash_exact_pairs_equal_allpairs_jaccard(docs):
+    """LSH candidates + exact verification == exact all-pairs n-gram Jaccard
+    (recall 1-(1-J^2)^bands is ~1.0 at any realistic threshold/corpus)."""
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_exact_pairs(
+            docs, num_hashes=64, bands=32, k=5, threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(got) >= 2  # exact dup pair + near dup pair
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark):
+    """LSH-bucket blocking returns a subset of the exact global pair set, and
+    identical vectors (same bucket by construction) are always recalled."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v, "x"))
+    rows.append((100, rows[0][1], "x"))   # exact dup of vec 0
+    rows.append((101, rows[1][1], "x"))   # exact dup of vec 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_blocked(
+            emb.withColumn("_one", F.lit(1)), "_one", threshold=0.99
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            emb, dim=dim, threshold=0.99, n_planes=4, seed=42
+        ).collect()
+    }
+    assert got <= exact
+    assert (0, 100) in got and (1, 101) in got

@@ -120,3 +120,44 @@ def test_connected_components_matches_union_find(spark, seed):
         for r in pregel.connected_components(GraphDB(df)).collect()
     }
     assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_drop_near_duplicates_matches_union_find(spark, seed):
+    """pairs -> CC clustering -> min-id survivor == a pure-Python union-find
+    model: survivors are exactly one min-id doc per duplicate cluster plus
+    every unpaired doc."""
+    rng = random.Random(seed)
+    n = 25
+    ids = list(range(n))
+    pairs = {
+        tuple(sorted(rng.sample(ids, 2))) for _ in range(rng.randrange(0, 15))
+    }
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    roots = {}
+    for v in ids:
+        roots.setdefault(find(v), []).append(v)
+    want = {min(members) if len(members) > 1 else members[0] for members in roots.values()}
+
+    docs_df = spark.createDataFrame([(i, f"t{i}") for i in ids], "doc_id bigint, text string")
+    if pairs:
+        pairs_df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a bigint, id_b bigint"
+        )
+    else:
+        pairs_df = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = {
+        r["doc_id"]
+        for r in dedup.drop_near_duplicates(docs_df, pairs_df).collect()
+    }
+    assert got == want

@@ -247,3 +247,37 @@ def test_graphdb_save_load_roundtrip(spark, tmp_path):
     # reloaded point query pushes all key predicates to the scan
     plan = g2.find_edge(0, 7, 8)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(src,7)" in plan
+
+
+def test_incremental_degrees_matches_recompute(spark, tmp_path):
+    """Maintained degrees view == full recompute after batches, and each batch
+    writes only a delta (appends hold batch-sized row counts, not the base)."""
+    import os
+
+    from graphchidb_scala_spark.db import GraphDB
+    from graphchidb_scala_spark.streaming.ingest import EdgeStore
+
+    edges = spark.createDataFrame(
+        [(0, s, s % 7 + 100, float(s)) for s in range(500)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    store = EdgeStore(spark, str(tmp_path / "st"), num_buckets=4, maintain_degrees=True)
+    store.init_base(edges)
+    batch = spark.createDataFrame(
+        [(0, 1, 101, 9.0), (0, 999, 100, 1.0)],  # one replaced key, one new
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    store.add_batch(batch)
+    want = {
+        r["id"]: (r["in_deg"], r["out_deg"])
+        for r in GraphDB(store.edges()).degrees().collect()
+    }
+    got = {
+        r["id"]: (r["in_deg"], r["out_deg"])
+        for r in store.degrees_view().collect()
+    }
+    assert got == want
+    # the delta is per-batch sized: appended degree rows cover only the keys
+    # the batch touched (<= 2 edges -> <= 4 endpoint ids), not the base
+    delta = spark.read.parquet(os.path.join(str(tmp_path / "st"), "degrees", "appends"))
+    assert delta.count() <= 4
