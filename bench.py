@@ -40,9 +40,14 @@ def main() -> None:
     g = tpch_graph(spark, sf_dir)
     g.edges.cache().count()
     g.vertices.cache().count()
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].cache()
+    # spread the small parquet scans across cores before caching: a few-MB
+    # file is one scan partition, which would serialize every CPU-heavy
+    # first stage (shingling, minhashing) over it. On a cluster the data
+    # arrives already partitioned; this recreates that layout locally.
+    n_par = spark.sparkContext.defaultParallelism
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].repartition(n_par).cache()
     docs.count()
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].cache()
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].repartition(n_par).cache()
     emb.count()
     # Warm up the engine machinery the iterative queries rely on (Arrow
     # createDataFrame, broadcast-hash-join build, localCheckpoint, shuffle

@@ -55,6 +55,23 @@ def drop_exact_duplicates(
     return df.join(keep, id_col, "semi")
 
 
+def _broadcast_if_small(
+    arrays_df: DataFrame, n_col: str = "n", cap_bytes: int = 64 << 20
+) -> DataFrame:
+    """Broadcast-hint the shingle-array side of a verification join iff its
+    estimated size fits ``cap_bytes``. localCheckpoint erases Catalyst size
+    stats (a LogicalRDD reports the default "huge" size), so the planner
+    would never auto-broadcast a checkpointed side no matter the threshold —
+    this one cheap agg over the already-materialized RDD restores the
+    adaptive choice. Large corpora keep the sort-merge path; small ones skip
+    shuffling fat arrays entirely."""
+    row = arrays_df.agg(
+        F.count(F.lit(1)).alias("r"), F.sum(n_col).alias("s")
+    ).collect()[0]
+    est = (row["s"] or 0) * 8 + row["r"] * 48
+    return F.broadcast(arrays_df) if est < cap_bytes else arrays_df
+
+
 # ------------------------------------------------------------------- shingling
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -145,6 +162,9 @@ def ngram_jaccard_pairs(
         )
         .filter((F.col("_rn") <= prefix_len) & (F.col("_d") >= 2))
         .select(F.col(id_col), *extra, "n", "sh")
+        # materialize once: both sides of the self-join below reference this
+        # subtree, and without a checkpoint the df-join + window run twice
+        .localCheckpoint(eager=True)
     )
     a, b = pref.alias("a"), pref.alias("b")
     keys = (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -158,9 +178,16 @@ def ngram_jaccard_pairs(
         a.join(b, keys)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # the candidate list is narrow (two ids/row) but the verification it
+        # feeds is CPU-heavy (array_intersect over full shingle arrays); AQE's
+        # size-based coalescing would pack these few MB into 1-2 partitions
+        # and serialize the verify. An explicit spread of the tiny table is a
+        # negligible shuffle at any scale and pins verify parallelism.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
-    va = base.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
+    base_v = _broadcast_if_small(base)
+    va = base_v.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
+    vb = base_v.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
     inter = cand.join(va, "id_a").join(vb, "id_b").withColumn(
         "c", F.size(F.array_intersect("_sa", "_sb"))
     )
@@ -321,9 +348,15 @@ def minhash_lsh_exact_pairs(
         .agg(*aggs)
         .select("id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
     )
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    va = sh_base.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
-    vb = sh_base.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).repartition(
+        # same verify-parallelism spread as ngram_jaccard_pairs: the narrow
+        # candidate list feeds a CPU-heavy array_intersect
+        df.sparkSession.sparkContext.defaultParallelism,
+        "id_a",
+    )
+    sh_base_v = _broadcast_if_small(sh_base)
+    va = sh_base_v.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
+    vb = sh_base_v.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
     inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(
         "c", F.size(F.array_intersect("_sa", "_sb"))
     )

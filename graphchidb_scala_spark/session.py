@@ -28,6 +28,12 @@ _RUNTIME_CONFS = {
     # the testdata events table stores TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects by default; read as long and convert (events.load_events)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The 10 MB default predates modern executor memory; a 64 MB build side is
+    # routinely broadcastable on any executor profile and keeps dimension-table
+    # and verification joins (dedup candidate ⋈ shingle arrays) off the
+    # sort-merge path. Sides larger than this still SMJ, so nothing breaks at
+    # 100 TB — the big tables never broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
 }
 
 
