@@ -457,8 +457,15 @@ def _q_ann_ivf(spark, sf):
 
 
 def _q_pagerank_conv(spark, sf):
+    # oracle twin: _pagerank_conv_sql (same tol stopping rule unrolled in SQL).
+    # +1e-9 before rounding: converged ranks are short terminating decimals
+    # (denominators are products of 20^k and out-degrees), many of which tie
+    # exactly at the rounding boundary — where Spark (BigDecimal on the
+    # shortest string repr) rounds up but DuckDB (binary) rounds down. The
+    # dither moves every tie strictly above the boundary for both engines;
+    # non-tie values are unaffected (raw cross-engine delta measures ~4e-14).
     pr = pregel.pagerank(_g(spark, sf), iterations=30, tol=1e-4)
-    return pr.select("id", F.round("rank", 4).alias("rank"))
+    return pr.select("id", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"))
 
 
 def _q_cc_converged(spark, sf):
@@ -710,6 +717,95 @@ def _cc5_sql() -> str:
         + "l0 AS (SELECT id, id AS lbl FROM vertices),\n"
         + ",\n".join(iters)
         + "\nSELECT id, lbl AS cc FROM l5"
+    )
+
+
+def _cc_converged_sql(max_iters: int = 30, k: int = 20) -> str:
+    """Converged-CC twin: min-label propagation unrolled ``max_iters`` times
+    with a data-driven stop — a changed-row count per iteration and a selector
+    that picks the first iteration with zero changes. Replicates true
+    convergence (a fixpoint of integer labels is exact, so the chosen iterate
+    equals star-contraction's converged labels) without recursive-CTE
+    aggregation, which DuckDB disallows. ``AS MATERIALIZED`` is required:
+    inlined CTEs would re-expand each iteration's subtree (exponential work,
+    and one parquet fd per reference blows the fd limit)."""
+    parts = [
+        "u2 AS MATERIALIZED (SELECT a, b FROM und)",
+        "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM vertices)",
+    ]
+    for i in range(1, max_iters + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(m.nbr, l.lbl)) AS lbl
+  FROM l{i-1} l LEFT JOIN (
+    SELECT u.a AS id, MIN(p.lbl) AS nbr FROM u2 u JOIN l{i-1} p ON p.id = u.b GROUP BY u.a
+  ) m ON m.id = l.id
+)"""
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT count(*) AS c "
+            f"FROM l{i} x JOIN l{i-1} y ON x.id = y.id WHERE x.lbl <> y.lbl)"
+        )
+    allc = " UNION ALL ".join(
+        f"SELECT {i} AS k, (SELECT c FROM c{i}) AS c" for i in range(1, max_iters + 1)
+    )
+    alll = " UNION ALL ".join(
+        f"SELECT {i} AS k, id, lbl FROM l{i}" for i in range(1, max_iters + 1)
+    )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + ",\n".join(parts) + ",\n"
+        + f"allc AS ({allc}),\n"
+        + f"kstar AS (SELECT COALESCE(MIN(k), {max_iters}) AS k FROM allc WHERE c = 0),\n"
+        + f"alll AS ({alll}),\n"
+        + "conv AS (SELECT id, lbl FROM alll WHERE k = (SELECT k FROM kstar))\n"
+        + "SELECT lbl AS cc, CAST(count(*) AS BIGINT) AS size FROM conv "
+        + f"GROUP BY lbl ORDER BY size DESC, cc ASC LIMIT {k}"
+    )
+
+
+def _pagerank_conv_sql(max_iters: int = 30, tol: float = 1e-4) -> str:
+    """Converged-PageRank twin mirroring pregel.pagerank(tol=...): unroll
+    ``max_iters`` iterations plus a per-iteration max-|delta| aggregate, then
+    select the first iterate whose delta < tol — the exact stopping rule the
+    Spark loop applies, so both engines stop at the same k. FP noise between
+    the engines (~1e-12 on sums of hundreds of doubles) only matters if some
+    delta_k sits within that noise of tol, which round(4) output absorbs."""
+    parts = [
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM vertices)",
+    ]
+    for i in range(1, max_iters + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT r.id, 0.15 + 0.85 * COALESCE(m.acc, 0) AS rank
+  FROM r{i-1} r LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.rank / d.outdeg) AS acc
+    FROM e2 e JOIN r{i-1} rp ON rp.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = r.id
+)"""
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT max(abs(x.rank - y.rank)) AS d "
+            f"FROM r{i} x JOIN r{i-1} y ON x.id = y.id)"
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT {i} AS k, (SELECT d FROM d{i}) AS d" for i in range(1, max_iters + 1)
+    )
+    allr = " UNION ALL ".join(
+        f"SELECT {i} AS k, id, rank FROM r{i}" for i in range(1, max_iters + 1)
+    )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + ",\n".join(parts) + ",\n"
+        + f"alld AS ({alld}),\n"
+        + f"kstar AS (SELECT COALESCE(MIN(k), {max_iters}) AS k FROM alld WHERE d < {tol!r}),\n"
+        + f"allr AS ({allr})\n"
+        # +1e-9 dither before rounding: see _q_pagerank_conv (tie-breaking
+        # parity between BigDecimal-string and binary rounding)
+        + "SELECT id, round(rank + 1e-9, 6) AS rank FROM allr WHERE k = (SELECT k FROM kstar)"
     )
 
 
@@ -1062,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank3": _pagerank3_sql(),
         "cc5": _cc5_sql(),
+        "pagerank_converged": _pagerank_conv_sql(),
+        "cc_converged_stats": _cc_converged_sql(),
         "motif_census": _motif_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         # md5-arithmetic twin of the deterministic fake decoder
