@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from graphchidb_scala_spark.checkpoint import cut_lineage
+
 # ------------------------------------------------------------------ exact dedup
 
 def exact_duplicate_groups(
@@ -137,13 +139,12 @@ def ngram_jaccard_pairs(
     # prefix table, and both verification sides (recomputing it 4x was 3x the
     # whole query's cost)
     base = (
-        df.select(
+        cut_lineage(df.select(
             F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_str")
         )
         .withColumn("sh_arr", F.transform("_sh_str", lambda s: F.xxhash64(s)))
         .withColumn("n", F.size("sh_arr"))
-        .drop("_sh_str")
-        .localCheckpoint(eager=True)
+        .drop("_sh_str"))
     )
     expl = base.select(F.col(id_col), *extra, "n", F.explode("sh_arr").alias("sh"))
     # only shingles shared by ≥2 docs can generate a candidate; df-unique
@@ -154,17 +155,14 @@ def ngram_jaccard_pairs(
     )
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + F.lit(1)
     pref = (
-        expl.join(dfreq, "sh", "left")
+        cut_lineage(expl.join(dfreq, "sh", "left")
         .withColumn("_d", F.coalesce("_df", F.lit(1)))
         .withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy(F.col(id_col)).orderBy("_d", "sh")),
         )
         .filter((F.col("_rn") <= prefix_len) & (F.col("_d") >= 2))
-        .select(F.col(id_col), *extra, "n", "sh")
-        # materialize once: both sides of the self-join below reference this
-        # subtree, and without a checkpoint the df-join + window run twice
-        .localCheckpoint(eager=True)
+        .select(F.col(id_col), *extra, "n", "sh"))
     )
     a, b = pref.alias("a"), pref.alias("b")
     keys = (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -305,9 +303,7 @@ def minhash_lsh_dedup_pairs(
     the estimate join reuse them (recomputing the shingle+hash aggregation
     three times dominated the query); rows_per_band comes from num_hashes,
     not a probe job."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint(
-        eager=True
-    )
+    sigs = cut_lineage(minhash_signatures(df, id_col, text_col, num_hashes, k))
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band=max(num_hashes // bands, 1))
     est = minhash_estimated_jaccard(sigs, cands)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -334,12 +330,11 @@ def minhash_lsh_exact_pairs(
     verifies exactly that on the test corpora)."""
     rows_per_band = max(num_hashes // bands, 1)
     sh_base = (
-        df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("_s"))
+        cut_lineage(df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("_s"))
         .withColumn("sh_arr", F.transform("_s", lambda s: F.xxhash64(s)))
         .withColumn("n", F.size("sh_arr"))
         .filter(F.col("n") > 0)
-        .drop("_s")
-        .localCheckpoint(eager=True)
+        .drop("_s"))
     )
     expl = sh_base.select("id", F.explode("sh_arr").alias("sh"))
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
@@ -471,9 +466,7 @@ def simhash_pairs(
     candidates. DF(id_a, id_b, hamming). The simhash table (bit-vote
     aggregation) is materialized once; both sides of the bucket self-join
     reuse it."""
-    sh = simhash_table(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn).localCheckpoint(
-        eager=True
-    )
+    sh = cut_lineage(simhash_table(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn))
     n_bands = n_bits // band_bits
     banded = sh.select(
         "id",

@@ -27,6 +27,8 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from graphchidb_scala_spark.checkpoint import cut_lineage
+
 from graphchidb_scala_spark.db import GraphDB
 
 #: Same spirit as the reference's sparse→dense switch (FrontierQueries.scala:59).
@@ -71,7 +73,7 @@ class Frontier:
         """Pin the frontier and learn its size (drives the broadcast decision,
         and — like the reference's per-hop frontier arrays — cuts lineage so
         iterative traversals don't re-execute prior hops)."""
-        ids = self.ids.localCheckpoint(eager=True)
+        ids = cut_lineage(self.ids)
         return Frontier(self.db, ids, size=ids.count(), assume_distinct=True)
 
     def _hinted(self) -> DataFrame:
@@ -131,13 +133,13 @@ class Frontier:
         seen = fr.ids
         for hop in range(1, max_hops + 1):
             fr = fr.traverse_out(etype)
-            nxt = fr.ids.join(seen, "id", "left_anti").localCheckpoint(eager=True)
+            nxt = cut_lineage(fr.ids.join(seen, "id", "left_anti"))
             n = nxt.count()
             if n == 0:
                 return None
             if nxt.filter(F.col("id") == int(target)).limit(1).count() > 0:
                 return hop
-            seen = seen.unionAll(nxt).localCheckpoint(eager=True)
+            seen = cut_lineage(seen.unionAll(nxt))
             fr = Frontier(self.db, nxt, size=n, assume_distinct=True)
         return None
 

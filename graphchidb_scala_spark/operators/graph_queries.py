@@ -11,6 +11,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from graphchidb_scala_spark.checkpoint import cut_lineage
+
 from graphchidb_scala_spark.db import GraphDB
 from graphchidb_scala_spark.operators.frontier import Frontier
 
@@ -105,23 +107,21 @@ def shortest_path_length(
     # celebrity target (100M in-neighbors at 100 TB) still fits — the per-hop
     # probe is a join, broadcast by AQE only when the set is actually small
     tin = (
-        e.filter(F.col("dst") == target)
+        cut_lineage(e.filter(F.col("dst") == target)
         .select(F.col("src").alias("id"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct())
     )
     if tin.filter(F.col("id") == source).limit(1).count() > 0:
         return _dist(1)
-    seed = spark.createDataFrame([(source,)], "id bigint").localCheckpoint(eager=True)
+    seed = cut_lineage(spark.createDataFrame([(source,)], "id bigint"))
     visited, frontier, fsize = seed, seed, 1
     for depth in range(1, max_depth):
         fr = F.broadcast(frontier) if fsize < 100_000 else frontier
         nxt = (
-            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            cut_lineage(e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited, "id", "left_anti"))
         )
         # one job: frontier size + meet-check against the in-neighbor set
         stats = (
@@ -157,7 +157,7 @@ def bfs_levels(
     holds every vertex at levels ≤ level(stop_at). Returns DF(id, level)."""
     spark = db.spark
     seed = spark.createDataFrame([(int(source), 0)], "id bigint, level bigint")
-    seed = seed.localCheckpoint(eager=True)
+    seed = cut_lineage(seed)
     if stop_at is not None and int(stop_at) == int(source):
         return seed
     # visited stays a lazy union of already-checkpointed per-hop deltas —
@@ -170,12 +170,11 @@ def bfs_levels(
         e = db._typed(etype)
         fr = F.broadcast(frontier) if fsize < 100_000 else frontier
         nxt = (
-            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            cut_lineage(e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
-            .withColumn("level", F.lit(depth).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .withColumn("level", F.lit(depth).cast("bigint")))
         )
         # one job: frontier size + optional target-reached probe
         stats = nxt.agg(
@@ -205,7 +204,7 @@ def multi_bfs_levels(
     spark = db.spark
     rows = [(int(s), int(s), 0) for s in seeds]
     seed_df = spark.createDataFrame(rows, "seed bigint, id bigint, level bigint")
-    seed_df = seed_df.localCheckpoint(eager=True)
+    seed_df = cut_lineage(seed_df)
     visited = seed_df  # lazy union of checkpointed deltas (see bfs_levels)
     frontier = seed_df.select("seed", "id")
     fsize = len(rows)
@@ -213,12 +212,11 @@ def multi_bfs_levels(
         e = db._typed(etype)
         fr = F.broadcast(frontier) if fsize < 100_000 else frontier
         nxt = (
-            e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
+            cut_lineage(e.join(fr.withColumnRenamed("id", "src"), "src", "inner")
             .select("seed", F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
-            .withColumn("level", F.lit(depth).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .withColumn("level", F.lit(depth).cast("bigint")))
         )
         fsize = nxt.count()
         if fsize == 0:
@@ -306,11 +304,10 @@ def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
     SubgraphFrequencies.scala classifies sampled 3-sets; triangles are its
     exact closed-class counterpart.) Returns 1-row DF(triangles)."""
     ce = (
-        db.undirected_edges(etype)
+        cut_lineage(db.undirected_edges(etype)
         .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
         .filter(F.col("x") != F.col("y"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct())
     )
     deg = (
         ce.select(F.col("x").alias("id"))
@@ -324,14 +321,13 @@ def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
     oe = (
-        ce.join(dx, "x")
+        cut_lineage(ce.join(dx, "x")
         .join(dy, "y")
         .select(
             F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("a"),
             F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("b"),
             F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("db_"),
-        )
-        .localCheckpoint(eager=True)
+        ))
     )
     e1, e2 = oe.alias("e1"), oe.alias("e2")
     # wedges at the lowest-rank vertex; (deg, id) ordering of the two tips

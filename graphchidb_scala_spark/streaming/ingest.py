@@ -25,6 +25,8 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphchidb_scala_spark.checkpoint import cut_lineage
 from pyspark.sql.window import Window
 
 from graphchidb_scala_spark.db import EDGE_KEY, GraphDB
@@ -84,7 +86,7 @@ class EdgeStore:
         version = int(time.time() * 1000) * 1000 + self._batch_seq
         batch = edges.withColumn("_v", F.lit(version).cast("long"))
         if self.maintain_degrees:
-            batch = batch.localCheckpoint(eager=True)
+            batch = cut_lineage(batch)
         batch.write.mode("append").parquet(self.appends_dir)
         if self.maintain_degrees:
             bkeys = batch.select(*EDGE_KEY).distinct()
