@@ -303,11 +303,14 @@ def triangle_count(db: GraphDB, etype: int | None = None) -> DataFrame:
     so the count is exact. (Motif machinery parity:
     SubgraphFrequencies.scala classifies sampled 3-sets; triangles are its
     exact closed-class counterpart.) Returns 1-row DF(triangles)."""
-    ce = (
-        cut_lineage(db.undirected_edges(etype)
-        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+    # canonicalize the *directed* edges straight to (min, max): symmetrizing
+    # first (undirected_edges) would double the distinct's input for no
+    # information gain — least/greatest already collapse both directions
+    e = db._typed(etype)
+    ce = cut_lineage(
+        e.select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
         .filter(F.col("x") != F.col("y"))
-        .distinct())
+        .distinct()
     )
     deg = (
         ce.select(F.col("x").alias("id"))
@@ -354,8 +357,8 @@ def motif_census_3(
     hash ordering (not rand()) so the census is reproducible. Returns
     DF(n_edges, cnt)."""
     ce = (
-        db.undirected_edges(etype)
-        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        db._typed(etype)
+        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .distinct()
     )

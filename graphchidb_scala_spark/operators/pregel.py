@@ -108,8 +108,16 @@ def connected_components_star(
     Per round: two groupBy+join+distinct passes over the (shrinking) edge
     set; convergence when the edge multiset is stable (checked with a cheap
     count+sum aggregate on the already-checkpointed set)."""
-    L = db.undirected_edges(etype).filter(F.col("a") != F.col("b"))
-    L = _checkpoint(L)
+    # build the symmetric closure from canonical (min, max) pairs: the
+    # distinct then runs over half the rows undirected_edges would feed it,
+    # and the swap union after it is shuffle-free
+    e0 = db._typed(etype)
+    canon = (
+        e0.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    L = _checkpoint(canon.unionAll(canon.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     prev = None
     for _ in range(max_iterations):
         # large-star: attach strictly-larger neighbors of u to m(u) = min(N(u) ∪ {u})
