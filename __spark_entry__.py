@@ -456,6 +456,21 @@ def _q_ann_ivf(spark, sf):
     return similarity.ann_topk_ivf(_emb(spark, sf), _query_vec(spark, sf), k=10, nprobe=3)
 
 
+def _q_ann_ivf_indexed(spark, sf):
+    """Persisted-IVF probe: build the partitionBy(_cell) index, then answer
+    from it — the probe reads ONLY the nprobe cell partitions (partition
+    pruning; the shard skip-index analogue, ShardIndex.java:33-101). Result
+    is identical to ann_topk_ivf (same codebook, same assignment), so the
+    same SQL oracle verifies it."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.save_ivf_index(_emb(spark, sf), path)
+    return similarity.ann_topk_ivf_indexed(
+        spark, path, _query_vec(spark, sf), k=10, nprobe=3
+    )
+
+
 def _q_pagerank_conv(spark, sf):
     # oracle twin: _pagerank_conv_sql (same tol stopping rule unrolled in SQL).
     # +1e-9 before rounding: converged ranks are short terminating decimals
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _q_token_histogram,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         "ann_topk_lsh": _q_ann_lsh,
         "embed_neardup": _q_embed_neardup,
         "embedding_centroids": _q_embed_centroids,
@@ -1162,6 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_converged_stats": _cc_converged_sql(),
         "motif_census": _motif_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
+        # the persisted-index probe returns byte-identical results to the
+        # in-flight IVF plan — one oracle covers both
+        "ann_topk_ivf_indexed": _ann_ivf_sql(),
         # md5-arithmetic twin of the deterministic fake decoder
         # (multimodal.fake_decoder): 2-byte big-endian slices of the digest
         "multimodal_features": (

@@ -4,7 +4,14 @@
 
 The headline set spans the judged surface: point lookups, multi-hop
 traversal+agg, full-graph aggregation, iterative compute (PageRank/CC),
-BFS fan-out, dedup (minhash + ngram), ANN, text stats.
+BFS fan-out, dedup (minhash + ngram), ANN, text stats, online ingest,
+bulk store build, and LSM compaction.
+
+Self-defending against sandbox weather: the whole set runs
+$SPARK_GRAFT_BENCH_REPS times (default 3); "queries" reports per-query
+MEDIANS, "spread" the per-query [min, max], so a single contended run can
+neither inflate nor mask the headline number. The headline total is the sum
+of medians.
 
 Setup (graph-view build + cache) is timed separately as "setup_cache" and
 excluded from the headline total — it is the ingest/compaction analogue, paid
@@ -15,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -33,6 +42,7 @@ from graphchidb_scala_spark.streaming.ingest import EdgeStore
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("graphchidb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,13 +77,9 @@ def main() -> None:
     qvec_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qvec = [float(x) for x in qvec_row["embedding"]]
 
-    # Online-ingest fixture (reference headline: >100k edges/sec insert,
-    # immediately queryable — README.md:229). Base store + a prepared 100k
-    # batch are built untimed; the timed op is append + point query through
-    # the merged newest-wins view.
-    store_dir = tempfile.mkdtemp(prefix="edgestore_bench_")
-    store = EdgeStore(spark, store_dir)
-    store.init_base(g.edges)
+    # Shared 100k mutation batch for the ingest/compaction fixtures
+    # (reference headline: >100k edges/sec insert, immediately queryable —
+    # README.md:229). Built once, untimed.
     batch = (
         g.edges.limit(100_000)
         .withColumn("weight", F.col("weight") + F.lit(1.0))
@@ -81,88 +87,123 @@ def main() -> None:
     )
     batch.count()
 
-    def ingest_100k():
-        store.add_batch(batch)
-        probe = store.edges().filter((F.col("src") == 1) & (F.col("etype") == 0))
-        return probe.count()
+    tmp_dirs: list[str] = []
 
-    # Bulk build: the reference's DB-construction headline (42.4M pages /
-    # >400M link edges in ~3-4h ≈ 32k edges/s, BASELINE.md). Timed op:
-    # write the full edge set as a src-bucketed, src-sorted base store —
-    # the ingest+index step a user pays before the first query.
-    bulk_dir = tempfile.mkdtemp(prefix="edgestore_bulk_")
+    def fresh_dir(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        tmp_dirs.append(d)
+        return d
 
-    def bulk_build():
-        bstore = EdgeStore(spark, bulk_dir)
-        bstore.init_base(g.edges)
-        return bstore.edges().count()
+    per_rep: list[dict[str, float]] = []
+    for rep in range(n_reps):
+        # -------- per-rep fixtures (untimed): every rep starts from identical
+        # store state, so medians compare like with like (ingest must not see
+        # rep N-1's appends; compact must always merge the same append volume)
+        store = EdgeStore(spark, fresh_dir("edgestore_bench_"))
+        store.init_base(g.edges)
 
-    queries = {
-        "point_lookup": lambda: g.query_out(1, etype=0).collect(),
-        "fof_top20": lambda: gq.friends_of_friends_counts(g, 1, 0, 1, k=20).collect(),
-        "degrees": lambda: g.degrees().count(),
-        "induced_subgraph": lambda: g.induced_subgraph(
-            g.vertices.filter(F.col("id") % 3 == 0).select("id")
-        ).count(),
-        "triangle_count": lambda: gq.triangle_count(g).collect(),
-        "shortest_path": lambda: gq.shortest_path_length(
-            g, 1, SUPP_OFFSET + 1, max_depth=5
-        ).collect(),
-        "multi_bfs_10x4": lambda: gq.multi_bfs_levels(
-            g, list(range(1, 11)), max_depth=4
-        ).count(),
-        # reference headline concurrency: 1,200 simultaneous BFS
-        # (MultiBFS.scala:51); all 1200 frontiers advance in one edge join
-        # per hop, shuffle-join once (seed,id) rows exceed the broadcast cap
-        "multi_bfs_1200x3": lambda: gq.multi_bfs_levels(
-            g, list(range(1, 1201)), max_depth=3
-        ).count(),
-        "pagerank_10iter": lambda: pregel.pagerank(g, iterations=10).count(),
-        "connected_components": lambda: pregel.connected_components(g).count(),
-        "text_stats": lambda: text.text_stats(docs).count(),
-        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_dedup_pairs(
-            docs, num_hashes=32, bands=8, threshold=0.2
-        ).count(),
-        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
-            docs, block_col="source", threshold=0.5
-        ).count(),
-        "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
-        "embed_neardup": lambda: similarity.cosine_pairs_lsh(
-            emb, dim=64, threshold=0.3, n_planes=6, seed=42
-        ).count(),
-        "ingest_100k_edges": ingest_100k,
-        "bulk_build_store": bulk_build,
+        compact_store = EdgeStore(spark, fresh_dir("edgestore_compact_"))
+        compact_store.init_base(g.edges)
+        for _ in range(5):
+            compact_store.add_batch(batch)
+
+        bulk_dir = fresh_dir("edgestore_bulk_")
+
+        def ingest_100k():
+            store.add_batch(batch)
+            probe = store.edges().filter((F.col("src") == 1) & (F.col("etype") == 0))
+            return probe.count()
+
+        # Bulk build: the reference's DB-construction headline (42.4M pages /
+        # >400M link edges in ~3-4h ≈ 32k edges/s, BASELINE.md). Timed op:
+        # write the full edge set as a src-bucketed, src-sorted base store —
+        # the ingest+index step a user pays before the first query.
+        def bulk_build():
+            bstore = EdgeStore(spark, bulk_dir)
+            bstore.init_base(g.edges)
+            return bstore.edges().count()
+
+        # LSM merge analogue (GraphChiDatabase.scala:622-795): fold 5×100k
+        # appended rows into the src-bucketed sorted base in one shuffle.
+        def compact_5x100k():
+            compact_store.compact()
+            return 1
+
+        queries = {
+            "point_lookup": lambda: g.query_out(1, etype=0).collect(),
+            "fof_top20": lambda: gq.friends_of_friends_counts(g, 1, 0, 1, k=20).collect(),
+            "degrees": lambda: g.degrees().count(),
+            "induced_subgraph": lambda: g.induced_subgraph(
+                g.vertices.filter(F.col("id") % 3 == 0).select("id")
+            ).count(),
+            "triangle_count": lambda: gq.triangle_count(g).collect(),
+            "shortest_path": lambda: gq.shortest_path_length(
+                g, 1, SUPP_OFFSET + 1, max_depth=5
+            ).collect(),
+            "multi_bfs_10x4": lambda: gq.multi_bfs_levels(
+                g, list(range(1, 11)), max_depth=4
+            ).count(),
+            # reference headline concurrency: 1,200 simultaneous BFS
+            # (MultiBFS.scala:51); all 1200 frontiers advance in one edge join
+            # per hop, shuffle-join once (seed,id) rows exceed the broadcast cap
+            "multi_bfs_1200x3": lambda: gq.multi_bfs_levels(
+                g, list(range(1, 1201)), max_depth=3
+            ).count(),
+            "pagerank_10iter": lambda: pregel.pagerank(g, iterations=10).count(),
+            "connected_components": lambda: pregel.connected_components(g).count(),
+            "text_stats": lambda: text.text_stats(docs).count(),
+            "dedup_minhash_lsh": lambda: dedup.minhash_lsh_dedup_pairs(
+                docs, num_hashes=32, bands=8, threshold=0.2
+            ).count(),
+            "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+                docs, block_col="source", threshold=0.5
+            ).count(),
+            "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
+            "embed_neardup": lambda: similarity.cosine_pairs_lsh(
+                emb, dim=64, threshold=0.3, n_planes=6, seed=42
+            ).count(),
+            "ingest_100k_edges": ingest_100k,
+            "bulk_build_store": bulk_build,
+            "compact_store": compact_5x100k,
+        }
+
+        timings: dict[str, float] = {}
+        for name, fn in queries.items():
+            # Driver GC between queries: ContextCleaner only releases dropped
+            # shuffle files / broadcasts / checkpoint RDDs when the driver GCs,
+            # and accumulated state measurably inflates later queries (PageRank
+            # 57s mid-session vs 17s fresh). Collecting in the untimed gap keeps
+            # every query on a clean engine without pausing any timed stage.
+            spark.sparkContext._jvm.System.gc()
+            # ContextCleaner drains its reference queue asynchronously after the
+            # GC; give it the (untimed) gap instead of the next query's stages
+            time.sleep(0.5)
+            t = time.time()
+            fn()
+            timings[name] = round(time.time() - t, 3)
+            print(f"  rep{rep} {name}: {timings[name]:.1f}s", file=sys.stderr, flush=True)
+        per_rep.append(timings)
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        tmp_dirs.clear()
+
+    names = list(per_rep[0].keys())
+    medians = {n: round(statistics.median(r[n] for r in per_rep), 3) for n in names}
+    spread = {
+        n: [round(min(r[n] for r in per_rep), 3), round(max(r[n] for r in per_rep), 3)]
+        for n in names
     }
-
-    import sys
-
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        # Driver GC between queries: ContextCleaner only releases dropped
-        # shuffle files / broadcasts / checkpoint RDDs when the driver GCs,
-        # and accumulated state measurably inflates later queries (PageRank
-        # 57s mid-session vs 17s fresh). Collecting in the untimed gap keeps
-        # every query on a clean engine without pausing any timed stage.
-        spark.sparkContext._jvm.System.gc()
-        # ContextCleaner drains its reference queue asynchronously after the
-        # GC; give it the (untimed) gap instead of the next query's stages
-        time.sleep(0.5)
-        t = time.time()
-        fn()
-        timings[name] = round(time.time() - t, 3)
-        print(f"  {name}: {timings[name]:.1f}s", file=sys.stderr, flush=True)
-
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.rmtree(bulk_dir, ignore_errors=True)
-    total = round(sum(timings.values()), 3)
-    timings["setup_cache"] = round(setup_sec, 3)
+    total = round(sum(medians.values()), 3)
+    medians["setup_cache"] = round(setup_sec, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "spread": spread,
+                "reps": n_reps,
                 "sf": sf,
             }
         )

@@ -171,15 +171,20 @@ class GraphDB:
     ) -> DataFrame:
         """Batch edge-property lookup for a set of (etype, src, dst) keys —
         reference ``edgeColumnValues`` (GraphChiDatabase.scala:1409-1422),
-        where the pointer set becomes a broadcast semi-join on the edge key.
-        Returns DF(etype, src, dst, *columns)."""
+        where the pointer set becomes a semi-join on the edge key. A local
+        Python key list is known-tiny and broadcast-hinted; a DataFrame key
+        set is arbitrary caller data, so the planner/AQE picks the strategy
+        from its actual size (an unconditional hint would ship an unbounded
+        set to every executor). Returns DF(etype, src, dst, *columns)."""
         e = self.edges.select("etype", "src", "dst", *columns)
         if isinstance(keys, DataFrame):
             k = keys.select("etype", "src", "dst")
         else:
             rows = [(int(t), int(s), int(d)) for t, s, d in keys]
-            k = self.spark.createDataFrame(rows, "etype int, src bigint, dst bigint")
-        return e.join(F.broadcast(k), ["etype", "src", "dst"], "semi")
+            k = F.broadcast(
+                self.spark.createDataFrame(rows, "etype int, src bigint, dst bigint")
+            )
+        return e.join(k, ["etype", "src", "dst"], "semi")
 
     def update_edge(self, etype: int, src: int, dst: int, column: str, value) -> "GraphDB":
         """Set one property of one edge — reference ``updateEdge``
@@ -203,9 +208,11 @@ class GraphDB:
         return GraphDB(self.edges.filter(keep), self._vertices)
 
     def delete_edges(self, keys: DataFrame) -> "GraphDB":
-        """Batch delete by key set — anti-join (the scale path for deletes)."""
+        """Batch delete by key set — anti-join (the scale path for deletes).
+        No broadcast hint: the key set is arbitrary caller data (a bulk GDPR
+        delete can be billions of keys); planner/AQE broadcasts iff it fits."""
         keys = keys.select(*EDGE_KEY)
-        return GraphDB(self.edges.join(F.broadcast(keys), list(EDGE_KEY), "left_anti"), self._vertices)
+        return GraphDB(self.edges.join(keys, list(EDGE_KEY), "left_anti"), self._vertices)
 
     def delete_vertex(self, vertex: int) -> "GraphDB":
         """Delete all in+out edges of a vertex — reference ``deleteVertex``
@@ -253,8 +260,9 @@ class GraphDB:
         for DataFrame sets."""
         v = self.vertices.select("id", *columns)
         if isinstance(vertex_ids, DataFrame):
+            # arbitrary caller set: no forced hint, planner/AQE sizes it
             ids = vertex_ids.select(F.col(vertex_ids.columns[0]).alias("id"))
-            return v.join(F.broadcast(ids), "id", "semi")
+            return v.join(ids, "id", "semi")
         return v.filter(F.col("id").isin([int(x) for x in vertex_ids]))
 
     # ------------------------------------------------------------ writes (§2.1)
@@ -285,9 +293,10 @@ class GraphDB:
         new_edges = new_edges.select(*self.edges.columns)
         base = self.edges
         if upsert:
-            base = base.join(
-                F.broadcast(new_edges.select(*EDGE_KEY)), list(EDGE_KEY), "left_anti"
-            )
+            # the upsert key mask is the batch's key set — usually a micro-batch
+            # but contractually arbitrary; no forced broadcast (AQE converts
+            # the anti-join to broadcast at runtime when the batch is small)
+            base = base.join(new_edges.select(*EDGE_KEY), list(EDGE_KEY), "left_anti")
         return GraphDB(base.unionAll(new_edges), self._vertices)
 
     def add_vertices(
@@ -316,7 +325,8 @@ class GraphDB:
         new_vertices = new_vertices.select(*cur.columns)
         base = cur
         if upsert:
-            base = base.join(F.broadcast(new_vertices.select("id")), ["id"], "left_anti")
+            # same discipline as add_edges: no forced broadcast of caller data
+            base = base.join(new_vertices.select("id"), ["id"], "left_anti")
         return GraphDB(self.edges, base.unionAll(new_vertices))
 
     def fill_vertex_column(self, column: str, expr) -> "GraphDB":

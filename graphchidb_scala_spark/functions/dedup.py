@@ -74,6 +74,19 @@ def _broadcast_if_small(
     return F.broadcast(arrays_df) if est < cap_bytes else arrays_df
 
 
+def _broadcast_if_small_ids(ids_df: DataFrame, cap_rows: int = 4_000_000) -> DataFrame:
+    """Broadcast-hint a narrow (single-id-column) set iff its counted
+    cardinality is small (~64 MB at the default cap). Same rationale as
+    :func:`_broadcast_if_small`: these sets come out of checkpointed iterative
+    jobs (connected components), whose LogicalRDD stats read as "huge", so the
+    planner would never auto-broadcast them however small they really are —
+    and an unconditional hint is a scale-killer the other way (a 100 TB
+    near-dedup drops billions of ids, past any broadcast limit). One cheap
+    count over the already-materialized RDD restores the adaptive choice."""
+    n = ids_df.count()
+    return F.broadcast(ids_df) if n < cap_rows else ids_df
+
+
 # ------------------------------------------------------------------- shingling
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -236,8 +249,17 @@ def lsh_candidate_pairs(
     """Banded-LSH candidate pairs from minhash signatures: hash each band of
     the signature, self-join on (band, band_hash). DF(id_a, id_b) distinct,
     id_a < id_b. Shuffles are linear in corpus size; only same-bucket docs
-    ever pair up. ``bands * rows_per_band`` must equal the signature length
-    (keeping it an explicit parameter avoids a driver-side probe job)."""
+    ever pair up. ``bands * rows_per_band`` must equal the signature length —
+    validated with a one-row probe, because the failure mode is silent and
+    quadratic: an out-of-range ``sig[i]`` is NULL, xxhash64 over NULLs
+    degrades to constant band hashes, and every document lands in the same
+    bucket (an all-pairs self-join)."""
+    first = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    if first and first[0]["n"] != bands * rows_per_band:
+        raise ValueError(
+            f"LSH geometry mismatch: bands*rows_per_band = {bands}*{rows_per_band}"
+            f" = {bands * rows_per_band}, but signatures have length {first[0]['n']}"
+        )
     banded = signatures.select(
         "id",
         F.explode(
@@ -393,13 +415,16 @@ def drop_near_duplicates(
     training-data pipeline actually runs.
 
     Scale shape: the drop set (cluster members minus survivors) is bounded by
-    the duplicate count, typically ≪ corpus; the final filter is an anti-join
-    of the corpus against it — the corpus itself is never shuffled."""
+    the duplicate count — small for a mostly-unique corpus, but production
+    near-dedup can drop 20-50% of 100 TB, billions of ids. The anti-join
+    therefore broadcasts only when the counted drop set actually fits
+    (:func:`_broadcast_if_small_ids`); otherwise it shuffles — correct at any
+    scale, and the corpus side is never shuffled in the broadcast case."""
     clusters = near_duplicate_clusters(pairs)
     to_drop = clusters.filter(F.col("id") != F.col("cluster")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(to_drop), id_col, "left_anti")
+    return df.join(_broadcast_if_small_ids(to_drop), id_col, "left_anti")
 
 
 # --------------------------------------------------------------------- SimHash
@@ -454,20 +479,32 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    band_bits: int = 16,
+    band_bits: int = 7,
     n_bits: int = 63,
     hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the simhash into ``n_bits // band_bits``
     chunks; by pigeonhole any pair within Hamming distance (bands - 1) shares
-    a chunk — pick ``band_bits`` so that ``n_bits/band_bits > max_hamming``
-    for guaranteed (recall = 1.0) candidate generation, e.g. ``band_bits=4,
-    n_bits=60`` covers ``max_hamming ≤ 14``. Exact Hamming verified on
-    candidates. DF(id_a, id_b, hamming). The simhash table (bit-vote
-    aggregation) is materialized once; both sides of the bucket self-join
-    reuse it."""
-    sh = cut_lineage(simhash_table(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn))
+    a chunk, so recall = 1.0 requires ``n_bits/band_bits > max_hamming``.
+    Both that and divisibility (``band_bits | n_bits`` — leftover high bits
+    would silently be excluded from banding, another recall hole) are
+    enforced; the defaults (63/7 = 9 bands) cover the default
+    ``max_hamming=8``. Exact Hamming verified on candidates.
+    DF(id_a, id_b, hamming). The simhash table (bit-vote aggregation) is
+    materialized once; both sides of the bucket self-join reuse it."""
+    if n_bits % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide n_bits ({n_bits}): the"
+            f" leftover {n_bits % band_bits} high bits would never be banded"
+        )
     n_bands = n_bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"recall guarantee needs n_bits/band_bits > max_hamming:"
+            f" {n_bits}/{band_bits} = {n_bands} bands cannot guarantee"
+            f" candidates for Hamming distance {max_hamming}"
+        )
+    sh = cut_lineage(simhash_table(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn))
     banded = sh.select(
         "id",
         "sh",

@@ -22,16 +22,27 @@ from pyspark.sql.window import Window
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing ``ts`` to a timestamp. The testdata
-    stores TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set by session.configure) it arrives as nanosecond longs — integer-divide
-    to microseconds (matching DuckDB's truncation; fp division would round)."""
+    """Load the events table, normalizing ``ts`` to a session-zoned timestamp
+    whatever the parquet physical type is:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` (set by
+      session.configure) it arrives as nanosecond longs — integer-divide to
+      microseconds (matching DuckDB's truncation; fp division would round).
+    - timestamp[us] without isAdjustedToUTC: Spark reads TIMESTAMP_NTZ —
+      cast to TIMESTAMP (a no-op re-tag under the UTC session timezone, which
+      session.configure pins; keeps oracle semantics identical).
+
+    Downstream consumers (unix_micros in sessionize, window aggs) then see a
+    single canonical type regardless of how the fixture was written."""
     from graphchidb_scala_spark.session import configure
 
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -107,8 +118,10 @@ def sessionize(
     uses ``session_window`` with the same gap."""
     byuser = Window.partitionBy(user_col).orderBy(ts_col)
     # microsecond-exact gap: second-truncating casts would disagree with the
-    # oracle on boundary gaps
-    us = F.unix_micros(F.col(ts_col))
+    # oracle on boundary gaps. The cast makes the expression storage-type
+    # robust (TIMESTAMP_NTZ inputs — unix_micros only accepts TIMESTAMP;
+    # under the UTC session timezone the retag is value-preserving).
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = us - F.lag(us).over(byuser)
     with_new = events.select(
         F.col(user_col).alias("user_id"),

@@ -177,15 +177,87 @@ def ann_topk_ivf(
     (partitionBy(cell)) so probes become partition pruning instead of a scan."""
     if codebook is None:
         codebook = ivf_codebook(df, vec_col=vec_col)
-
-    def _sqdist(c: Sequence[float]) -> float:
-        return sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
-
-    probes = [cell for cell, c in sorted(codebook, key=lambda t: (_sqdist(t[1]), t[0]))[:nprobe]]
+    probes = _nearest_cells(query_vec, codebook, nprobe)
     cand = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook)).filter(
         F.col("_cell").isin([int(p) for p in probes])
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def _nearest_cells(
+    query_vec: Sequence[float], codebook: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query — driver-side (codebook tiny)."""
+
+    def _sqdist(c: Sequence[float]) -> float:
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
+
+    return [cell for cell, c in sorted(codebook, key=lambda t: (_sqdist(t[1]), t[0]))[:nprobe]]
+
+
+def save_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Persist an IVF index: vectors written ``partitionBy("_cell")`` (one
+    directory per coarse cell) plus the codebook as a tiny parquet sidecar.
+    This is the shard skip-index role at 100 TB (reference analogue:
+    ShardIndex.java:33-101 makes point reads sublinear): a probe of the
+    persisted layout is *partition pruning* — the scan plans only the nprobe
+    cell directories and never lists, opens, or reads any other cell.
+
+    The per-cell ``repartition`` before the write gives one file per cell
+    (each task holds exactly one cell's rows) rather than every task writing
+    a sliver of every cell — at K ≈ √N cells that is the difference between
+    K files and tasks×K files."""
+    if codebook is None:
+        codebook = ivf_codebook(df, label_col=label_col, vec_col=vec_col)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in codebook],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    return codebook
+
+
+def load_ivf_codebook(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Read back the codebook sidecar written by :func:`save_ivf_index`."""
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    return sorted((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows)
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a *persisted* index (:func:`save_ivf_index`): probe
+    selection is driver-side against the codebook sidecar; the ``_cell``
+    filter is a partition-column predicate, so Catalyst prunes to the nprobe
+    cell directories at planning time (PartitionFilters in the scan node) —
+    per-query cost is O(N·nprobe/K) rows read, with no assignment recompute
+    and no full-corpus scan."""
+    codebook = load_ivf_codebook(spark, path)
+    probes = _nearest_cells(query_vec, codebook, nprobe)
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("_cell").isin([int(p) for p in probes])
+    )
+    return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
 
 # ------------------------------------------------------------------ LSH buckets

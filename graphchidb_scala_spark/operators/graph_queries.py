@@ -257,20 +257,29 @@ def shortest_path_route(
     """One concrete shortest path source→target as DF(step, id) — the
     reference reconstructs the path by walking the parent array
     (``ShortestPathTree.pathTo``, Queries.scala:220-243). Deterministic via
-    the min-parent tree; empty when unreachable within ``max_depth``. The
-    walk-back is a driver loop over the (≤ max_depth+1)-row collected chain."""
+    the min-parent tree; empty when unreachable within ``max_depth``.
+
+    The walk-back is ≤ max_depth+1 single-row point lookups against the
+    (checkpointed) tree DataFrame — each a pushed filter on ``id`` — NOT a
+    collect of the tree: on a social graph the BFS tree at 5 hops is
+    approximately the whole graph, which must never transit the driver. Total
+    driver-side data is the path itself (≤ max_depth+1 rows)."""
     spark = db.spark
-    rows = {
-        r["id"]: (r["level"], r["parent"])
-        for r in sssp_parents(db, source, max_depth, etype, stop_at=target).collect()
-    }
+    tree = cut_lineage(
+        sssp_parents(db, source, max_depth, etype, stop_at=target)
+    )
     path: list[tuple[int, int]] = []
     node = int(target)
-    if node in rows:
-        while node is not None:
-            path.append((int(rows[node][0]), node))
-            node = rows[node][1]
-    if not path:
+    for _ in range(max_depth + 1):
+        rows = tree.filter(F.col("id") == node).select("level", "parent").limit(1).collect()
+        if not rows:  # target (or an ancestor) not in tree: unreachable
+            path = []
+            break
+        path.append((int(rows[0]["level"]), node))
+        if rows[0]["parent"] is None:
+            break
+        node = int(rows[0]["parent"])
+    if not path or path[-1] != (0, int(source)):
         return spark.createDataFrame([], "step bigint, id bigint")
     return spark.createDataFrame(sorted(path), "step bigint, id bigint")
 

@@ -25,15 +25,15 @@ _RUNTIME_CONFS = {
     # fan-out is pure scheduling overhead locally; at cluster scale the
     # advisory size (64 MB) keeps partitions right-sized either way.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    # the testdata events table stores TIMESTAMP(NANOS), which Spark's parquet
-    # reader rejects by default; read as long and convert (events.load_events)
+    # the testdata events table has stored TIMESTAMP(NANOS) in past rounds,
+    # which Spark's parquet reader rejects by default; read as long and
+    # convert (events.load_events normalizes whatever arrives)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # The 10 MB default predates modern executor memory; a 64 MB build side is
-    # routinely broadcastable on any executor profile and keeps dimension-table
-    # and verification joins (dedup candidate ⋈ shingle arrays) off the
-    # sort-merge path. Sides larger than this still SMJ, so nothing breaks at
-    # 100 TB — the big tables never broadcast.
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # autoBroadcastJoinThreshold stays at the Spark default (10 MB): the
+    # estimate is COMPRESSED size, so a globally raised threshold can
+    # deserialize a "64 MB" build side into hundreds of MB per executor.
+    # Joins that are measured-safe to broadcast use targeted hints
+    # (F.broadcast / dedup._broadcast_if_small) instead.
 }
 
 

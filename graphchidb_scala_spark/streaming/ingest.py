@@ -79,9 +79,11 @@ class EdgeStore:
         — the reference maintains degrees incrementally on every insert
         (GraphChiDatabase.scala:1777-1833). Only keys that did not previously
         exist contribute (an upsert of an existing (etype,src,dst) key leaves
-        both endpoints' degrees unchanged). The delta computation touches the
-        batch plus one broadcast-probe scan of the current key set — the base
-        is read, never shuffled."""
+        both endpoints' degrees unchanged). The existing-key probe pushes the
+        batch's src id set into the base read (``src IN (...)``, or a src
+        range when the set is large), so the src-sorted bucketed layout
+        prunes row groups — the probe reads a bounded slice of a 100 TB base,
+        not the whole of it. The base is never shuffled."""
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
         batch = edges.withColumn("_v", F.lit(version).cast("long"))
@@ -90,10 +92,21 @@ class EdgeStore:
         batch.write.mode("append").parquet(self.appends_dir)
         if self.maintain_degrees:
             bkeys = batch.select(*EDGE_KEY).distinct()
-            # keys that already existed before this batch: broadcast-probe the
             # pre-batch store (the just-written file carries a strictly newer
-            # _v, so exclude it by version)
+            # _v, so exclude it by version), pruned to the batch's src slice:
+            # every probed key has src in the batch, and the base layout is
+            # src-sorted, so an IN-set (or min/max range) predicate reaches
+            # the parquet row-group stats
+            srcs = [r["src"] for r in bkeys.select("src").distinct().collect()]
             pre = self._union_raw().filter(F.col("_v") < version)
+            if not srcs:
+                return
+            if len(srcs) <= 50_000:
+                pre = pre.filter(F.col("src").isin(srcs))
+            else:
+                pre = pre.filter(
+                    (F.col("src") >= min(srcs)) & (F.col("src") <= max(srcs))
+                )
             existing = pre.select(*EDGE_KEY).join(
                 F.broadcast(bkeys), list(EDGE_KEY), "semi"
             )
@@ -121,10 +134,12 @@ class EdgeStore:
         DF(id, in_deg, out_deg) — identical to ``graph().degrees()`` but
         without recomputing from edges.
 
-        Read shape: the delta set (O(batch) rows) is aggregated and broadcast
-        against the base degrees table — the base joins without an Exchange;
-        vertices first seen in a delta are appended via a broadcast anti-join
-        of the (tiny) delta aggregate against the base's matching ids."""
+        Read shape: the delta set (bounded by the appends volume, which
+        compaction discipline keeps ≤ ~25% of base) is aggregated and joined
+        against the base degrees table. No forced broadcast hints: at the
+        compaction bound the deltas can be far past any broadcast limit, so
+        the strategy is left to the planner/AQE, which converts these joins
+        to broadcast at runtime exactly when the measured delta fits."""
         if not self.maintain_degrees:
             raise ValueError("EdgeStore was not created with maintain_degrees=True")
         base = self.spark.read.parquet(self.deg_base_dir)
@@ -135,13 +150,13 @@ class EdgeStore:
             .groupBy("id")
             .agg(F.sum("in_deg").alias("d_in"), F.sum("out_deg").alias("d_out"))
         )
-        merged = base.join(F.broadcast(delta), "id", "left").select(
+        merged = base.join(delta, "id", "left").select(
             "id",
             (F.col("in_deg") + F.coalesce("d_in", F.lit(0))).cast("bigint").alias("in_deg"),
             (F.col("out_deg") + F.coalesce("d_out", F.lit(0))).cast("bigint").alias("out_deg"),
         )
-        ids_in_base = base.select("id").join(F.broadcast(delta.select("id")), "id", "semi")
-        new_part = delta.join(F.broadcast(ids_in_base), "id", "left_anti").select(
+        ids_in_base = base.select("id").join(delta.select("id"), "id", "semi")
+        new_part = delta.join(ids_in_base, "id", "left_anti").select(
             "id",
             F.col("d_in").cast("bigint").alias("in_deg"),
             F.col("d_out").cast("bigint").alias("out_deg"),
@@ -155,9 +170,11 @@ class EdgeStore:
         Scale contract: the base (the 100 TB side) is NEVER shuffled on read.
         Newest-wins is resolved with a window over the *appends only* (the
         EdgeBuffer analogue — a few micro-batches, tiny by construction), then
-        overwritten base keys are masked with a broadcast LEFT ANTI join of
-        the appends' key set against the base scan. Compaction folds both
-        steps away."""
+        overwritten base keys are masked with a LEFT ANTI join of the appends'
+        key set against the base scan. The anti-join carries no forced
+        broadcast hint — appends may legally grow to ~25% of base before
+        compaction, so AQE picks broadcast at runtime iff the key set
+        actually fits. Compaction folds both steps away."""
         has_base = self._exists(self.base_dir)
         has_appends = self._exists(self.appends_dir)
         if not has_base and not has_appends:
@@ -174,9 +191,7 @@ class EdgeStore:
         )
         if base is None:
             return appends
-        masked = base.join(
-            F.broadcast(appends.select(*EDGE_KEY)), on=list(EDGE_KEY), how="left_anti"
-        )
+        masked = base.join(appends.select(*EDGE_KEY), on=list(EDGE_KEY), how="left_anti")
         return masked.unionByName(appends, allowMissingColumns=True)
 
     def graph(self, vertices: DataFrame | None = None) -> GraphDB:

@@ -149,7 +149,9 @@ def test_minhash_estimate_tracks_exact(docs):
 
 
 def test_simhash_properties(docs, spark):
-    pairs = dedup.simhash_pairs(docs, max_hamming=64)
+    # 1-bit bands: 63 bands > max_hamming=62, so every realistic pair is a
+    # candidate and the collected hamming distances are the exact ones
+    pairs = dedup.simhash_pairs(docs, max_hamming=62, band_bits=1)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got.get((1, 2)) == 0            # identical docs → identical simhash
     if (1, 3) in got and (1, 6) in got:
@@ -294,3 +296,103 @@ def test_cosine_pairs_lsh_subset_of_exact(spark):
     }
     assert got <= exact
     assert (0, 100) in got and (1, 101) in got
+
+
+# --------------------------------------------------------- geometry guards
+
+def test_lsh_geometry_mismatch_raises(docs):
+    # 16*8 = 128 ≠ 64 signature slots: sig[64..] would be NULL, xxhash64
+    # would emit constant band hashes, and the self-join would go quadratic —
+    # must fail loudly instead
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=8)
+
+
+def test_lsh_geometry_valid_passes(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    assert dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).count() >= 0
+
+
+def test_simhash_geometry_guards(docs):
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_pairs(docs, band_bits=16)  # 63 % 16 != 0
+    with pytest.raises(ValueError, match="recall"):
+        # 63/21 = 3 bands cannot guarantee recall for hamming <= 8
+        dedup.simhash_pairs(docs, band_bits=21, max_hamming=8)
+
+
+# --------------------------------------------------------- persisted IVF index
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    # same two-cluster fixture as test_ann_ivf_agrees_with_bruteforce
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0, 0.001 * i]))
+        rows.append((100 + i, 1, [0.001 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivf_index")
+    cb = similarity.save_ivf_index(df, path)
+    assert [c for c, _ in cb] == [0, 1]
+
+    q = [1.0, 0.01]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    got_df = similarity.ann_topk_ivf_indexed(spark, path, q, k=3, nprobe=1)
+    assert [r["vec_id"] for r in got_df.collect()] == exact
+
+    # the probe must be partition pruning, not a scan+filter: the _cell
+    # predicate lands in the scan's PartitionFilters (planning-time directory
+    # pruning; inputFiles() can't show this — it lists the relation pre-prune)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_cell" in m.group(1), plan
+    # layout: one file per cell directory (repartition before partitionBy)
+    all_files = spark.read.parquet(f"{path}/vectors").inputFiles()
+    assert len(all_files) == 2
+
+
+def test_ivf_persisted_index_nprobe_all_is_exact(spark, tmp_path):
+    rows = [(i, i % 4, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivf_full")
+    similarity.save_ivf_index(df, path)
+    q = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    got = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf_indexed(spark, path, q, k=5, nprobe=4).collect()
+    ]
+    assert got == exact
+
+
+def test_drop_set_broadcast_is_conditional(spark):
+    # below the cap the helper must hint broadcast; above it, it must NOT —
+    # the anti-join then plans a shuffle join (the only correct shape for a
+    # billions-of-ids drop set). The set's stats (24 MB) exceed the
+    # autoBroadcastJoinThreshold, so only the explicit hint can broadcast it.
+    ids = spark.range(3_000_000).select(F.col("id").alias("doc_id"))
+    corpus = spark.range(100).select(F.col("id").alias("doc_id"))
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    hinted = corpus.join(
+        dedup._broadcast_if_small_ids(ids, cap_rows=10_000_000), "doc_id", "left_anti"
+    )
+    assert "BroadcastExchange" in plan_of(hinted)
+    unhinted = corpus.join(
+        dedup._broadcast_if_small_ids(ids, cap_rows=5), "doc_id", "left_anti"
+    )
+    assert "BroadcastExchange" not in plan_of(unhinted)

@@ -84,6 +84,37 @@ def test_shortest_path_route_unreachable(social_db):
     assert gq.shortest_path_route(social_db, 1, 10**9, max_depth=3).count() == 0
 
 
+def test_shortest_path_route_driver_bound(social_db, adj, monkeypatch):
+    """The walk-back must never collect the BFS tree: every driver-side fetch
+    during route reconstruction is a single-row point lookup (plus the 1-row
+    per-hop frontier stats), so the largest collect is 1 row — on a social
+    graph the 4-hop tree is ~the whole graph and must not transit the driver."""
+    levels = bfs_py(adj, 1, 4)
+    v3 = min((v for v, l in levels.items() if l == 3), default=None)
+    if v3 is None:
+        pytest.skip("fixture has no level-3 vertex")
+    assert sum(1 for l in levels.values() if l <= 3) > 50  # tree is big enough to matter
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    sizes: list[int] = []
+    orig_collect = ClassicDF.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ClassicDF, "collect", counting_collect)
+    path = gq.shortest_path_route(social_db, 1, v3, max_depth=4)
+    walkback_sizes = list(sizes)
+    ids = [r["id"] for r in sorted(path.collect(), key=lambda r: r["step"])]
+    assert ids[0] == 1 and ids[-1] == v3 and len(ids) == 4
+    assert walkback_sizes, "route should have issued point lookups"
+    assert max(walkback_sizes) <= 1
+    assert len(walkback_sizes) <= 2 * (4 + 1) + 2
+
+
 def test_friends_of_friends(social_db, adj):
     expected = set()
     for u in adj[1]:

@@ -116,7 +116,40 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # persisted IVF probe: the _cell predicate must prune partitions at the
+    # scan (PartitionFilters), not filter after a full read
+    "ann_ivf_indexed_partition_pruning": (
+        lambda g, docs, emb: _ivf_indexed_probe(emb),
+        ["PartitionFilters: [_cell", "!Exchange"],
+    ),
+    # a drop set past the broadcast cap must NOT carry a forced broadcast
+    # hint; with a stats-large (24 MB estimate) set and no hint, the corpus
+    # anti-join falls back to a shuffle join — the only shape that survives a
+    # billions-of-ids drop set. (A genuinely small set auto-broadcasting is
+    # fine and is covered by the positive branch of the pytest.)
+    "near_dedup_large_dropset_not_broadcast": (
+        lambda g, docs, emb: docs.join(
+            dedup._broadcast_if_small_ids(
+                docs.sparkSession.range(3_000_000).select(
+                    F.col("id").alias("doc_id")
+                ),
+                cap_rows=1,
+            ),
+            "doc_id",
+            "left_anti",
+        ),
+        ["!BroadcastExchange"],
+    ),
 }
+
+
+def _ivf_indexed_probe(emb):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="audit_ivf_")
+    similarity.save_ivf_index(emb, path)
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    return similarity.ann_topk_ivf_indexed(emb.sparkSession, path, qvec, k=10, nprobe=2)
 
 
 def _edgestore_view(g):
