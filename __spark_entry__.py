@@ -274,6 +274,19 @@ def _q_events_props(spark, sf):
     return events.extract_props(_events(spark, sf), keys=("k",))
 
 
+def _q_events_asof(spark, sf):
+    """Point-in-time feature join: each click gets the same user's latest
+    purchase value at-or-before it (label-leakage-safe feature lookup).
+    Spark plan: union + ordered window, one shuffle — see events.as_of_latest."""
+    return events.as_of_latest(_events(spark, sf), left_type="click", right_type="purchase")
+
+
+def _q_events_rollup(spark, sf):
+    """Hypertable-style multi-granularity aggregate: (day, hour) cells, day
+    subtotals, grand total — one ROLLUP pass."""
+    return events.window_rollup(_events(spark, sf))
+
+
 # --------------------------------------------------- data-pipeline callables
 
 def _q_doc_dedup_exact(spark, sf):
@@ -626,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
+        "events_asof": _q_events_asof,
+        "events_rollup": _q_events_rollup,
         # rows-only tail (ML internals / convergence-dependent — no SQL twin)
         "pagerank_converged": _q_pagerank_conv,
         "cc_converged_stats": _q_cc_converged,
@@ -1272,6 +1287,32 @@ def oracle_sql() -> dict[str, str]:
         "events_props": (
             "SELECT CAST(event_id AS BIGINT) AS event_id, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_k FROM events"
+        ),
+        # same union+ordered-window formulation as the Spark plan (exact
+        # tie semantics: right rows pre-aggregated per (user, ts) and sorted
+        # before left rows at equal ts)
+        "events_asof": (
+            "WITH rhs AS (\n"
+            "  SELECT user_id, ts, max(value) AS v FROM events\n"
+            "  WHERE event_type = 'purchase' GROUP BY user_id, ts\n"
+            "), u AS (\n"
+            "  SELECT user_id, ts, v, 1 AS r, NULL::BIGINT AS event_id FROM rhs\n"
+            "  UNION ALL\n"
+            "  SELECT user_id, ts, NULL::DOUBLE, 0, event_id FROM events "
+            "WHERE event_type = 'click'\n"
+            ")\n"
+            "SELECT CAST(event_id AS BIGINT) AS event_id, user_id, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, "
+            "round(last_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts, r DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS asof_value\n"
+            "FROM u QUALIFY r = 0"
+        ),
+        "events_rollup": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h, "
+            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY ROLLUP (d, h)"
         ),
         "ann_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

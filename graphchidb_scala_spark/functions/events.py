@@ -141,6 +141,79 @@ def sessionize(
     )
 
 
+def as_of_latest(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """As-of join within the event stream: for every ``left_type`` event,
+    the value of the same user's latest ``right_type`` event at or before it
+    (the point-in-time feature lookup a training pipeline runs to avoid label
+    leakage — features must reflect state as of the example's timestamp).
+    DF(event_id, user_id, ts_s, asof_value); NULL when no prior right event.
+
+    Spark has no ASOF JOIN operator; the classic scalable formulation is
+    union + ordered window: tag right rows, union both sides, and take
+    ``last(value, ignorenulls)`` over (user, ts) with rows-unbounded-preceding
+    — ONE shuffle on the user key, no range join, no per-row probe. Right
+    rows at equal ts sort before left rows (``_r`` desc), giving the
+    at-or-before (≤) semantics; right rows are pre-aggregated to max(value)
+    per (user, ts) so ties are deterministic. Skew-bounded by per-user event
+    counts, same as sessionize."""
+    rhs = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .agg(F.max(value_col).alias("_v"))
+        .select("user_id", "ts", "_v", F.lit(1).alias("_r"), F.lit(None).cast("bigint").alias("event_id"))
+    )
+    lhs = events.filter(F.col("event_type") == left_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(0).alias("_r"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("_r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rhs.unionByName(lhs)
+        .withColumn("asof_value", F.round(F.last("_v", ignorenulls=True).over(w), 4))
+        .filter(F.col("_r") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "asof_value",
+        )
+    )
+
+
+def window_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-granularity rollup (the hypertable continuous-aggregate shape):
+    counts and sums per (day, hour) with day subtotals and a grand total via
+    ROLLUP grouping sets. DF(d, h, n_events, sum_value) where h is NULL on
+    day-subtotal rows and both are NULL on the grand total. One shuffle; the
+    grouping-set expansion happens map-side (Expand before the exchange), so
+    at 100 TB it costs one pass + one agg, not one query per granularity."""
+    d = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("d")
+    h = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm").alias("h")
+    return events.rollup(d, h).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
+
+
 def extract_props(
     events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
 ) -> DataFrame:

@@ -92,27 +92,31 @@ class EdgeStore:
         batch.write.mode("append").parquet(self.appends_dir)
         if self.maintain_degrees:
             bkeys = batch.select(*EDGE_KEY).distinct()
-            # pre-batch store (the just-written file carries a strictly newer
-            # _v, so exclude it by version), pruned to the batch's src slice:
-            # every probed key has src in the batch, and the base layout is
-            # src-sorted, so an IN-set (or min/max range) predicate reaches
-            # the parquet row-group stats
-            srcs = [r["src"] for r in bkeys.select("src").distinct().collect()]
-            pre = self._union_raw().filter(F.col("_v") < version)
-            if not srcs:
+            existing = self._existing_key_probe(bkeys, version)
+            if existing is None:
                 return
-            if len(srcs) <= 50_000:
-                pre = pre.filter(F.col("src").isin(srcs))
-            else:
-                pre = pre.filter(
-                    (F.col("src") >= min(srcs)) & (F.col("src") <= max(srcs))
-                )
-            existing = pre.select(*EDGE_KEY).join(
-                F.broadcast(bkeys), list(EDGE_KEY), "semi"
-            )
             new_keys = bkeys.join(F.broadcast(existing.distinct()), list(EDGE_KEY), "left_anti")
             delta = GraphDB(new_keys).degrees()
             delta.write.mode("append").parquet(self.deg_appends_dir)
+
+    def _existing_key_probe(self, bkeys: DataFrame, version: int) -> DataFrame | None:
+        """Which of the batch's (etype, src, dst) keys already exist in the
+        pre-batch store (rows with ``_v < version``)? The base read is pruned
+        to the batch's src slice — every probed key has src in the batch, and
+        the base layout is src-sorted, so an IN-set (or min/max range for
+        oversized batches) predicate reaches the parquet row-group stats and
+        the probe reads a bounded slice of a 100 TB base, never the whole of
+        it (plan-asserted by tools/explain_audit.py). Returns None for an
+        empty batch."""
+        srcs = [r["src"] for r in bkeys.select("src").distinct().collect()]
+        if not srcs:
+            return None
+        pre = self._union_raw().filter(F.col("_v") < version)
+        if len(srcs) <= 50_000:
+            pre = pre.filter(F.col("src").isin(srcs))
+        else:
+            pre = pre.filter((F.col("src") >= min(srcs)) & (F.col("src") <= max(srcs)))
+        return pre.select(*EDGE_KEY).join(F.broadcast(bkeys), list(EDGE_KEY), "semi")
 
     # ------------------------------------------------------------------- reads
 

@@ -396,3 +396,53 @@ def test_drop_set_broadcast_is_conditional(spark):
         dedup._broadcast_if_small_ids(ids, cap_rows=5), "doc_id", "left_anti"
     )
     assert "BroadcastExchange" not in plan_of(unhinted)
+
+
+# ------------------------------------------------------------- as-of / rollup
+
+def test_as_of_latest_point_in_time(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes, etype, value):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), etype, value, None)
+
+    rows = [
+        ev(1, 10, 0, "purchase", 5.0),
+        ev(2, 10, 5, "click", 0.0),     # after purchase@0 → 5.0
+        ev(3, 10, 10, "purchase", 7.0),
+        ev(4, 10, 10, "click", 0.0),    # equal ts: at-or-before → 7.0
+        ev(5, 10, 20, "click", 0.0),    # → 7.0 (latest)
+        ev(6, 20, 3, "click", 0.0),     # user 20 has no purchase → NULL
+        ev(7, 30, 1, "purchase", 2.0),
+        ev(8, 30, 1, "purchase", 9.0),  # tie at same ts → max wins (9.0)
+        ev(9, 30, 2, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double, props string",
+    )
+    got = {r["event_id"]: r["asof_value"] for r in events.as_of_latest(df).collect()}
+    assert got == {2: 5.0, 4: 7.0, 5: 7.0, 6: None, 9: 9.0}
+
+
+def test_window_rollup_grouping_sets(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, 1, t0, "a", 1.0, None),
+        (2, 1, t0 + dt.timedelta(hours=1), "a", 2.0, None),
+        (3, 1, t0 + dt.timedelta(days=1), "a", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double, props string",
+    )
+    got = {(r["d"], r["h"]): (r["n_events"], r["sum_value"]) for r in events.window_rollup(df).collect()}
+    assert got[("2024-01-01", "2024-01-01 00:00")] == (1, 1.0)
+    assert got[("2024-01-01", "2024-01-01 01:00")] == (1, 2.0)
+    assert got[("2024-01-01", None)] == (2, 3.0)       # day subtotal
+    assert got[("2024-01-02", None)] == (1, 4.0)
+    assert got[(None, None)] == (3, 7.0)               # grand total

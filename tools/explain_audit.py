@@ -116,6 +116,13 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # per-batch existing-key probe: the batch's src id set must reach the
+    # base parquet scan as a pushed IN filter (row-group pruning on the
+    # src-sorted layout) — the probe reads a bounded slice, not the full base
+    "edgestore_batch_probe_pruned": (
+        lambda g, docs, emb: _edgestore_batch_probe(g),
+        ["In(src", "!SortMergeJoin"],
+    ),
     # persisted IVF probe: the _cell predicate must prune partitions at the
     # scan (PartitionFilters), not filter after a full read
     "ann_ivf_indexed_partition_pruning": (
@@ -141,6 +148,18 @@ CHECKS = {
         ["!BroadcastExchange"],
     ),
 }
+
+
+def _edgestore_batch_probe(g):
+    import tempfile
+
+    from graphchidb_scala_spark.db import EDGE_KEY
+    from graphchidb_scala_spark.streaming.ingest import EdgeStore
+
+    store = EdgeStore(g.spark, tempfile.mkdtemp(prefix="audit_probe_"))
+    store.init_base(g.edges)
+    bkeys = g.edges.limit(20).select(*EDGE_KEY).distinct().localCheckpoint()
+    return store._existing_key_probe(bkeys, version=1 << 62)
 
 
 def _ivf_indexed_probe(emb):
