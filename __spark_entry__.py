@@ -313,6 +313,29 @@ def _q_doc_ngram_neardup(spark, sf):
     )
 
 
+def _q_doc_wordgram_neardup(spark, sf):
+    """Word-3-gram Jaccard pairs (token shingles — the long-document dedup
+    unit) through the same prefix-filtered AllPairs plan; oracle twin
+    _word_jaccard_sql."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf),
+        block_col="source",
+        k=3,
+        threshold=0.5,
+        shingle_fn=dedup.word_shingles,
+    )
+
+
+def _q_ann_lsh_indexed(spark, sf):
+    """Persisted hyperplane-LSH probe: partitionBy(_bkt) layout + sidecar
+    params; identical results to ann_topk_lsh, so it shares that oracle."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lsh_index_")
+    similarity.save_lsh_index(_emb(spark, sf), path, dim=64, n_planes=8, seed=42)
+    return similarity.ann_topk_lsh_indexed(spark, path, _query_vec(spark, sf), k=10)
+
+
 def _query_vec(spark, sf):
     row = _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return [float(x) for x in row["embedding"]]
@@ -624,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_text_profile": _q_doc_text_profile,
         "doc_ngram_neardup": _q_doc_ngram_neardup,
+        "doc_wordgram_neardup": _q_doc_wordgram_neardup,
         "minhash_lsh_neardup": _q_minhash_lsh,
         "simhash_neardup": _q_simhash,
         "drop_near_duplicates": _q_drop_near_dups,
@@ -632,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_lsh_indexed": _q_ann_lsh_indexed,
         "embed_neardup": _q_embed_neardup,
         "embedding_centroids": _q_embed_centroids,
         "multimodal_features": _q_multimodal_features,
@@ -933,6 +958,34 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b ON {blk_join}a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
+""".strip()
+
+
+def _word_jaccard_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Word-k-gram Jaccard twin of _exact_jaccard_sql (token shingles:
+    whitespace-split, k-token windows joined by single spaces — matching
+    dedup.word_shingles exactly, including the <k-token → no-shingles rule)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(tk) - {k - 2}, 1)),
+                               i -> array_to_string(tk[i:i+{k - 1}], ' '))) AS sh
+  FROM t WHERE len(tk) >= {k}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -1251,10 +1304,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_text_profile": _doc_text_profile_sql(),
         "doc_ngram_neardup": _exact_jaccard_sql(0.5, with_block=True),
+        "doc_wordgram_neardup": _word_jaccard_sql(0.5, k=3),
         "minhash_lsh_neardup": _exact_jaccard_sql(0.5, with_block=False),
         "simhash_neardup": _simhash_sql(),
         "drop_near_duplicates": _drop_near_dups_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        # persisted-index probe returns byte-identical results to the live
+        # LSH plan (same planes, same multiprobe set) — one oracle covers both
+        "ann_topk_lsh_indexed": _ann_lsh_sql(),
         "token_histogram": (
             "SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"

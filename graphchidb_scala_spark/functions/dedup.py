@@ -100,6 +100,22 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles (token n-grams, whitespace-tokenized) as an
+    array column — the standard unit for near-dedup of *long* documents,
+    where char shingles over-match boilerplate (web-scale text dedup uses
+    word 3-5-grams; char 5-grams suit short strings). Same JVM-side
+    sequence/transform/slice construction as :func:`char_shingles` — stays in
+    codegen, no UDF. Documents with fewer than ``k`` tokens yield []."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    grams = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    return F.array_distinct(grams)
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5,
     extra_cols: tuple[str, ...] = (),
@@ -120,8 +136,11 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     k: int = 5,
     threshold: float = 0.5,
+    shingle_fn=None,
 ) -> DataFrame:
     """Exact k-gram Jaccard over all pairs within a blocking key.
+    ``shingle_fn`` selects the shingle unit (char k-grams by default; pass
+    :func:`word_shingles` for token n-gram Jaccard over long documents).
     DF(id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4 dp
     (cross-engine fp safety: the division is of exact integer counts).
 
@@ -151,9 +170,10 @@ def ngram_jaccard_pairs(
     # projection is the CPU-heavy step and is reused by the df table, the
     # prefix table, and both verification sides (recomputing it 4x was 3x the
     # whole query's cost)
+    sfn = shingle_fn if shingle_fn is not None else char_shingles
     base = (
         cut_lineage(df.select(
-            F.col(id_col), *extra, char_shingles(F.col(text_col), k).alias("_sh_str")
+            F.col(id_col), *extra, sfn(F.col(text_col), k).alias("_sh_str")
         )
         .withColumn("sh_arr", F.transform("_sh_str", lambda s: F.xxhash64(s)))
         .withColumn("n", F.size("sh_arr"))
@@ -220,6 +240,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     k: int = 5,
+    shingle_fn=None,
 ) -> DataFrame:
     """DF(id, sig array<bigint>): sig[i] = min over shingles of
     xxhash64(shingle, seed=i).
@@ -231,9 +252,12 @@ def minhash_signatures(
     — re-evaluates the shingle array per hash function after Catalyst's
     projection collapse: O(num_hashes × |text|) substring work, ~30× slower.)
     Documents with no shingles (len < k) drop out — they cannot near-match
-    anything; exact dedup covers empties."""
+    anything; exact dedup covers empties. ``shingle_fn`` selects the unit
+    (default :func:`char_shingles`; pass :func:`word_shingles` with k=3-5
+    for long-document dedup)."""
+    sf = shingle_fn if shingle_fn is not None else char_shingles
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text_col), k)).alias("sh")
+        F.col(id_col).alias("id"), F.explode(sf(F.col(text_col), k)).alias("sh")
     )
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     return (

@@ -331,6 +331,26 @@ def cosine_pairs_lsh(
     )
 
 
+def _query_probes(
+    query_vec: Sequence[float], n_planes: int, seed: int, multiprobe_hamming: int
+) -> list[int]:
+    """Driver-side bucket of the query under the same deterministic planes,
+    plus its ``multiprobe_hamming``-bit-flip neighborhood."""
+    dim = len(query_vec)
+    qb = 0
+    for p in range(n_planes):
+        proj = sum(
+            float(query_vec[d]) * _plane_component(d, p, seed) for d in range(dim)
+        )
+        if proj > 0:
+            qb |= 1 << p
+    probes = {qb}
+    if multiprobe_hamming >= 1:
+        for p in range(n_planes):
+            probes.add(qb ^ (1 << p))
+    return sorted(int(x) for x in probes)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -346,17 +366,59 @@ def ann_topk_lsh(
     recovers recall lost to quantization). Same output shape as cosine_topk."""
     dim = len(query_vec)
     bucket = hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes, seed)
-    # query bucket computed driver-side with the same planes
-    qb = 0
-    for p in range(n_planes):
-        proj = sum(
-            float(query_vec[d]) * _plane_component(d, p, seed) for d in range(dim)
-        )
-        if proj > 0:
-            qb |= 1 << p
-    probes = {qb}
-    if multiprobe_hamming >= 1:
-        for p in range(n_planes):
-            probes.add(qb ^ (1 << p))
-    cand = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin([int(x) for x in probes]))
+    probes = _query_probes(query_vec, n_planes, seed, multiprobe_hamming)
+    cand = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def save_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a hyperplane-LSH index: vectors written ``partitionBy("_bkt")``
+    plus a one-row (dim, n_planes, seed) parquet sidecar. Like
+    :func:`save_ivf_index` this turns every probe into partition pruning —
+    the planes are hash-derived (no stored model), so the sidecar is enough
+    for any reader to reproduce both assignment and query buckets."""
+    bucket = hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(dim), int(n_planes), int(seed))], "dim int, n_planes int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    (
+        df.withColumn("_bkt", bucket)
+        .repartition("_bkt")
+        .write.partitionBy("_bkt")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """LSH top-k over a *persisted* index (:func:`save_lsh_index`): the
+    query's probe buckets are computed driver-side from the sidecar params,
+    and the ``_bkt`` predicate prunes to those partitions at planning time —
+    no assignment recompute, no full-corpus scan; identical results to
+    :func:`ann_topk_lsh` with the same geometry."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if len(query_vec) != int(meta["dim"]):
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {int(meta['dim'])}"
+        )
+    probes = _query_probes(
+        query_vec, int(meta["n_planes"]), int(meta["seed"]), multiprobe_hamming
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("_bkt").isin(probes))
+    return cosine_topk(vecs, query_vec, k, id_col, vec_col)

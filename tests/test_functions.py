@@ -446,3 +446,74 @@ def test_window_rollup_grouping_sets(spark):
     assert got[("2024-01-01", None)] == (2, 3.0)       # day subtotal
     assert got[("2024-01-02", None)] == (1, 4.0)
     assert got[(None, None)] == (3, 7.0)               # grand total
+
+
+def test_word_shingles_model(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("one two",), ("",)], "t string"
+    )
+    got = [r["s"] for r in df.select(dedup.word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert sorted(got[0]) == [
+        "brown fox jumps",
+        "quick brown fox",
+        "the quick brown",
+    ]
+    assert got[1] == []  # fewer than k tokens
+    assert got[2] == []
+
+
+def test_word_shingle_jaccard_and_minhash(docs):
+    # python oracle for word-3-gram jaccard of the near-dup pair (1, 3)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def wsh(t, k=3):
+        toks = [x for x in t.split() if x]
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    a, b = wsh(rows[1]), wsh(rows[3])
+    expected = round(len(a & b) / len(a | b), 4)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.3, shingle_fn=dedup.word_shingles
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == expected
+    # minhash over word shingles: identical docs agree on every hash
+    sigs = dedup.minhash_signatures(
+        docs, num_hashes=32, k=3, shingle_fn=dedup.word_shingles
+    )
+    got = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert got[1] == got[2]
+
+
+def test_lsh_persisted_index(spark, tmp_path):
+    import math
+
+    rows = [
+        (i, [math.cos(2 * math.pi * i / 40), math.sin(2 * math.pi * i / 40)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "lsh_index")
+    similarity.save_lsh_index(df, path, dim=2, n_planes=4, seed=42)
+    q = [1.0, 0.05]
+    live = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh(df, q, k=3, n_planes=4, seed=42).collect()
+    ]
+    indexed_df = similarity.ann_topk_lsh_indexed(spark, path, q, k=3)
+    assert [r["vec_id"] for r in indexed_df.collect()] == live
+    # probe is partition pruning on _bkt
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "_bkt" in m.group(1)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk_lsh_indexed(spark, path, [1.0, 0.0, 0.0], k=3)
