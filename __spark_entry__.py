@@ -313,6 +313,17 @@ def _q_doc_ngram_neardup(spark, sf):
     )
 
 
+def _q_doc_quality_filter(spark, sf):
+    """C4-style corpus gate: token-length + quality + language thresholds,
+    then exact-dedup min-id survivors. Returns surviving doc ids."""
+    return text.filter_documents(
+        _docs(spark, sf),
+        min_tokens=5,
+        min_quality=0.3,
+        langs=("en", "de", "fr", "es"),
+    ).select(F.col("doc_id").cast("bigint"))
+
+
 def _q_doc_wordgram_neardup(spark, sf):
     """Word-3-gram Jaccard pairs (token shingles — the long-document dedup
     unit) through the same prefix-filtered AllPairs plan; oracle twin
@@ -646,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_text_profile": _q_doc_text_profile,
+        "doc_quality_filter": _q_doc_quality_filter,
         "doc_ngram_neardup": _q_doc_ngram_neardup,
         "doc_wordgram_neardup": _q_doc_wordgram_neardup,
         "minhash_lsh_neardup": _q_minhash_lsh,
@@ -1303,6 +1315,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text)"
         ),
         "doc_text_profile": _doc_text_profile_sql(),
+        "doc_quality_filter": (
+            f"WITH prof AS ({_doc_text_stats_sql()}),\n"
+            "keep AS (SELECT doc_id FROM prof WHERE n_tokens >= 5 "
+            "AND quality >= 0.3 AND lang_pred IN ('en','de','fr','es')),\n"
+            "filt AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN keep USING (doc_id))\n"
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM filt GROUP BY md5(text)"
+        ),
         "doc_ngram_neardup": _exact_jaccard_sql(0.5, with_block=True),
         "doc_wordgram_neardup": _word_jaccard_sql(0.5, k=3),
         "minhash_lsh_neardup": _exact_jaccard_sql(0.5, with_block=False),

@@ -178,3 +178,39 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         quality.alias("quality"),
         _argmax_lang(scores).alias("lang_pred"),
     )
+
+
+def filter_documents(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_exact_dups: bool = True,
+) -> DataFrame:
+    """C4-style corpus gate — the standard pre-training filter pipeline in
+    one operator: keep documents passing token-length bounds, the heuristic
+    quality floor, and (optionally) a language allowlist; then drop exact
+    duplicates keeping the min-id survivor. Returns surviving rows of ``df``
+    with all original columns.
+
+    Plan shape: the stats block is a pure projection, the threshold filter a
+    semi-join on ids, the dedup one content-hash groupBy + semi-join — two
+    shuffles total at any corpus size, no UDFs, no collect."""
+    from graphchidb_scala_spark.functions.dedup import drop_exact_duplicates
+
+    stats = text_stats(df, id_col, text_col)
+    cond = (
+        (F.col("n_tokens") >= int(min_tokens))
+        & (F.col("n_tokens") <= int(max_tokens))
+        & (F.col("quality") >= float(min_quality))
+    )
+    if langs is not None:
+        cond = cond & F.col("lang_pred").isin(list(langs))
+    keep = stats.filter(cond).select(id_col)
+    out = df.join(keep, id_col, "semi")
+    if drop_exact_dups:
+        out = drop_exact_duplicates(out, id_col, text_col)
+    return out

@@ -168,3 +168,30 @@ def continuous_recompute(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_drop_exact_duplicates(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each content
+    fingerprint across micro-batches (state = seen md5 hashes — the streaming
+    face of dedup.drop_exact_duplicates, whose batch form remains the exact
+    final pass at compaction time).
+
+    State discipline at 100 TB/day: without ``ts_col`` the hash state grows
+    with distinct content — acceptable for bounded backfills only. With
+    ``ts_col`` an event-time watermark bounds state via
+    ``dropDuplicatesWithinWatermark`` (hashes older than the allowance are
+    evicted; duplicates separated by more than the watermark can both
+    survive, which the batch pass cleans up)."""
+    h = docs_stream.withColumn("_h", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return (
+            h.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
+    return h.dropDuplicates(["_h"]).drop("_h")

@@ -517,3 +517,25 @@ def test_lsh_persisted_index(spark, tmp_path):
     assert m and "_bkt" in m.group(1)
     with pytest.raises(ValueError, match="dim"):
         similarity.ann_topk_lsh_indexed(spark, path, [1.0, 0.0, 0.0], k=3)
+
+
+def test_filter_documents_c4_gate(docs):
+    # doc 7 is empty (fails min_tokens); docs 1/2 are exact dups (min-id 1
+    # survives); everything else passes at these thresholds
+    kept = {
+        r["doc_id"]
+        for r in text.filter_documents(
+            docs, min_tokens=3, min_quality=0.1, langs=("en", "de", "fr", "und")
+        ).collect()
+    }
+    assert 7 not in kept          # too short
+    assert 1 in kept and 2 not in kept  # exact-dup survivor is min id
+    assert {3, 4, 5} <= kept
+    # language allowlist excludes
+    kept_en = {
+        r["doc_id"]
+        for r in text.filter_documents(
+            docs, min_tokens=3, min_quality=0.1, langs=("en",)
+        ).collect()
+    }
+    assert 4 not in kept_en and 5 not in kept_en  # de / fr filtered

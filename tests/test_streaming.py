@@ -281,3 +281,43 @@ def test_incremental_degrees_matches_recompute(spark, tmp_path):
     # the batch touched (<= 2 edges -> <= 4 endpoint ids), not the base
     delta = spark.read.parquet(os.path.join(str(tmp_path / "st"), "degrees", "appends"))
     assert delta.count() <= 4
+
+
+def test_stream_drop_exact_duplicates(spark, tmp_path):
+    """Cross-micro-batch exact dedup: the same content arriving in a later
+    file (batch) is dropped by the hash state; first arrival survives."""
+    import time as _time
+
+    from graphchidb_scala_spark.streaming.stateful import stream_drop_exact_duplicates
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame([(1, "aaa"), (2, "bbb")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(3, "aaa"), (4, "ccc")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(str(src))
+    )
+    out: list[tuple[int, str]] = []
+
+    def sink(batch_df, batch_id):
+        out.extend((r["doc_id"], r["text"]) for r in batch_df.collect())
+
+    q = (
+        stream_drop_exact_duplicates(stream)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(t for _, t in out)
+    assert texts == ["aaa", "bbb", "ccc"]          # one survivor per content
+    assert [i for i, t in out if t == "aaa"] == [1]  # first arrival wins
