@@ -539,3 +539,48 @@ def test_filter_documents_c4_gate(docs):
         ).collect()
     }
     assert 4 not in kept_en and 5 not in kept_en  # de / fr filtered
+
+
+# ------------------------------------------------------- product quantization
+
+def test_pq_exact_on_planted_centroids(spark):
+    # vectors that ARE the (sub)centroids: PQ reconstruction is exact, so the
+    # ADC distance to an identical query is 0 and top-1 is the true NN
+    base = [
+        [1.0, 0.0, 0.0, 2.0],
+        [0.0, 1.0, 2.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        [2.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = similarity.pq_train(df, m=2, n_codes=4, sample_cap=10)
+    enc = similarity.pq_encode(df, books)
+    got = similarity.pq_topk(enc, books, base[2], k=2).collect()
+    assert got[0]["vec_id"] == 2 and got[0]["pq_dist"] == 0.0
+
+
+def test_pq_recall_on_clusters(spark):
+    # two tight clusters; PQ top-1 must agree with brute-force L2 top-1
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+        rows.append((100 + i, [-1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = similarity.pq_train(df, m=4, n_codes=8, sample_cap=100)
+    enc = similarity.pq_encode(df, books)
+    q = [1.0] * 8
+    top = similarity.pq_topk(enc, books, q, k=5).collect()
+    assert all(r["vec_id"] < 100 for r in top)  # all from the +1 cluster
+
+
+def test_pq_geometry_guards(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="divide"):
+        similarity.pq_train(df, m=2)
+    with pytest.raises(ValueError, match="dim"):
+        # codebooks imply dim 4 (m=2 subspaces of width 2); query is dim 2
+        similarity.pq_topk(df, [[[0.0, 0.0]], [[0.0, 0.0]]], [1.0, 2.0], k=1)
