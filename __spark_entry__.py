@@ -313,6 +313,11 @@ def _q_doc_ngram_neardup(spark, sf):
     )
 
 
+def _q_token_bigrams(spark, sf):
+    """Corpus top-20 word bigrams (LM-data frequency statistic)."""
+    return text.ngram_counts(_docs(spark, sf), n=2, k=20)
+
+
 def _q_doc_quality_filter(spark, sf):
     """C4-style corpus gate: token-length + quality + language thresholds,
     then exact-dedup min-id survivors. Returns surviving doc ids."""
@@ -664,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash,
         "drop_near_duplicates": _q_drop_near_dups,
         "token_histogram": _q_token_histogram,
+        "token_bigrams": _q_token_bigrams,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
@@ -1336,6 +1342,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"
             ") t WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "token_bigrams": (
+            "SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (\n"
+            "  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),\n"
+            "                i -> array_to_string(tk[i:i+1], ' '))) AS gram\n"
+            "  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk "
+            "FROM documents) t\n"
+            "  WHERE len(tk) >= 2\n"
+            ") g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20"
         ),
         "embedding_centroids": (
             "SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos, "

@@ -214,3 +214,28 @@ def filter_documents(
     if drop_exact_dups:
         out = drop_exact_duplicates(out, id_col, text_col)
     return out
+
+
+def ngram_counts(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-gram frequencies — DF(gram, cnt) ordered
+    (cnt DESC, gram ASC): the language-model data statistic next to
+    :func:`token_histogram` (n=1). Counts every occurrence (no per-doc
+    dedup). explode → map-side-combined groupBy → TakeOrdered top-k; one
+    shuffle of (gram, partial-count) pairs at any corpus size."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_grams = F.size(toks) - F.lit(n - 1)
+    grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )

@@ -584,3 +584,15 @@ def test_pq_geometry_guards(spark):
     with pytest.raises(ValueError, match="dim"):
         # codebooks imply dim 4 (m=2 subspaces of width 2); query is dim 2
         similarity.pq_topk(df, [[[0.0, 0.0]], [[0.0, 0.0]]], [1.0, 2.0], k=1)
+
+
+def test_ngram_counts_bigrams(docs, spark):
+    got = [(r["gram"], r["cnt"]) for r in text.ngram_counts(docs, n=2, k=5).collect()]
+    import collections
+
+    cnt = collections.Counter()
+    for r in docs.collect():
+        toks = r["text"].split()
+        cnt.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == exp
