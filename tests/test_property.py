@@ -161,3 +161,48 @@ def test_drop_near_duplicates_matches_union_find(spark, seed):
         for r in dedup.drop_near_duplicates(docs_df, pairs_df).collect()
     }
     assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_as_of_latest_matches_python_model(spark, seed):
+    """as_of_latest == pure-Python point-in-time lookup on random event
+    streams (random users, duplicate timestamps, left events before any
+    right event)."""
+    import datetime as dt
+
+    from graphchidb_scala_spark.functions import events as ev
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(30):
+        rows.append(
+            (
+                eid,
+                rng.randint(0, 3),
+                t0 + dt.timedelta(minutes=rng.randint(0, 20)),
+                rng.choice(["click", "purchase"]),
+                round(rng.uniform(0, 10), 2),
+                None,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double, props string",
+    )
+    # python model: per user, max purchase value per ts; for each click the
+    # latest (<= ts) purchase ts's value
+    by_user_purchases: dict[int, dict[dt.datetime, float]] = {}
+    for eid, uid, ts, et, v, _ in rows:
+        if et == "purchase":
+            d = by_user_purchases.setdefault(uid, {})
+            d[ts] = max(d.get(ts, float("-inf")), v)
+    want = {}
+    for eid, uid, ts, et, v, _ in rows:
+        if et != "click":
+            continue
+        cand = [(pts, pv) for pts, pv in by_user_purchases.get(uid, {}).items() if pts <= ts]
+        want[eid] = round(max(cand)[1], 4) if cand else None
+    got = {r["event_id"]: r["asof_value"] for r in ev.as_of_latest(df).collect()}
+    assert got == want
