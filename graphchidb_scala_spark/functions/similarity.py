@@ -559,3 +559,83 @@ def pq_topk(
         .orderBy(F.asc("pq_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def save_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ivf_codebook_: list[tuple[int, list[float]]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """The complete IVF-PQ persisted layout — the flagship 100 TB ANN path:
+    rows carry ONLY (id, pq_codes) partitioned by IVF cell, plus two tiny
+    codebook sidecars. A query prunes to nprobe cell directories (planning
+    time) and ADC-scores m code bytes per row — neither the raw embeddings
+    nor the non-probed cells are ever read. Storage per vector: m bytes of
+    codes vs 4·dim bytes of floats (32× at dim=64, m=8)."""
+    if ivf_codebook_ is None:
+        ivf_codebook_ = ivf_codebook(df, label_col=label_col, vec_col=vec_col)
+    if pq_codebooks is None:
+        pq_codebooks = pq_train(df, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in ivf_codebook_],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/ivf_codebook")
+    pq_rows = [
+        (j, c, [float(v) for v in code])
+        for j, book in enumerate(pq_codebooks)
+        for c, code in enumerate(book)
+    ]
+    spark.createDataFrame(
+        pq_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    (
+        df.withColumn("_cell", ivf_cell(F.col(vec_col), ivf_codebook_))
+        .withColumn("pq_codes", _pq_code_col(F.col(vec_col), pq_codebooks))
+        .select(F.col(id_col).cast("bigint").alias(id_col), "pq_codes", "_cell")
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/pq_codebook").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
+            float(x) for x in r["centroid"]
+        ]
+    return [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+
+
+def ann_topk_ivfpq(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over the persisted IVF-PQ layout: nprobe nearest cells chosen
+    driver-side from the IVF sidecar (scan prunes to those partitions), then
+    ADC scoring over the code column only. DF(id, pq_dist) — approximate L2
+    ranking; re-rank the top candidates against raw vectors downstream when
+    exact order matters."""
+    rows = spark.read.parquet(f"{path}/ivf_codebook").collect()
+    cb = sorted((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows)
+    probes = _nearest_cells(query_vec, cb, nprobe)
+    pq_books = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("_cell").isin([int(p) for p in probes])
+    )
+    return pq_topk(codes, pq_books, query_vec, k=k, id_col=id_col)

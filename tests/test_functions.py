@@ -596,3 +596,34 @@ def test_ngram_counts_bigrams(docs, spark):
         cnt.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == exp
+
+
+def test_ivfpq_persisted_index_end_to_end(spark, tmp_path):
+    # two tight clusters with labels for the IVF codebook; PQ must rank the
+    # query's own cluster first while reading only that cell's partition
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+        rows.append((100 + i, 1, [-1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    similarity.save_ivfpq_index(df, path, m=4, n_codes=8)
+
+    q = [1.0] * 8
+    got_df = similarity.ann_topk_ivfpq(spark, path, q, k=5, nprobe=1)
+    got = got_df.collect()
+    assert len(got) == 5 and all(r["vec_id"] < 100 for r in got)
+    # the codes table carries no embeddings, and the probe prunes partitions
+    assert "embedding" not in spark.read.parquet(f"{path}/codes").columns
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain("formatted")
+    mm = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert mm and "_cell" in mm.group(1)
