@@ -31,7 +31,7 @@ applied per edge (SURVEY.md §7.4 "Mutation semantics").
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -9,9 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graphchidb_scala_spark.db import GraphDB
-
-
 def train_als(
     ratings: DataFrame,
     rank: int = 10,

@@ -23,7 +23,7 @@ re-uses the same hash partitioning across hops so only the *new* side moves.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 

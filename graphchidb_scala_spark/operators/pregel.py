@@ -20,8 +20,6 @@ job at 100 TB).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame, functions as F
 
 from graphchidb_scala_spark.checkpoint import cut_lineage

@@ -10,7 +10,7 @@ parallelizes over file splits; no driver loop exists.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from graphchidb_scala_spark.db import GraphDB
