@@ -49,29 +49,31 @@ def pagerank(
     (map-side combine; one shuffle), exactly the degree column the reference
     maintains incrementally (GraphChiDatabase.scala:1777-1833).
 
-    Shuffle structure: edges_deg is checkpointed pre-partitioned by src and
-    the static vertex set by id; checkpoint preserves output partitioning, so
-    per iteration only the groupBy(dst) exchanges data — the contrib→update
-    join and the next iteration's rank→edge join are both already
-    co-partitioned. One shuffle per iteration is the minimum for a
-    message-passing step and is what keeps 100 iterations tractable at
-    100 TB."""
+    Shuffle structure: ONE exchange per iteration — the groupBy(id) message
+    shuffle, which is the floor for a message-passing step. Vertices with no
+    in-edges are kept in the state not by left-joining the static vertex set
+    (that join re-exchanged + sorted V rows every iteration) but by unioning
+    a zero-contribution row per vertex into the groupBy input: the union is
+    exchange-free, the zero rows collapse in the map-side partial aggregate,
+    and ``sum(c) + 0.0`` is bit-exact, so results are unchanged. The
+    edge+degree table is checkpointed once; the per-iteration rank side
+    broadcasts while it fits and degrades to a co-partitioned shuffle join
+    at scale."""
     e = db._typed(etype).select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
     vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
     ranks = vstatic.withColumn("rank", F.lit(1.0))
+    zeros = vstatic.select("id", F.lit(0.0).alias("c"))
 
     for i in range(1, iterations + 1):
-        contrib = (
+        msgs = (
             edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("acc"))
+            .unionAll(zeros)
         )
-        new_ranks = vstatic.join(contrib, "id", "left").select(
-            "id",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
+        new_ranks = msgs.groupBy("id").agg(
+            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank")
         )
         if tol is not None:
             new_ranks = _checkpoint(new_ranks)
