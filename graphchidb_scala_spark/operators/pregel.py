@@ -195,14 +195,13 @@ def connected_components(
     und = _checkpoint(db.undirected_edges(etype))
     labels = _checkpoint(db.vertices.select("id").withColumn("lbl", F.col("id")))
     for i in range(fixed_iterations):
-        nbr_min = (
-            und.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nlbl"), "b")
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("nlbl").alias("nbr"))
-        )
-        labels = labels.join(nbr_min, "id", "left").select(
-            "id", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl")
-        )
+        # lbl(v) ← min(lbl(v), min neighbor lbl) folded into ONE aggregation:
+        # own label unions into the message set, so the round is a single
+        # groupBy shuffle — no per-round state join (exchange+sort of V rows)
+        nbr = und.join(
+            labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nlbl"), "b"
+        ).select(F.col("a").alias("id"), F.col("nlbl").alias("lbl"))
+        labels = nbr.unionAll(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
         if (i + 1) % check_every == 0:
             labels = _checkpoint(labels)
     return labels.select("id", F.col("lbl").alias("cc"))
@@ -352,23 +351,19 @@ def propagate_labels(
     """Generic directed label propagation (building block mirroring the
     reference's update-function plug-in point,
     VertexCentricComputation.scala:37-54): state DF(id, lbl) evolves by
-    lbl(v) ← agg(lbl(v), agg_{u→v} lbl(u))."""
+    lbl(v) ← agg(lbl(v), agg_{u→v} lbl(u)).
+
+    For all three aggs the vertex's own label is just one more message
+    (min/max absorb it; sum adds it), so each round is ONE groupBy shuffle
+    over messages ∪ state — no per-round state join."""
     agg_fn = {"min": F.min, "max": F.max, "sum": F.sum}[agg]
-    comb = {"min": F.least, "max": F.greatest}.get(agg)
     e = _checkpoint(db._typed(etype).select("src", "dst"))
     labels = _checkpoint(initial.select("id", "lbl"))
     for i in range(iterations):
-        msgs = (
-            e.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(agg_fn("lbl").alias("m"))
+        msgs = e.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "lbl"
         )
-        joined = labels.join(msgs, "id", "left")
-        if comb is not None:
-            upd = comb(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl")))
-        else:
-            upd = F.col("lbl") + F.coalesce(F.col("m"), F.lit(0))
-        labels = joined.select("id", upd.alias("lbl"))
+        labels = msgs.unionAll(labels).groupBy("id").agg(agg_fn("lbl").alias("lbl"))
         if (i + 1) % 3 == 0:
             labels = _checkpoint(labels)
     return labels
