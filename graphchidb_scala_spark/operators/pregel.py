@@ -38,7 +38,7 @@ def pagerank(
     damping: float = 0.85,
     etype: int | None = None,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int | None = 5,
 ) -> DataFrame:
     """PageRank, non-normalized accumulator formulation of the reference
     (Pagerank.scala:34-61): rank = 0.15 + 0.85 * Σ_in rank(u)/outdeg(u),
@@ -87,7 +87,8 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-            if i % checkpoint_every == 0 or i == iterations:
+            # checkpoint_every=None keeps the plan un-collapsed (plan audits)
+            if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
                 ranks = _checkpoint(ranks)
     return ranks
 

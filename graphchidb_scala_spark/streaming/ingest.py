@@ -234,11 +234,20 @@ class EdgeStore:
 
     @staticmethod
     def _replace(dst: str, tmp: str) -> None:
+        """Swap ``tmp`` into ``dst`` keeping the old data until the new is in
+        place (rename-out, rename-in, then delete): a crash between steps
+        leaves either the old or the new complete directory on disk, never
+        neither — the local-FS stand-in for the manifest/pointer swap a
+        production deployment does on an object store."""
         import shutil
 
+        bak = dst + ".bak"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, bak)
         os.rename(tmp, dst)
+        shutil.rmtree(bak, ignore_errors=True)
 
     @staticmethod
     def _rm(d: str) -> None:

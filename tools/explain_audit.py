@@ -116,6 +116,15 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # one PageRank iteration = the message groupBy shuffle only: the rank
+    # side broadcasts at this scale and the zero-contribution union replaced
+    # the old per-iteration vertex-set SortMergeJoin
+    "pagerank_iteration_single_shuffle": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.operators.pregel", fromlist=["pregel"]
+        ).pagerank(g, iterations=1, checkpoint_every=None),
+        ["!SortMergeJoin", "partial_sum"],
+    ),
     # per-batch existing-key probe: the batch's src id set must reach the
     # base parquet scan as a pushed IN filter (row-group pruning on the
     # src-sorted layout) — the probe reads a bounded slice, not the full base
