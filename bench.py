@@ -94,6 +94,13 @@ def main() -> None:
         tmp_dirs.append(d)
         return d
 
+    # Self-limiting: on a badly contended sandbox 3 reps can blow past any
+    # reasonable round budget — finish the rep in flight and stop, reporting
+    # medians over completed reps, rather than risk the whole run being
+    # killed with nothing recorded.
+    bench_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    bench_t0 = time.time()
+    errors: dict[str, str] = {}
     per_rep: list[dict[str, float]] = []
     for rep in range(n_reps):
         # -------- per-rep fixtures (untimed): every rep starts from identical
@@ -179,13 +186,26 @@ def main() -> None:
             # GC; give it the (untimed) gap instead of the next query's stages
             time.sleep(0.5)
             t = time.time()
-            fn()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — a broken query (e.g.
+                # fixture drift) must not erase the whole round's numbers
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"  rep{rep} {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
             timings[name] = round(time.time() - t, 3)
             print(f"  rep{rep} {name}: {timings[name]:.1f}s", file=sys.stderr, flush=True)
         per_rep.append(timings)
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)
         tmp_dirs.clear()
+        if time.time() - bench_t0 > bench_budget and rep + 1 < n_reps:
+            print(
+                f"  bench budget ({bench_budget:.0f}s) exhausted after rep{rep}; "
+                f"reporting medians over {rep + 1} rep(s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
 
     names = list(per_rep[0].keys())
     medians = {n: round(statistics.median(r[n] for r in per_rep), 3) for n in names}
@@ -195,19 +215,18 @@ def main() -> None:
     }
     total = round(sum(medians.values()), 3)
     medians["setup_cache"] = round(setup_sec, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "spread": spread,
-                "reps": n_reps,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "spread": spread,
+        "reps": len(per_rep),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
