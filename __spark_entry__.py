@@ -274,6 +274,13 @@ def _q_events_props(spark, sf):
     return events.extract_props(_events(spark, sf), keys=("k",))
 
 
+def _q_random_walks(spark, sf):
+    """2 deterministic walks per seed over the customer→order edges (etype 0
+    then onward), 4 hops — the embedding-corpus generator, hash-picked next
+    hops so DuckDB reproduces the identical walks."""
+    return gq.random_walks(_g(spark, sf), seeds=range(1, 6), walk_length=4, n_walks=2)
+
+
 def _q_events_asof(spark, sf):
     """Point-in-time feature join: each click gets the same user's latest
     purchase value at-or-before it (label-leakage-safe feature lookup).
@@ -658,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_degrees": _q_incremental_degrees,
         # §2.9/§2.10 misc
         "random_vertex": _q_random_vertex,
+        "random_walks": _q_random_walks,
         "motif_census": _q_motif_census,
         # training-data pipeline
         "doc_dedup_exact": _q_doc_dedup_exact,
@@ -983,6 +991,35 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
 WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
 """.strip()
+
+
+def _random_walks_sql(n_seeds: int = 5, n_walks: int = 2, walk_length: int = 4) -> str:
+    """Unrolled twin of gq.random_walks: per step, the next hop is the
+    out-neighbor minimizing the md5-60-bit hash of 'walk_id:step:dst'
+    (ties by dst) — bit-identical to the Spark min(struct) pick."""
+    seed_vals = ", ".join(f"({s})" for s in range(1, n_seeds + 1))
+    j_vals = ", ".join(f"({j})" for j in range(n_walks))
+    ctes = [
+        f"s0 AS (SELECT CAST(s.s * {n_walks} + j.j AS BIGINT) AS walk_id, "
+        f"CAST(s.s AS BIGINT) AS id FROM (VALUES {seed_vals}) s(s), "
+        f"(VALUES {j_vals}) j(j))"
+    ]
+    for step in range(1, walk_length + 1):
+        h = (
+            f"('0x' || substr(md5(w.walk_id::VARCHAR || ':{step}:' || "
+            f"e.dst::VARCHAR), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"s{step} AS (SELECT walk_id, dst AS id FROM ("
+            f"SELECT w.walk_id, e.dst, row_number() OVER ("
+            f"PARTITION BY w.walk_id ORDER BY {h}, e.dst) AS rn "
+            f"FROM s{step - 1} w JOIN edges e ON e.src = w.id) t WHERE rn = 1)"
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS BIGINT) AS step, id FROM s{i}"
+        for i in range(walk_length + 1)
+    )
+    return _gsql("WITH " + ",\n".join(ctes) + "\n" + union)
 
 
 def _word_jaccard_sql(threshold: float = 0.5, k: int = 3) -> str:
@@ -1316,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id FROM (SELECT id, (id * 1103515245 + 7) % 2147483648 AS m FROM vertices) t "
             "ORDER BY m, id LIMIT 1"
         ),
+        "random_walks": _random_walks_sql(),
         "doc_dedup_exact": (
             "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text)"

@@ -402,3 +402,56 @@ def motif_census_3(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy("n_edges")
     )
+
+
+def random_walks(
+    db: GraphDB,
+    seeds: Sequence[int],
+    walk_length: int,
+    n_walks: int = 1,
+    etype: int | None = None,
+) -> DataFrame:
+    """Seeded deterministic random walks — the graph-embedding corpus
+    generator (DeepWalk/node2vec input): ``n_walks`` walks per seed, each
+    ``walk_length`` hops, next hop = the out-neighbor minimizing a
+    cross-engine hash of (walk_id, step, dst). No rand(): the same graph and
+    seeds reproduce the same walks on any engine (md5-derived 60-bit keys,
+    the same trick as dedup.md5_hash60), which is what makes the walks
+    oracle-checkable and the corpus regenerable.
+
+    Returns DF(walk_id, step, id), step 0 = the seed; a walk that reaches a
+    sink (no out-edges) simply ends. walk_id = seed * n_walks + j.
+
+    Scale shape: one shuffle per hop (groupBy(walk_id) argmin via
+    min(struct)); the frontier⋈edges join broadcasts while the frontier is
+    small and degrades to a src-partitioned shuffle join for walk counts in
+    the billions — walks are embarrassingly parallel in walk_id."""
+    spark = db.spark
+    rows = [(int(s) * n_walks + j, int(s)) for s in seeds for j in range(n_walks)]
+    cur = cut_lineage(spark.createDataFrame(rows, "walk_id bigint, id bigint"))
+    visited = [cur.withColumn("step", F.lit(0).cast("bigint"))]
+    e = db._typed(etype).select("src", "dst")
+    for step in range(1, int(walk_length) + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), F.col("dst"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            e.join(cur.withColumnRenamed("id", "src"), "src")
+            .select("walk_id", F.col("dst"), h.alias("h"))
+            .groupBy("walk_id")
+            # deterministic argmin incl. hash ties: lexicographic struct min
+            .agg(F.min(F.struct("h", "dst")).alias("_p"))
+            .select("walk_id", F.col("_p.dst").alias("id"))
+        )
+        cur = cut_lineage(nxt)
+        visited.append(cur.withColumn("step", F.lit(step).cast("bigint")))
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionAll(v)
+    return out.select("walk_id", "step", "id")

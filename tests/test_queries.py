@@ -212,3 +212,32 @@ def test_motif_census_deterministic(social_db):
     a = gq.motif_census_3(social_db, n_samples=100, seed=4).collect()
     b = gq.motif_census_3(social_db, n_samples=100, seed=4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_random_walks_deterministic_and_valid(social_db, adj):
+    """Walks follow real edges, are reproducible, and each next hop is the
+    md5-argmin neighbor (python model parity)."""
+    import hashlib
+
+    def h60(walk_id, step, dst):
+        s = f"{walk_id}:{step}:{dst}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got = gq.random_walks(social_db, seeds=[1, 2, 3], walk_length=3, n_walks=2)
+    rows = sorted((r["walk_id"], r["step"], r["id"]) for r in got.collect())
+    again = sorted(
+        (r["walk_id"], r["step"], r["id"])
+        for r in gq.random_walks(social_db, seeds=[1, 2, 3], walk_length=3, n_walks=2).collect()
+    )
+    assert rows == again  # reproducible
+    walks: dict[int, dict[int, int]] = {}
+    for wid, step, vid in rows:
+        walks.setdefault(wid, {})[step] = vid
+    for wid, path in walks.items():
+        assert path[0] == wid // 2  # seed encoding
+        for step in range(1, max(path) + 1):
+            prev, cur = path[step - 1], path[step]
+            nbrs = adj.get(prev, set())
+            assert cur in nbrs
+            expect = min(nbrs, key=lambda d: (h60(wid, step, d), d))
+            assert cur == expect
