@@ -455,3 +455,83 @@ def random_walks(
     for v in visited[1:]:
         out = out.unionAll(v)
     return out.select("walk_id", "step", "id")
+
+
+def node2vec_walks(
+    db: GraphDB,
+    seeds: Sequence[int],
+    walk_length: int,
+    n_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    etype: int | None = None,
+) -> DataFrame:
+    """node2vec-biased walks (Grover & Leskovec): like :func:`random_walks`
+    but the next hop is weighted by the second-order bias — 1/p to return to
+    the previous vertex, 1 to a common neighbor of the previous vertex, 1/q
+    to explore outward. Selection stays deterministic: weighted
+    exponential-race keys ``h/(2⁶⁰·w)`` (h = the md5-60-bit hash, smaller
+    wins), so for fixed (graph, seeds, p, q) the walks are reproducible —
+    pytest-verified rather than SQL-oracle (fp-weighted argmin is not
+    portable bit-for-bit).
+
+    Per hop: frontier ⋈ edges (candidates), a left semi-ish join marking
+    candidates that close a triangle with the previous vertex (one more
+    join on the edge key), then the same one groupBy(walk_id) argmin — two
+    joins + one shuffle per hop, walks parallel in walk_id. Returns
+    DF(walk_id, step, id)."""
+    spark = db.spark
+    e = db._typed(etype).select("src", "dst")
+    rows = [(int(s) * n_walks + j, int(s)) for s in seeds for j in range(n_walks)]
+    cur = cut_lineage(
+        spark.createDataFrame(rows, "walk_id bigint, id bigint").withColumn(
+            "prev", F.lit(None).cast("bigint")
+        )
+    )
+    visited = [cur.select("walk_id", F.lit(0).cast("bigint").alias("step"), "id")]
+    # canonical undirected edge set for the is-neighbor-of-prev probe
+    und = cut_lineage(
+        e.select(F.least("src", "dst").alias("ux"), F.greatest("src", "dst").alias("uy")).distinct()
+    )
+    for step in range(1, int(walk_length) + 1):
+        cand = e.join(
+            cur.select(F.col("id").alias("src"), "walk_id", "prev"), "src"
+        ).select("walk_id", F.col("src").alias("cur_id"), "prev", "dst")
+        probe = cand.join(
+            und,
+            (F.least("prev", "dst") == F.col("ux")) & (F.greatest("prev", "dst") == F.col("uy")),
+            "left",
+        ).select(
+            "walk_id",
+            "cur_id",
+            "prev",
+            "dst",
+            F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("ux").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+            .alias("w"),
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), F.col("dst"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        key = h / (F.lit(float(2**60)) * F.col("w"))
+        nxt = (
+            probe.select("walk_id", F.col("cur_id"), "dst", key.alias("k"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("k", "dst")).alias("_p"), F.min("cur_id").alias("prev0"))
+            .select(
+                "walk_id",
+                F.col("_p.dst").alias("id"),
+                F.col("prev0").alias("prev"),
+            )
+        )
+        cur = cut_lineage(nxt)
+        visited.append(cur.select("walk_id", F.lit(step).cast("bigint").alias("step"), "id"))
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionAll(v)
+    return out.select("walk_id", "step", "id")

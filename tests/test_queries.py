@@ -241,3 +241,40 @@ def test_random_walks_deterministic_and_valid(social_db, adj):
             assert cur in nbrs
             expect = min(nbrs, key=lambda d: (h60(wid, step, d), d))
             assert cur == expect
+
+
+def test_node2vec_bias_extremes(spark):
+    """Second-order bias semantics on a crafted graph: with q→∞ the walk
+    must prefer triangle-closing hops; with p→0 it must backtrack."""
+    from graphchidb_scala_spark.db import GraphDB
+
+    # 1↔2, 2→3 (outward), 2→4 with 1↔4 (4 closes a triangle with prev=1)
+    rows = [(0, 1, 2), (0, 2, 1), (0, 2, 3), (0, 2, 4), (0, 4, 1), (0, 1, 4)]
+    g = GraphDB(spark.createDataFrame(rows, "etype int, src bigint, dst bigint"))
+
+    def path_of(df, wid):
+        steps = {r["step"]: r["id"] for r in df.collect() if r["walk_id"] == wid}
+        return [steps[i] for i in sorted(steps)]
+
+    # q huge: outward (3) and return (1) hops get ~0 weight from vertex 2
+    walks = gq.node2vec_walks(g, seeds=[1], walk_length=2, p=1e9, q=1e9)
+    path = path_of(walks, 1)
+    assert path[0] == 1
+    if path[1] == 2:
+        assert path[2] == 4  # the only triangle-closing candidate
+    else:
+        assert path[1] == 4 and path[2] == 1  # 4's only out-edge returns
+
+    # p tiny: from 2 with prev=1, returning to 1 dominates everything
+    walks_p = gq.node2vec_walks(g, seeds=[1], walk_length=2, p=1e-9, q=1.0)
+    path_p = path_of(walks_p, 1)
+    if path_p[1] == 2:
+        assert path_p[2] == 1
+
+    # reproducibility
+    a = sorted(tuple(r) for r in walks.collect())
+    b = sorted(
+        tuple(r)
+        for r in gq.node2vec_walks(g, seeds=[1], walk_length=2, p=1e9, q=1e9).collect()
+    )
+    assert a == b
