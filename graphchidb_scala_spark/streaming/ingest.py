@@ -32,6 +32,14 @@ from pyspark.sql.window import Window
 from graphchidb_scala_spark.db import EDGE_KEY, GraphDB
 
 
+# Existing-key probe sizing (see _src_probe_predicate): max ids per IN-list
+# chunk, max OR'd chunks, and the hard cap on ids collected to the driver
+# before the probe falls back to a distributed semi-join.
+_PROBE_IN_CHUNK = 50_000
+_PROBE_MAX_CHUNKS = 64
+_PROBE_MAX_IDS = 1_000_000
+
+
 class EdgeStore:
     """Parquet-backed edge store with micro-batch appends and compaction."""
 
@@ -80,9 +88,9 @@ class EdgeStore:
         (GraphChiDatabase.scala:1777-1833). Only keys that did not previously
         exist contribute (an upsert of an existing (etype,src,dst) key leaves
         both endpoints' degrees unchanged). The existing-key probe pushes the
-        batch's src id set into the base read (``src IN (...)``, or a src
-        range when the set is large), so the src-sorted bucketed layout
-        prunes row groups — the probe reads a bounded slice of a 100 TB base,
+        batch's src id set into the base read (``src IN (...)``, gap-cut into
+        chunked IN-lists when the set is large), so the src-sorted bucketed
+        layout prunes row groups — the probe reads a bounded slice of a 100 TB base,
         not the whole of it. The base is never shuffled."""
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
@@ -103,19 +111,26 @@ class EdgeStore:
         """Which of the batch's (etype, src, dst) keys already exist in the
         pre-batch store (rows with ``_v < version``)? The base read is pruned
         to the batch's src slice — every probed key has src in the batch, and
-        the base layout is src-sorted, so an IN-set (or min/max range for
-        oversized batches) predicate reaches the parquet row-group stats and
+        the base layout is src-sorted, so the gap-cut chunked IN predicate
+        (``_src_probe_predicate``) reaches the parquet row-group stats and
         the probe reads a bounded slice of a 100 TB base, never the whole of
-        it (plan-asserted by tools/explain_audit.py). Returns None for an
-        empty batch."""
-        srcs = [r["src"] for r in bkeys.select("src").distinct().collect()]
-        if not srcs:
+        it (plan-asserted by tools/explain_audit.py, both arms). Batches past
+        ``_PROBE_MAX_IDS`` distinct srcs skip the driver-side predicate and
+        probe with a distributed src semi-join instead — bounded driver
+        memory at any batch size. Returns None for an empty batch."""
+        src_rows = (
+            bkeys.select("src").distinct().limit(_PROBE_MAX_IDS + 1).collect()
+        )
+        if not src_rows:
             return None
         pre = self._union_raw().filter(F.col("_v") < version)
-        if len(srcs) <= 50_000:
-            pre = pre.filter(F.col("src").isin(srcs))
+        if len(src_rows) <= _PROBE_MAX_IDS:
+            pre = pre.filter(_src_probe_predicate([r["src"] for r in src_rows]))
         else:
-            pre = pre.filter((F.col("src") >= min(srcs)) & (F.col("src") <= max(srcs)))
+            # Huge batch: no driver-side id list. The src semi-join lets the
+            # planner/AQE pick the join shape (runtime bloom filter / shuffle)
+            # — the only probe that scales to an unbounded batch.
+            pre = pre.join(bkeys.select("src").distinct(), "src", "semi")
         return pre.select(*EDGE_KEY).join(F.broadcast(bkeys), list(EDGE_KEY), "semi")
 
     # ------------------------------------------------------------------- reads
@@ -255,6 +270,34 @@ class EdgeStore:
 
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+
+def _src_probe_predicate(srcs: list[int]):
+    """Exact src-membership predicate that stays row-group-prunable at any
+    batch size. ≤``_PROBE_IN_CHUNK`` ids → a single IN-set. Larger batches
+    are split into at most ``_PROBE_MAX_CHUNKS`` IN-lists cut at the largest
+    gaps in the sorted id sequence: Spark pushes each oversized IN to parquet
+    as the chunk's min/max range, so OR-of-chunks skips the row groups in the
+    gaps *between* id clusters instead of degenerating to one global min/max
+    — the r4 cliff where a scattered batch (hash-distributed producers)
+    pruned nothing and re-scanned the full base per micro-batch. The IN-sets
+    keep row-level filtering exact regardless of what the scan prunes."""
+    s = sorted(set(srcs))
+    if len(s) <= _PROBE_IN_CHUNK:
+        return F.col("src").isin(s)
+    n_chunks = min(_PROBE_MAX_CHUNKS, -(-len(s) // _PROBE_IN_CHUNK))
+    cuts = sorted(
+        sorted(range(1, len(s)), key=lambda i: s[i] - s[i - 1], reverse=True)[
+            : n_chunks - 1
+        ]
+    )
+    pred = None
+    start = 0
+    for cut in cuts + [len(s)]:
+        p = F.col("src").isin(s[start:cut])
+        pred = p if pred is None else (pred | p)
+        start = cut
+    return pred
 
 
 def stream_edges_from_events(

@@ -132,6 +132,14 @@ CHECKS = {
         lambda g, docs, emb: _edgestore_batch_probe(g),
         ["In(src", "!SortMergeJoin"],
     ),
+    # the large-batch fallback arm: past the IN-chunk size the probe must
+    # still push gap-cut chunked IN-lists (OR of per-cluster ranges at the
+    # scan), not one global min/max that a scattered batch defeats — r4's
+    # full-base-rescan cliff
+    "edgestore_scattered_batch_probe_pruned": (
+        lambda g, docs, emb: _edgestore_scattered_batch_probe(g),
+        ["Or(In(src", "!SortMergeJoin"],
+    ),
     # persisted IVF probe: the _cell predicate must prune partitions at the
     # scan (PartitionFilters), not filter after a full read
     "ann_ivf_indexed_partition_pruning": (
@@ -169,6 +177,28 @@ def _edgestore_batch_probe(g):
     store.init_base(g.edges)
     bkeys = g.edges.limit(20).select(*EDGE_KEY).distinct().localCheckpoint()
     return store._existing_key_probe(bkeys, version=1 << 62)
+
+
+def _edgestore_scattered_batch_probe(g):
+    import tempfile
+    from unittest import mock
+
+    from graphchidb_scala_spark.db import EDGE_KEY
+    from graphchidb_scala_spark.streaming import ingest
+
+    store = ingest.EdgeStore(g.spark, tempfile.mkdtemp(prefix="audit_probe_sc_"))
+    store.init_base(g.edges)
+    # a batch scattered across the id space, forced past the chunk size so
+    # the audit exercises the same arm a >50k-src production batch takes
+    bkeys = (
+        g.edges.select(*EDGE_KEY)
+        .distinct()
+        .orderBy(F.md5(F.concat_ws(",", "src", "dst")))
+        .limit(40)
+        .localCheckpoint()
+    )
+    with mock.patch.object(ingest, "_PROBE_IN_CHUNK", 8):
+        return store._existing_key_probe(bkeys, version=1 << 62)
 
 
 def _ivf_indexed_probe(emb):
