@@ -391,18 +391,25 @@ class GraphDB:
 
     def induced_subgraph(
         self, vertex_ids: Sequence[int] | DataFrame, etype: int | None = None,
-        broadcast_set: bool = True,
+        broadcast_set: bool | None = None,
     ) -> DataFrame:
         """Edges whose BOTH endpoints are in the vertex set — reference
         ``inducedSubgraph`` (Queries.scala:87-103) as a double semi-join.
-        Broadcast both probes when the set is small (ego-nets); pass
-        ``broadcast_set=False`` for huge sets to let Catalyst shuffle."""
+        By default the vertex set is count-gated (one cheap count): small
+        sets (ego-nets) get the broadcast hint, huge sets keep the shuffle
+        path — an unconditional hint would force-broadcast an arbitrary
+        caller set at 100 TB. Pass ``broadcast_set=True/False`` to override
+        the gate in either direction."""
         e = self._typed(etype)
         if not isinstance(vertex_ids, DataFrame):
             ids = [int(v) for v in vertex_ids]
             return e.filter(F.col("src").isin(ids) & F.col("dst").isin(ids))
         vs = vertex_ids.select(F.col(vertex_ids.columns[0]).alias("id"))
-        if broadcast_set:
+        if broadcast_set is None:
+            from graphchidb_scala_spark.functions.dedup import _broadcast_if_small_ids
+
+            vs = _broadcast_if_small_ids(vs)
+        elif broadcast_set:
             vs = F.broadcast(vs)
         return (
             e.join(vs.withColumnRenamed("id", "src"), "src", "semi")

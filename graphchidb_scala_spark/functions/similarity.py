@@ -430,15 +430,17 @@ def pq_train(
     df: DataFrame,
     m: int = 8,
     n_codes: int = 16,
-    sample_cap: int = 2048,
+    sample_cap: int = 16_384,
     iterations: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks: split each vector into ``m``
     contiguous subvectors and run seeded Lloyd's k-means (``n_codes``
-    centroids) per subspace on a deterministic sample (lowest ``sample_cap``
-    ids — no rand(), reproducible across runs/engines). Returns
+    centroids) per subspace on a deterministic hash-ordered sample
+    (``sample_cap`` rows by md5(id) — no rand(), reproducible across
+    runs/engines, and unlike a lowest-id slice not correlated with a single
+    source/crawl epoch of the corpus). Returns
     ``codebooks[m][n_codes][dim/m]`` as plain floats — a driver-resident
     model like the IVF codebook (m·n_codes·dim/m = dim·n_codes floats, a few
     KB at any corpus size; only encoding/scoring is distributed).
@@ -451,7 +453,10 @@ def pq_train(
     import numpy as np
 
     rows = (
-        df.orderBy(id_col).limit(int(sample_cap)).select(vec_col).collect()
+        df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(int(sample_cap))
+        .select(vec_col)
+        .collect()
     )
     x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     dim = x.shape[1]
