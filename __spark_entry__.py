@@ -349,12 +349,27 @@ def _q_doc_wordgram_neardup(spark, sf):
     )
 
 
+def _scratch_index_dir(kind: str, sf: str) -> str:
+    """Fixed per-(index-kind, sf-dir) scratch path for the persisted-index
+    probes, wiped before each rebuild — repeated correctness-harness runs
+    reuse one directory instead of leaking a fresh mkdtemp every invocation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graphchidb_idx_{kind}_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def _q_ann_lsh_indexed(spark, sf):
     """Persisted hyperplane-LSH probe: partitionBy(_bkt) layout + sidecar
     params; identical results to ann_topk_lsh, so it shares that oracle."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="lsh_index_")
+    path = _scratch_index_dir("lsh", sf)
     similarity.save_lsh_index(_emb(spark, sf), path, dim=64, n_planes=8, seed=42)
     return similarity.ann_topk_lsh_indexed(spark, path, _query_vec(spark, sf), k=10)
 
@@ -521,9 +536,7 @@ def _q_ann_ivf_indexed(spark, sf):
     pruning; the shard skip-index analogue, ShardIndex.java:33-101). Result
     is identical to ann_topk_ivf (same codebook, same assignment), so the
     same SQL oracle verifies it."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = _scratch_index_dir("ivf", sf)
     similarity.save_ivf_index(_emb(spark, sf), path)
     return similarity.ann_topk_ivf_indexed(
         spark, path, _query_vec(spark, sf), k=10, nprobe=3

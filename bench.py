@@ -192,6 +192,10 @@ def main() -> None:
                 # fixture drift) must not erase the whole round's numbers
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"  rep{rep} {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
+                # a fast failure must not deflate the headline total — record
+                # no timing; the query surfaces in 'errors' with a null median
+                timings[name] = None
+                continue
             timings[name] = round(time.time() - t, 3)
             print(f"  rep{rep} {name}: {timings[name]:.1f}s", file=sys.stderr, flush=True)
         per_rep.append(timings)
@@ -208,12 +212,17 @@ def main() -> None:
             break
 
     names = list(per_rep[0].keys())
-    medians = {n: round(statistics.median(r[n] for r in per_rep), 3) for n in names}
-    spread = {
-        n: [round(min(r[n] for r in per_rep), 3), round(max(r[n] for r in per_rep), 3)]
-        for n in names
+    ok_times = {n: [r[n] for r in per_rep if r.get(n) is not None] for n in names}
+    medians = {
+        n: (round(statistics.median(ts), 3) if ts else None)
+        for n, ts in ok_times.items()
     }
-    total = round(sum(medians.values()), 3)
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)]
+        for n, ts in ok_times.items()
+        if ts
+    }
+    total = round(sum(v for v in medians.values() if v is not None), 3)
     medians["setup_cache"] = round(setup_sec, 3)
     out = {
         "metric": "headline_queries_total",

@@ -497,9 +497,15 @@ def node2vec_walks(
         cand = e.join(
             cur.select(F.col("id").alias("src"), "walk_id", "prev"), "src"
         ).select("walk_id", F.col("src").alias("cur_id"), "prev", "dst")
+        # prev IS NOT NULL guards step 1: least/greatest skip NULLs, so a
+        # NULL prev would degenerate the key to (dst, dst) and match
+        # self-loop rows, giving first-hop candidates with self-loops the
+        # triangle weight 1.0 instead of the uniform 1/q
         probe = cand.join(
             und,
-            (F.least("prev", "dst") == F.col("ux")) & (F.greatest("prev", "dst") == F.col("uy")),
+            F.col("prev").isNotNull()
+            & (F.least("prev", "dst") == F.col("ux"))
+            & (F.greatest("prev", "dst") == F.col("uy")),
             "left",
         ).select(
             "walk_id",

@@ -58,7 +58,13 @@ def pagerank(
     and ``sum(c) + 0.0`` is bit-exact, so results are unchanged. The
     edge+degree table is checkpointed once; the per-iteration rank side
     broadcasts while it fits and degrades to a co-partitioned shuffle join
-    at scale."""
+    at scale.
+
+    Universe semantics: edge endpoints absent from the vertex table still
+    participate in propagation (their mass accumulates and flows onward —
+    the Pregel universe is edge endpoints ∪ vertices), but the OUTPUT is
+    restricted to the vertex table with one final semi-join, so the result
+    schema/row-set is stable however dirty the edge set is."""
     e = db._typed(etype).select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
@@ -90,7 +96,9 @@ def pagerank(
             # checkpoint_every=None keeps the plan un-collapsed (plan audits)
             if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
                 ranks = _checkpoint(ranks)
-    return ranks
+    # one final (not per-iteration) semi-join: drop rank rows the message
+    # union grew for edge endpoints outside the vertex table
+    return ranks.join(vstatic, "id", "semi")
 
 
 # ---------------------------------------------------------- connected components
@@ -205,6 +213,10 @@ def connected_components(
         labels = nbr.unionAll(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
         if (i + 1) % check_every == 0:
             labels = _checkpoint(labels)
+    # edge endpoints outside the vertex table act as label conduits during
+    # the rounds (Pregel universe = endpoints ∪ vertices) but are dropped
+    # from the output — one final semi-join, not a per-round state join
+    labels = labels.join(db.vertices.select("id"), "id", "semi")
     return labels.select("id", F.col("lbl").alias("cc"))
 
 
@@ -348,6 +360,7 @@ def propagate_labels(
     iterations: int,
     etype: int | None = None,
     agg: str = "min",
+    restrict_to_initial: bool = False,
 ) -> DataFrame:
     """Generic directed label propagation (building block mirroring the
     reference's update-function plug-in point,
@@ -356,10 +369,18 @@ def propagate_labels(
 
     For all three aggs the vertex's own label is just one more message
     (min/max absorb it; sum adds it), so each round is ONE groupBy shuffle
-    over messages ∪ state — no per-round state join."""
+    over messages ∪ state — no per-round state join.
+
+    Universe semantics: the state GROWS to message recipients — a vertex
+    absent from ``initial`` that receives a label holds it and forwards it
+    in later rounds (Pregel-style: the graph defines the universe). That is
+    usually what seeded propagation wants (labels reach the rest of the
+    graph). ``restrict_to_initial=True`` semi-joins the OUTPUT back to the
+    initial id set; reached vertices still act as conduits mid-run."""
     agg_fn = {"min": F.min, "max": F.max, "sum": F.sum}[agg]
     e = _checkpoint(db._typed(etype).select("src", "dst"))
-    labels = _checkpoint(initial.select("id", "lbl"))
+    init = _checkpoint(initial.select("id", "lbl"))
+    labels = init
     for i in range(iterations):
         msgs = e.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "lbl"
@@ -367,4 +388,6 @@ def propagate_labels(
         labels = msgs.unionAll(labels).groupBy("id").agg(agg_fn("lbl").alias("lbl"))
         if (i + 1) % 3 == 0:
             labels = _checkpoint(labels)
+    if restrict_to_initial:
+        labels = labels.join(init.select("id"), "id", "semi")
     return labels

@@ -278,3 +278,22 @@ def test_node2vec_bias_extremes(spark):
         for r in gq.node2vec_walks(g, seeds=[1], walk_length=2, p=1e9, q=1e9).collect()
     )
     assert a == b
+
+
+def test_node2vec_first_hop_uniform_with_self_loops(spark):
+    """Step 1 has no prev vertex, so ALL first-hop candidates must race with
+    the same uniform 1/q weight — including candidates that have self-loops.
+    (Regression: least/greatest skip the NULL prev, so the triangle probe
+    used to match self-loop rows and give those candidates weight 1.0.)"""
+    from graphchidb_scala_spark.db import GraphDB
+
+    # 1→2 and 1→3; 2 has a self-loop. With q huge, the buggy 1.0 weight on 2
+    # would make every walk pick 2; uniform weights give a fair hash race.
+    rows = [(0, 1, 2), (0, 1, 3), (0, 2, 2)]
+    g = GraphDB(spark.createDataFrame(rows, "etype int, src bigint, dst bigint"))
+    walks = gq.node2vec_walks(g, seeds=[1], n_walks=64, walk_length=1, p=1.0, q=1e9)
+    first = [r["id"] for r in walks.collect() if r["step"] == 1]
+    assert len(first) == 64
+    picked_3 = sum(1 for v in first if v == 3)
+    # binomial(64, 1/2): 12..52 is > 5-sigma wide; the bug gives ~0
+    assert 12 <= picked_3 <= 52
