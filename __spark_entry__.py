@@ -530,6 +530,20 @@ def _q_ann_ivf(spark, sf):
     return similarity.ann_topk_ivf(_emb(spark, sf), _query_vec(spark, sf), k=10, nprobe=3)
 
 
+def _q_ann_pq(spark, sf):
+    """PQ ADC top-k with the label-derived (SQL-recomputable) codebook: the
+    same pq_encode/pq_topk operators the Lloyd's-trained path uses — code
+    assignment is a pure projection (argmin inside codegen), ADC is m table
+    lookups per row over the code column only — but with a codebook DuckDB
+    can rebuild exactly, so the whole encode+score pipeline hash-verifies
+    against the oracle (_ann_pq_sql). pq_train/IVF-PQ quality stays
+    pytest-gated (tests/test_functions.py)."""
+    emb = _emb(spark, sf)
+    books = similarity.pq_codebooks_from_labels(emb, m=8, n_codes=16)
+    enc = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(enc, books, _query_vec(spark, sf), k=10)
+
+
 def _q_ann_ivf_indexed(spark, sf):
     """Persisted-IVF probe: build the partitionBy(_cell) index, then answer
     from it — the probe reads ONLY the nprobe cell partitions (partition
@@ -710,6 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged_stats": _q_cc_converged,
         "als_recommend": _q_als_recommend,
         "als_rmse": _q_als_rmse,
+        # oracle-backed PQ ADC (label-derived codebook — the SQL-recomputable
+        # twin of the Lloyd's pq_train path, exercising the same encode +
+        # ADC scoring operators)
+        "ann_topk_pq": _q_ann_pq,
     }
 
 
@@ -789,6 +807,49 @@ cells AS (
 SELECT c.vec_id, round(list_cosine_similarity(c.embedding::DOUBLE[], (SELECT v FROM qv)), 4) AS cos_sim
 FROM cells c WHERE c.cell IN (SELECT label FROM probes)
 ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+""".strip()
+
+
+def _ann_pq_sql(k: int = 10, m: int = 8, n_codes: int = 16) -> str:
+    # mirrors _q_ann_pq: label-derived codebook (avg per label % n_codes,
+    # round 6 — same cross-engine avg parity as embedding_centroids), per-row
+    # per-subspace nearest-code assignment (L2 over the subvector slice, ties
+    # by ascending cell = Spark's first-min array_position over ascending-cell
+    # books), ADC lookup table from the query vector, summed + round 4
+    d0 = 64 // m
+    return f"""
+WITH cb AS (
+  SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+    SELECT label % {n_codes} AS cell, pos, round(avg(x::DOUBLE), 6) AS c FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ) GROUP BY label % {n_codes}, pos
+  ) GROUP BY cell
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+da AS (
+  SELECT e.vec_id, j.j, cb.cell,
+         list_distance(CAST(e.embedding[j.j*{d0}+1 : j.j*{d0}+{d0}] AS DOUBLE[]),
+                       CAST(cb.centroid[j.j*{d0}+1 : j.j*{d0}+{d0}] AS DOUBLE[])) AS d
+  FROM embeddings e, generate_series(0, {m - 1}) j(j), cb
+),
+enc AS (
+  SELECT vec_id, j, cell FROM (
+    SELECT vec_id, j, cell,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+    FROM da
+  ) WHERE rn = 1
+),
+tab AS (
+  SELECT j.j, cb.cell,
+         list_distance(CAST(q.v[j.j*{d0}+1 : j.j*{d0}+{d0}] AS DOUBLE[]),
+                       CAST(cb.centroid[j.j*{d0}+1 : j.j*{d0}+{d0}] AS DOUBLE[])) ^ 2 AS pd
+  FROM cb, generate_series(0, {m - 1}) j(j), qv q
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, round(sum(t.pd), 4) AS pq_dist
+FROM enc e JOIN tab t ON t.j = e.j AND t.cell = e.cell
+GROUP BY e.vec_id
+ORDER BY pq_dist, vec_id LIMIT {k}
 """.strip()
 
 
@@ -1465,4 +1526,7 @@ FROM embeddings e, q
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """.strip(),
         "embed_neardup": _embed_neardup_sql(),
+        # PQ ADC with the label-derived codebook — verifies the distributed
+        # encode (argmin projection) + ADC scoring end-to-end
+        "ann_topk_pq": _ann_pq_sql(),
     }

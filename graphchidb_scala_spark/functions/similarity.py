@@ -484,6 +484,50 @@ def pq_train(
     return books
 
 
+def pq_codebooks_from_labels(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Deterministic, SQL-recomputable PQ codebooks: code ``c`` of subspace
+    ``j`` is the average of subvector ``j`` over rows with
+    ``label % n_codes == c`` (codes ordered by ascending cell value). Same
+    role the label-centroid codebook plays for IVF (ivf_codebook): not the
+    quality path — :func:`pq_train` (Lloyd's) is — but a codebook an
+    ANSI-SQL oracle can rebuild exactly, so the distributed encode + ADC
+    machinery itself is hash-verifiable against DuckDB. One (cell, pos)
+    groupBy shuffle; centroids rounded to ``round_dp`` for cross-engine avg
+    parity."""
+    rows = (
+        df.select(
+            F.pmod(F.col(label_col), F.lit(int(n_codes))).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    full = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in rows}
+    dim = len(next(iter(full.values())))
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide the vector dim ({dim})")
+    d0 = dim // m
+    cells = sorted(full)
+    return [
+        [full[c][j * d0 : (j + 1) * d0] for c in cells] for j in range(m)
+    ]
+
+
 def _pq_code_col(vec_col: Column, codebooks: list[list[list[float]]]) -> Column:
     """array<int> of per-subspace nearest-code ids — a pure projection: the
     codebooks fold into the plan as literal array-of-array constants and the

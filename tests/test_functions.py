@@ -577,6 +577,31 @@ def test_pq_recall_on_clusters(spark):
     assert all(r["vec_id"] < 100 for r in top)  # all from the +1 cluster
 
 
+def test_pq_codebooks_from_labels_parity(spark):
+    # the SQL-recomputable codebook: code c of subspace j == mean of
+    # subvector j over rows with label % n_codes == c, rounded to 6dp,
+    # cells ascending — verified against a hand-computed model
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], 0),
+        (1, [3.0, 4.0, 5.0, 6.0], 2),
+        (2, [5.0, 6.0, 7.0, 8.0], 0),
+        (3, [7.0, 8.0, 9.0, 0.0], 5),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    books = similarity.pq_codebooks_from_labels(df, m=2, n_codes=3)
+    # label % 3 -> cells {0: rows 0,2,3(label 5%3=2? no: 5%3=2)}: labels 0,2,0,5
+    # cells: 0 -> rows 0,2; 2 -> rows 1,3
+    assert len(books) == 2 and len(books[0]) == 2
+    assert books[0][0] == [3.0, 4.0]  # cell 0, subspace 0: avg([1,2],[5,6])
+    assert books[1][0] == [5.0, 6.0]  # cell 0, subspace 1: avg([3,4],[7,8])
+    assert books[0][1] == [5.0, 6.0]  # cell 2, subspace 0: avg([3,4],[7,8])
+    assert books[1][1] == [7.0, 3.0]  # cell 2, subspace 1: avg([5,6],[9,0])
+    # and the full pipeline over it ranks a planted NN first
+    enc = similarity.pq_encode(df, books)
+    top = similarity.pq_topk(enc, books, [1.0, 2.0, 3.0, 4.0], k=1).collect()
+    assert top[0]["vec_id"] in (0, 2)  # both encode to cell 0
+
+
 def test_pq_geometry_guards(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="divide"):

@@ -86,6 +86,16 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # PQ encode must be a pure projection like the IVF assignment: codebooks
+    # fold in as literals, the per-subspace argmin runs in codegen — no join,
+    # no shuffle, no Python on the 100 TB scan path
+    "pq_encode_pure_projection": (
+        lambda g, docs, emb: similarity.pq_encode(
+            emb,
+            [[[0.0] * 8, [1.0] * 8] for _ in range(8)],
+        ),
+        ["Project", "!Exchange", "!Join"],
+    ),
     "ivf_cell_assignment_pure_projection": (
         lambda g, docs, emb: emb.withColumn(
             "_cell",
