@@ -18,7 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphchidb_scala_spark.db import GraphDB
-from graphchidb_scala_spark.functions import dedup, events, multimodal, similarity, text
+from graphchidb_scala_spark.functions import (
+    dedup,
+    events,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 from graphchidb_scala_spark.functions.text import LANG_STOPWORDS
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.operators import pregel
@@ -544,6 +551,39 @@ def _q_ann_pq(spark, sf):
     return similarity.pq_topk(enc, books, _query_vec(spark, sf), k=10)
 
 
+def _q_doc_split_hash(spark, sf):
+    """Deterministic hash split (train/val/test by md5 bucket): membership
+    is a pure function of (doc_id, seed) — re-runs, appends, and engines
+    agree. Pure projection (no shuffle); oracle recomputes the identical
+    md5 arithmetic."""
+    return pipeline.split_by_hash(_docs(spark, sf)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )
+
+
+def _q_doc_contamination(spark, sf):
+    """Benchmark-contamination audit: distinct word-3-gram shingles shared
+    between each corpus doc and a 'benchmark' slice (doc_id % 97 == 0 —
+    self-contained stand-in for an eval suite). Shuffle on shingle only;
+    the benchmark shingle set is count-gated broadcast."""
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.contamination_hits(corpus, bench, k=3).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+    )
+
+
+def _q_doc_stratified_sample(spark, sf):
+    """Exact proportional per-source sample (ceil(1/8 of each stratum),
+    lowest seeded hashes win) — deterministic counterpart of df.sample
+    that survives skewed strata; one shuffle on the stratum key."""
+    return pipeline.stratified_sample(_docs(spark, sf), "source", 0.125).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
 def _q_ann_ivf_indexed(spark, sf):
     """Persisted-IVF probe: build the partitionBy(_cell) index, then answer
     from it — the probe reads ONLY the nprobe cell partitions (partition
@@ -728,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin of the Lloyd's pq_train path, exercising the same encode +
         # ADC scoring operators)
         "ann_topk_pq": _q_ann_pq,
+        # corpus-assembly pipeline ops (split / decontaminate / sample)
+        "doc_split_hash": _q_doc_split_hash,
+        "doc_contamination": _q_doc_contamination,
+        "doc_stratified_sample": _q_doc_stratified_sample,
     }
 
 
@@ -1529,4 +1573,35 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         # PQ ADC with the label-derived codebook — verifies the distributed
         # encode (argmin projection) + ADC scoring end-to-end
         "ann_topk_pq": _ann_pq_sql(),
+        # split thresholds: names sorted (test, train, val), cumulative
+        # weights 0.05 / 0.9 / 0.05 over md5-60bit(seed:id) % 1e6
+        "doc_split_hash": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN b < 50000 THEN 'test' WHEN b < 950000 THEN 'train' "
+            "ELSE 'val' END AS split FROM ("
+            "SELECT doc_id, ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000 AS b FROM documents) t"
+        ),
+        "doc_contamination": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk "
+            "FROM documents),\n"
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, greatest(len(tk) - 1, 1)), "
+            "i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t WHERE len(tk) >= 3),\n"
+            "b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(DISTINCT sh.sh) AS BIGINT) AS n_hits "
+            "FROM sh JOIN b USING (sh) WHERE doc_id % 97 <> 0 GROUP BY doc_id"
+        ),
+        # 0.125 is exactly representable, so ceil(0.125 * n) agrees across
+        # engines whatever numeric type each picks for the literal
+        "doc_stratified_sample": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (\n"
+            "  SELECT doc_id, source,\n"
+            "         row_number() OVER (PARTITION BY source ORDER BY "
+            "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn,\n"
+            "         count(*) OVER (PARTITION BY source) AS n\n"
+            "  FROM documents) t\n"
+            "WHERE rn <= ceil(0.125 * n)"
+        ),
     }

@@ -1,0 +1,140 @@
+"""Training-corpus pipeline operators: deterministic dataset splitting,
+benchmark-contamination detection, and stratified sampling — the assembly
+steps between the dedup/quality stages (dedup.py, text.py) and a training
+run. No reference analogue (the reference is a graph store); these extend
+the engine the way a 100 TB LLM-data pipeline needs, with the same design
+rules as the rest of the repo: pure-Column expressions in codegen, seeded
+md5 determinism (cross-engine checkable — no rand()), shuffles only where
+an aggregation genuinely requires one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from graphchidb_scala_spark.functions.dedup import (
+    _broadcast_if_small,
+    md5_hash60,
+    word_shingles,
+)
+
+# ------------------------------------------------------------- dataset split
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hashing its id — the standard leakage-safe split discipline: membership
+    is a pure function of (id, seed), so it is stable under re-runs,
+    re-partitioning, appends, and engine changes (no rand(), no
+    sample()), and two tables sharing the id space split consistently.
+
+    Buckets: ``md5_hash60(seed:id) % 1_000_000`` against cumulative weight
+    thresholds, splits ordered by name for determinism. Pure projection —
+    no shuffle, no join; at 100 TB this costs one codegen expression per
+    row on whatever scan is already running."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = F.pmod(
+        md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col))),
+        F.lit(1_000_000),
+    )
+    acc = 0.0
+    expr: Column | None = None
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * 1_000_000
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+# ------------------------------------------------- benchmark contamination
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-document count of distinct word ``k``-gram shingles shared
+    with ANY benchmark document — the decontamination primitive (filter or
+    audit train docs that leak eval data). Returns DF(id, n_hits) for docs
+    with ≥1 hit; anti-join the corpus against it to decontaminate.
+
+    Scale shape: both sides explode to distinct (id, shingle) rows; the
+    join shuffles on the shingle string — never all-pairs. The benchmark
+    side (eval suites: thousands of docs, not billions) is deduped to
+    DISTINCT shingles and count-gated through the repo's broadcast idiom,
+    so at real scale the corpus side streams map-side against a broadcast
+    shingle set and the only exchange is the final per-doc count."""
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    b_sh = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+        .withColumn("n", F.lit(1))
+    )
+    return (
+        c_sh.join(_broadcast_if_small(b_sh, n_col="n"), "sh", "semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus documents with ≥ ``min_hits`` shared benchmark shingles
+    (left anti on the :func:`contamination_hits` id set)."""
+    hits = contamination_hits(corpus, benchmark, k, id_col, text_col)
+    bad = hits.filter(F.col("n_hits") >= int(min_hits)).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")
+
+
+# ------------------------------------------------------- stratified sampling
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exact proportional per-stratum sample: every stratum contributes
+    ``ceil(fraction * stratum_size)`` rows, chosen as the stratum's lowest
+    md5(seed:id) hashes — deterministic (re-runs and engines agree on the
+    exact row set, unlike ``df.sample``) and balanced even when stratum
+    sizes are skewed by orders of magnitude (web corpora: one crawl
+    dominates). Two window passes over one shuffle on the stratum key;
+    row_number + count run in the same window spec, so Catalyst computes
+    both in a single Window operator."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    order_key = md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col)))
+    w = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w.orderBy(order_key.asc(), F.col(id_col).asc()))
+    n = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("_n", n)
+        .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
+        .drop("_rn", "_n")
+    )

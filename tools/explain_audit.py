@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.session import get_spark
 from graphchidb_scala_spark.sources.tpch import load_tables, tpch_graph
-from graphchidb_scala_spark.functions import dedup, similarity
+from graphchidb_scala_spark.functions import dedup, pipeline, similarity
 
 
 def plan_of(df) -> str:
@@ -85,6 +85,28 @@ CHECKS = {
             docs, block_col="source", threshold=0.5
         ),
         ["!CartesianProduct"],
+    ),
+    # hash split is membership-by-arithmetic: one projection, no shuffle —
+    # the property that makes it free on a 100 TB scan
+    "split_by_hash_pure_projection": (
+        lambda g, docs, emb: pipeline.split_by_hash(docs),
+        ["Project", "!Exchange", "!Join"],
+    ),
+    # contamination joins exploded shingles on the shingle key — never
+    # all-pairs doc x benchmark
+    "contamination_no_cartesian": (
+        lambda g, docs, emb: pipeline.contamination_hits(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            k=3,
+        ),
+        ["!CartesianProduct"],
+    ),
+    # stratified sampling = one Window over the stratum shuffle (row_number
+    # and the stratum count share the spec); no join anywhere
+    "stratified_sample_single_window": (
+        lambda g, docs, emb: pipeline.stratified_sample(docs, "source", 0.125),
+        ["Window", "!Join"],
     ),
     # PQ encode must be a pure projection like the IVF assignment: codebooks
     # fold in as literals, the per-subspace argmin runs in codegen — no join,
