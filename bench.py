@@ -156,6 +156,12 @@ def main() -> None:
             "multi_bfs_1200x3": lambda: gq.multi_bfs_levels(
                 g, list(range(1, 1201)), max_depth=3
             ).count(),
+            # embedding-corpus generator workload (r4 verdict ask): 10k
+            # deterministic walks x 10 hops = 10 frontier joins + argmin
+            # shuffles; parallel in walk_id
+            "random_walks_10k_x10": lambda: gq.random_walks(
+                g, list(range(1, 10_001)), walk_length=10
+            ).count(),
             "pagerank_10iter": lambda: pregel.pagerank(g, iterations=10).count(),
             "connected_components": lambda: pregel.connected_components(g).count(),
             "text_stats": lambda: text.text_stats(docs).count(),

@@ -457,6 +457,68 @@ def random_walks(
     return out.select("walk_id", "step", "id")
 
 
+def node2vec_step(
+    e: DataFrame,
+    und: DataFrame,
+    cur: DataFrame,
+    step: int,
+    p: float,
+    q: float,
+) -> DataFrame:
+    """One node2vec hop: frontier (walk_id, id, prev) → next frontier.
+
+    Candidates = frontier ⋈ edges on the current vertex; the second-order
+    bias needs "is dst a neighbor of prev", probed with a LEFT equi-join
+    against the canonical undirected edge set on the
+    (least(prev,dst), greatest(prev,dst)) key — Catalyst extracts those two
+    expressions as hash-join keys, so the probe is a plain shuffled hash
+    join in walk-count × degree, never a nested-loop/cartesian
+    (plan-asserted: tools/explain_audit.py `node2vec_probe_equi_join`).
+    Selection = one groupBy(walk_id) argmin of the weighted race key.
+    Exposed module-level so the audit exercises the exact production hop."""
+    cand = e.join(
+        cur.select(F.col("id").alias("src"), "walk_id", "prev"), "src"
+    ).select("walk_id", F.col("src").alias("cur_id"), "prev", "dst")
+    # prev IS NOT NULL guards step 1: least/greatest skip NULLs, so a
+    # NULL prev would degenerate the key to (dst, dst) and match
+    # self-loop rows, giving first-hop candidates with self-loops the
+    # triangle weight 1.0 instead of the uniform 1/q
+    probe = cand.join(
+        und,
+        F.col("prev").isNotNull()
+        & (F.least("prev", "dst") == F.col("ux"))
+        & (F.greatest("prev", "dst") == F.col("uy")),
+        "left",
+    ).select(
+        "walk_id",
+        "cur_id",
+        "prev",
+        "dst",
+        F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+        .when(F.col("ux").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(1.0 / q))
+        .alias("w"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), F.col("dst"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("double")
+    key = h / (F.lit(float(2**60)) * F.col("w"))
+    return (
+        probe.select("walk_id", F.col("cur_id"), "dst", key.alias("k"))
+        .groupBy("walk_id")
+        .agg(F.min(F.struct("k", "dst")).alias("_p"), F.min("cur_id").alias("prev0"))
+        .select(
+            "walk_id",
+            F.col("_p.dst").alias("id"),
+            F.col("prev0").alias("prev"),
+        )
+    )
+
+
 def node2vec_walks(
     db: GraphDB,
     seeds: Sequence[int],
@@ -494,48 +556,7 @@ def node2vec_walks(
         e.select(F.least("src", "dst").alias("ux"), F.greatest("src", "dst").alias("uy")).distinct()
     )
     for step in range(1, int(walk_length) + 1):
-        cand = e.join(
-            cur.select(F.col("id").alias("src"), "walk_id", "prev"), "src"
-        ).select("walk_id", F.col("src").alias("cur_id"), "prev", "dst")
-        # prev IS NOT NULL guards step 1: least/greatest skip NULLs, so a
-        # NULL prev would degenerate the key to (dst, dst) and match
-        # self-loop rows, giving first-hop candidates with self-loops the
-        # triangle weight 1.0 instead of the uniform 1/q
-        probe = cand.join(
-            und,
-            F.col("prev").isNotNull()
-            & (F.least("prev", "dst") == F.col("ux"))
-            & (F.greatest("prev", "dst") == F.col("uy")),
-            "left",
-        ).select(
-            "walk_id",
-            "cur_id",
-            "prev",
-            "dst",
-            F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
-            .when(F.col("ux").isNotNull(), F.lit(1.0))
-            .otherwise(F.lit(1.0 / q))
-            .alias("w"),
-        )
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), F.col("dst"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("double")
-        key = h / (F.lit(float(2**60)) * F.col("w"))
-        nxt = (
-            probe.select("walk_id", F.col("cur_id"), "dst", key.alias("k"))
-            .groupBy("walk_id")
-            .agg(F.min(F.struct("k", "dst")).alias("_p"), F.min("cur_id").alias("prev0"))
-            .select(
-                "walk_id",
-                F.col("_p.dst").alias("id"),
-                F.col("prev0").alias("prev"),
-            )
-        )
-        cur = cut_lineage(nxt)
+        cur = cut_lineage(node2vec_step(e, und, cur, step, p, q))
         visited.append(cur.select("walk_id", F.lit(step).cast("bigint").alias("step"), "id"))
     out = visited[0]
     for v in visited[1:]:

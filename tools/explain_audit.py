@@ -178,6 +178,16 @@ CHECKS = {
         lambda g, docs, emb: _ivf_indexed_probe(emb),
         ["PartitionFilters: [_cell", "!Exchange"],
     ),
+    # node2vec's triangle probe: the (least(prev,dst), greatest(prev,dst)) ==
+    # (ux, uy) condition must be extracted as equi hash-join keys — a
+    # BroadcastNestedLoop/cartesian here would be candidates × |E| per hop.
+    # Worst-case skew is bounded by the hub's degree (candidates of one
+    # walk), not |E|: the join key includes dst, so a hub prev fans its
+    # candidates across deg(prev) distinct keys rather than one hot key.
+    "node2vec_probe_equi_join": (
+        lambda g, docs, emb: _node2vec_hop(g),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
     # a drop set past the broadcast cap must NOT carry a forced broadcast
     # hint; with a stats-large (24 MB estimate) set and no hint, the corpus
     # anti-join falls back to a shuffle join — the only shape that survives a
@@ -240,6 +250,20 @@ def _ivf_indexed_probe(emb):
     similarity.save_ivf_index(emb, path)
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     return similarity.ann_topk_ivf_indexed(emb.sparkSession, path, qvec, k=10, nprobe=2)
+
+
+def _node2vec_hop(g):
+    # one production hop with a non-null prev frontier (step ≥ 2 shape, the
+    # arm where the triangle probe join actually fires)
+    spark = g.spark
+    e = g._typed(0).select("src", "dst")
+    und = e.select(
+        F.least("src", "dst").alias("ux"), F.greatest("src", "dst").alias("uy")
+    ).distinct()
+    cur = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2)], "walk_id bigint, id bigint, prev bigint"
+    )
+    return gq.node2vec_step(e, und, cur, step=2, p=2.0, q=0.5)
 
 
 def _edgestore_view(g):
