@@ -584,6 +584,43 @@ def _q_doc_stratified_sample(spark, sf):
     )
 
 
+def _q_doc_cap_per_source(spark, sf):
+    """Per-source quota (web-corpus per-domain cap): each source keeps its
+    40 lowest md5(seed:id) hashes — a deterministic uniform sample. One
+    shuffle on the group key + a single Window row_number; no join."""
+    return pipeline.cap_per_group(_docs(spark, sf), "source", cap=40).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
+def _q_doc_pack_sequences(spark, sf):
+    """Offset sequence-packing into 512-token context windows over 8
+    hash-bucketed streams: docs laid head-to-tail in seeded hash order,
+    pack = floor(start/budget). One bucket-key shuffle + one Window
+    prefix-sum, all codegen."""
+    return pipeline.pack_sequences(_docs(spark, sf), budget=512, n_buckets=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("pack_offset").cast("bigint").alias("pack_offset"),
+    )
+
+
+def _q_doc_strip_boilerplate(spark, sf):
+    """CCNet-style boilerplate-segment removal: segments (delimiter-split;
+    whole docs here — the synthetic corpus is single-line, so df≥2 segments
+    are exactly the exact-duplicate texts) with document frequency ≥ 2 are
+    stripped and survivors reassembled in order. Segment-df shuffle + a
+    count-gated broadcast anti-join; multi-line semantics pytest-gated
+    (tests/test_pipeline.py::test_strip_boilerplate_lines)."""
+    return pipeline.strip_boilerplate(_docs(spark, sf), min_df=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+    )
+
+
 def _q_ann_ivf_indexed(spark, sf):
     """Persisted-IVF probe: build the partitionBy(_cell) index, then answer
     from it — the probe reads ONLY the nprobe cell partitions (partition
@@ -772,6 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_hash": _q_doc_split_hash,
         "doc_contamination": _q_doc_contamination,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        # corpus-assembly: per-domain caps, sequence packing, boilerplate
+        "doc_cap_per_source": _q_doc_cap_per_source,
+        "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_strip_boilerplate": _q_doc_strip_boilerplate,
     }
 
 
@@ -1603,5 +1644,48 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "         count(*) OVER (PARTITION BY source) AS n\n"
             "  FROM documents) t\n"
             "WHERE rn <= ceil(0.125 * n)"
+        ),
+        "doc_cap_per_source": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (\n"
+            "  SELECT doc_id, source,\n"
+            "         row_number() OVER (PARTITION BY source ORDER BY "
+            "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn\n"
+            "  FROM documents) t\n"
+            "WHERE rn <= 40"
+        ),
+        # offset packing: same 60-bit md5 order key, exclusive prefix sum of
+        # whitespace token counts within pmod(hash, 8) buckets
+        "doc_pack_sequences": (
+            "WITH t AS (\n"
+            "  SELECT doc_id,\n"
+            "         CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
+            "              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,\n"
+            "         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk\n"
+            "  FROM documents),\n"
+            "s AS (\n"
+            "  SELECT doc_id, n_tokens, hk % 8 AS bucket,\n"
+            "         COALESCE(SUM(n_tokens) OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id\n"
+            "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start\n"
+            "  FROM t)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,\n"
+            "       CAST(bucket AS BIGINT) AS bucket,\n"
+            "       CAST(start // 512 AS BIGINT) AS pack_id,\n"
+            "       CAST(start % 512 AS BIGINT) AS pack_offset\n"
+            "FROM s"
+        ),
+        # segments = chr(10)-split lines (whole docs in this corpus); df ≥ 2
+        # segments dropped, survivors reassembled in positional order
+        "doc_strip_boilerplate": (
+            "WITH l AS (\n"
+            "  SELECT doc_id,\n"
+            "         generate_subscripts(string_split(text, chr(10)), 1) AS pos,\n"
+            "         unnest(string_split(text, chr(10))) AS line\n"
+            "  FROM documents),\n"
+            "bad AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+            "       string_agg(line, chr(10) ORDER BY pos) AS clean_text,\n"
+            "       CAST(count(*) AS BIGINT) AS n_kept_lines\n"
+            "FROM l ANTI JOIN bad USING (line)\n"
+            "GROUP BY doc_id"
         ),
     }

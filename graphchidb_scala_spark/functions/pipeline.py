@@ -15,9 +15,11 @@ from pyspark.sql.window import Window
 
 from graphchidb_scala_spark.functions.dedup import (
     _broadcast_if_small,
+    _broadcast_if_small_ids,
     md5_hash60,
     word_shingles,
 )
+from graphchidb_scala_spark.functions.text import token_count
 
 # ------------------------------------------------------------- dataset split
 
@@ -137,4 +139,146 @@ def stratified_sample(
         .withColumn("_n", n)
         .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
         .drop("_rn", "_n")
+    )
+
+
+# ------------------------------------------------------- per-group capping
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain/per-source quota
+    every web corpus applies so one crawl or one domain cannot dominate the
+    training mix. Which rows survive is deterministic: the group's ``cap``
+    lowest md5(seed:id) hashes (a seeded uniform sample without rand()), so
+    re-runs, appends outside the group, and engines agree on the exact row
+    set.
+
+    Scale shape: one shuffle on the group key and a single Window
+    row_number — no join, no second pass. Per-group work is O(group size);
+    a pathological mega-domain is exactly the AQE-skew case the session
+    config already handles (the window sorts within one partition's group)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    order_key = md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col)))
+    w = Window.partitionBy(group_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(cap))
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context windows) — the
+    sequence-packing step that turns a shuffled corpus into training rows.
+    Documents are first scattered into ``n_buckets`` independent streams by
+    id hash (the parallelism unit: each bucket packs on one task, so set
+    n_buckets ≳ cluster cores at scale), then laid head-to-tail in seeded
+    hash order; a document's pack is ``floor(start_offset / budget)`` —
+    offset packing, the deterministic SQL-expressible variant of greedy
+    packing (a doc straddling a boundary belongs to the pack where it
+    starts; splitting/truncating the straddle is the trainer's business).
+
+    Returns the input plus ``n_tokens``, ``bucket``, ``pack_id`` (per
+    bucket), ``pack_offset`` (token offset within the pack). One shuffle on
+    the bucket key, one Window prefix-sum — no join, no Python."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    toks = (
+        F.col(tokens_col).cast("bigint")
+        if tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    hkey = md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col)))
+    out = (
+        df.withColumn("n_tokens", toks)
+        .withColumn("_hkey", hkey)
+        .withColumn("bucket", F.pmod(F.col("_hkey"), F.lit(int(n_buckets))))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("_hkey").asc(), F.col(id_col).asc())
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        out.withColumn("pack_id", F.floor(start / F.lit(int(budget))).cast("bigint"))
+        .withColumn("pack_offset", F.pmod(start, F.lit(int(budget))).cast("bigint"))
+        .drop("_hkey")
+    )
+
+
+# ------------------------------------------------- boilerplate line removal
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide boilerplate segments: split every document on ``delim``
+    (lines by default) and return segments appearing in ≥ ``min_df``
+    distinct documents — headers, footers, nav bars, cookie banners. One
+    explode + one count-distinct aggregation on the segment string."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= int(min_df))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate segments (per :func:`boilerplate_lines`) from every
+    document and reassemble the survivors in original order — the CCNet-style
+    line-dedup cleanup stage. Returns DF(id, clean_text, n_kept_lines);
+    documents whose every segment is boilerplate drop out entirely (their
+    text would be empty).
+
+    Scale shape: segments shuffle once on the segment string for the df
+    count; the drop-set join back is count-gated broadcast (a web-scale
+    boilerplate set can exceed any broadcast cap — then it degrades to a
+    shuffle anti-join, never a forced broadcast); reassembly is one
+    groupBy(id) with an in-place array_sort — no per-row Python anywhere."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    bad = boilerplate_lines(docs, min_df, id_col, text_col, delim).select("line")
+    # lower row cap than the id-set default: boilerplate lines are strings
+    # (tens-hundreds of bytes each), so the same byte budget means fewer rows
+    kept = lines.join(_broadcast_if_small_ids(bad, cap_rows=500_000), "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_lines"),
     )

@@ -90,3 +90,89 @@ def test_stratified_sample_exact_counts_and_determinism(docs):
     assert pipeline.stratified_sample(docs, "source", 1.0).count() == docs.count()
     with pytest.raises(ValueError, match="fraction"):
         pipeline.stratified_sample(docs, "source", 0.0)
+
+
+def test_cap_per_group_deterministic_quota(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "web" if i < 90 else "books") for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    got = pipeline.cap_per_group(df, "source", cap=10).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["web"]) == 10  # capped
+    assert len(by_src["books"]) == 10  # group at/below cap keeps all
+    # survivors = the 10 lowest md5("42:id") 60-bit hashes within the group
+    def h(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+    expect_web = set(sorted(range(90), key=lambda i: (h(i), i))[:10])
+    assert by_src["web"] == expect_web
+    # partitioning-invariant
+    again = {
+        r["doc_id"]
+        for r in pipeline.cap_per_group(df.repartition(7), "source", cap=10).collect()
+        if r["source"] == "web"
+    }
+    assert again == expect_web
+    with pytest.raises(ValueError, match="cap"):
+        pipeline.cap_per_group(df, "source", cap=0)
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    import hashlib
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = pipeline.pack_sequences(df, budget=16, n_buckets=4).collect()
+    assert len(got) == 200
+    # python model: same hash order, same exclusive prefix sums
+    def h(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+    buckets = {}
+    for i in range(200):
+        buckets.setdefault(h(i) % 4, []).append(i)
+    expect = {}
+    for b, ids in buckets.items():
+        start = 0
+        for i in sorted(ids, key=lambda x: (h(x), x)):
+            expect[i] = (b, start // 16, start % 16)
+            start += i % 7 + 1
+    for r in got:
+        assert r["n_tokens"] == r["doc_id"] % 7 + 1
+        assert (r["bucket"], r["pack_id"], r["pack_offset"]) == expect[r["doc_id"]]
+    # every pack's docs fit head-to-tail: offsets within a pack are < budget
+    assert all(0 <= r["pack_offset"] < 16 for r in got)
+
+
+def test_strip_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "COOKIE BANNER\nreal content zero\nfooter"),
+            (1, "COOKIE BANNER\nunique middle one\nfooter"),
+            (2, "COOKIE BANNER\nanother real line\nfooter"),
+            (3, "standalone document no boilerplate"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bad = {r["line"] for r in pipeline.boilerplate_lines(docs, min_df=2).collect()}
+    assert bad == {"COOKIE BANNER", "footer"}
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept_lines"]) for r in
+           pipeline.strip_boilerplate(docs, min_df=2).collect()}
+    assert got == {
+        0: ("real content zero", 1),
+        1: ("unique middle one", 1),
+        2: ("another real line", 1),
+        3: ("standalone document no boilerplate", 1),
+    }
+    # order preserved when several lines survive
+    docs2 = spark.createDataFrame(
+        [(0, "b\na\nx\nc"), (1, "x\nq")], "doc_id bigint, text string"
+    )
+    got2 = {r["doc_id"]: r["clean_text"] for r in
+            pipeline.strip_boilerplate(docs2, min_df=2).collect()}
+    assert got2 == {0: "b\na\nc", 1: "q"}

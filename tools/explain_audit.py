@@ -102,6 +102,23 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # per-group cap = one Window over the group-key shuffle; no join
+    "cap_per_group_single_window": (
+        lambda g, docs, emb: pipeline.cap_per_group(docs, "source", cap=40),
+        ["Window", "!Join"],
+    ),
+    # sequence packing = one Window prefix-sum over the bucket-key shuffle;
+    # token counting and pack arithmetic are pure codegen projections
+    "pack_sequences_single_window": (
+        lambda g, docs, emb: pipeline.pack_sequences(docs, budget=512, n_buckets=8),
+        ["Window", "!Join"],
+    ),
+    # boilerplate strip: the drop-set joins back on the segment string
+    # (count-gated broadcast), never all-pairs
+    "strip_boilerplate_no_cartesian": (
+        lambda g, docs, emb: pipeline.strip_boilerplate(docs, min_df=2),
+        ["!CartesianProduct"],
+    ),
     # stratified sampling = one Window over the stratum shuffle (row_number
     # and the stratum count share the spec); no join anywhere
     "stratified_sample_single_window": (
