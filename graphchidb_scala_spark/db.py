@@ -431,8 +431,14 @@ class GraphDB:
         """Deterministic pseudo-random existing vertex — reference
         ``randomVertex`` (GraphChiDatabase.scala:1839-1852). Uses an explicit
         LCG mix so the choice is reproducible across engines (FIXTURES.md
-        determinism rules): argmin of ``(id*1103515245 + seed) mod 2^31``."""
-        mixed = F.pmod(F.col("id") * F.lit(1103515245) + F.lit(int(seed)), F.lit(2147483648))
+        determinism rules): argmin of ``((id mod 2^31)*1103515245 + seed) mod
+        2^31`` — the id is reduced mod 2^31 before the multiply so the mix
+        can't overflow int64 however wide the vertex-id space (typed-vertex
+        offsets are 1e12 apart)."""
+        mixed = F.pmod(
+            F.pmod(F.col("id"), F.lit(2147483648)) * F.lit(1103515245) + F.lit(int(seed)),
+            F.lit(2147483648),
+        )
         return (
             self.vertices.select("id")
             .withColumn("_mix", mixed)

@@ -371,7 +371,12 @@ def motif_census_3(
         .filter(F.col("x") != F.col("y"))
         .distinct()
     )
-    mixed = F.pmod(F.col("id") * F.lit(1103515245) + F.lit(int(seed)), F.lit(2147483648))
+    # id reduced mod 2^31 before the multiply: no int64 overflow at any
+    # vertex-id width (same mix as GraphDB.random_vertex)
+    mixed = F.pmod(
+        F.pmod(F.col("id"), F.lit(2147483648)) * F.lit(1103515245) + F.lit(int(seed)),
+        F.lit(2147483648),
+    )
     vs = db.vertices.select("id").withColumn("_m", mixed).orderBy("_m", "id")
     # deterministic triple construction: consecutive ids in the hash order
     from pyspark.sql.window import Window

@@ -33,9 +33,12 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-ORDER_OFFSET = 1_000_000
-PART_OFFSET = 2_000_000
-SUPP_OFFSET = 3_000_000
+# 1e12 spacing: each typed-vertex id range holds a trillion keys, so the
+# view survives TPC-H scale factors in the thousands (sf1 already has
+# orderkeys past 1e6 — a 1e6 spacing collides part ids into the order range)
+ORDER_OFFSET = 1_000_000_000_000
+PART_OFFSET = 2_000_000_000_000
+SUPP_OFFSET = 3_000_000_000_000
 
 E_PLACED, E_CONTAINS, E_SUPPLIED_BY = 0, 1, 2
 
@@ -116,31 +119,31 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphDB:
 
 #: ANSI-SQL CTEs defining the same graph view for the DuckDB oracle.
 #: Prepend (inside a WITH [RECURSIVE]) to every oracle query.
-GRAPH_SQL_CTES = """
+GRAPH_SQL_CTES = f"""
 edges AS (
   SELECT CAST(0 AS INT) AS etype, CAST(o_custkey AS BIGINT) AS src,
-         CAST(1000000 + o_orderkey AS BIGINT) AS dst,
+         CAST({ORDER_OFFSET} + o_orderkey AS BIGINT) AS dst,
          CAST(o_totalprice AS DOUBLE) AS weight, o_orderdate AS ts
   FROM orders
   UNION ALL
-  SELECT CAST(1 AS INT), CAST(1000000 + l_orderkey AS BIGINT),
-         CAST(2000000 + l_partkey AS BIGINT),
+  SELECT CAST(1 AS INT), CAST({ORDER_OFFSET} + l_orderkey AS BIGINT),
+         CAST({PART_OFFSET} + l_partkey AS BIGINT),
          CAST(SUM(l_quantity) AS DOUBLE), MAX(l_shipdate)
   FROM lineitem GROUP BY l_orderkey, l_partkey
   UNION ALL
-  SELECT CAST(2 AS INT), CAST(2000000 + l_partkey AS BIGINT),
-         CAST(3000000 + l_suppkey AS BIGINT),
+  SELECT CAST(2 AS INT), CAST({PART_OFFSET} + l_partkey AS BIGINT),
+         CAST({SUPP_OFFSET} + l_suppkey AS BIGINT),
          CAST(SUM(l_quantity) AS DOUBLE), MAX(l_shipdate)
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 vertices AS (
   SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS vtype, c_name AS name FROM customer
   UNION ALL
-  SELECT CAST(1000000 + o_orderkey AS BIGINT), 'order', CAST(o_orderkey AS VARCHAR) FROM orders
+  SELECT CAST({ORDER_OFFSET} + o_orderkey AS BIGINT), 'order', CAST(o_orderkey AS VARCHAR) FROM orders
   UNION ALL
-  SELECT CAST(2000000 + p_partkey AS BIGINT), 'part', p_name FROM part
+  SELECT CAST({PART_OFFSET} + p_partkey AS BIGINT), 'part', p_name FROM part
   UNION ALL
-  SELECT CAST(3000000 + s_suppkey AS BIGINT), 'supplier', s_name FROM supplier
+  SELECT CAST({SUPP_OFFSET} + s_suppkey AS BIGINT), 'supplier', s_name FROM supplier
 ),
 und AS (
   SELECT src AS a, dst AS b FROM edges
