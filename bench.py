@@ -41,7 +41,10 @@ from graphchidb_scala_spark.streaming.ingest import EdgeStore
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:  # non-sfX dir name (e.g. a scale replica); label, don't die
+        sf = os.path.basename(sf_dir.rstrip("/"))
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("graphchidb-bench")
     spark.sparkContext.setLogLevel("ERROR")

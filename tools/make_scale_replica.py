@@ -62,9 +62,18 @@ def main() -> None:
             if c in keys:
                 sel.append(f"{c} + k * {STRIDE} AS {c}")
             elif t == "documents" and c == "text":
-                # new token per replica: keeps within-replica near-dup
-                # structure, prevents 10-way exact duplicates
-                sel.append("text || ' r' || CAST(k AS VARCHAR) AS text")
+                # per-word replica suffix (replica 0 verbatim): replicas get
+                # disjoint vocabularies, so no shingle matches across
+                # replicas — near-dup structure exists within each replica
+                # only, like genuinely new text (a single appended token
+                # leaves copies as true near-duplicates and inflates the
+                # near-dedup pair output ~10x, measuring the data artifact
+                # instead of the operator)
+                sel.append(
+                    "CASE WHEN k = 0 THEN text ELSE array_to_string("
+                    "list_transform(string_split(text, ' '), "
+                    "w -> w || 'q' || CAST(k AS VARCHAR)), ' ') END AS text"
+                )
             elif t == "embeddings" and c == "embedding":
                 # circular shift by 7k dims: decorrelates replicas (cosine
                 # vs the original ≈ chance) while preserving norms/moments
