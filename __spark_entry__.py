@@ -586,9 +586,11 @@ def _q_doc_stratified_sample(spark, sf):
 
 def _q_doc_cap_per_source(spark, sf):
     """Per-source quota (web-corpus per-domain cap): each source keeps its
-    40 lowest md5(seed:id) hashes — a deterministic uniform sample. One
-    shuffle on the group key + a single Window row_number; no join."""
-    return pipeline.cap_per_group(_docs(spark, sf), "source", cap=40).select(
+    15 lowest md5(seed:id) hashes — a deterministic uniform sample. One
+    shuffle on the group key + a single Window row_number; no join. cap=15
+    binds at every sf (≥25 docs/source at sf0.001+), so the check exercises
+    real truncation, not a pass-through."""
+    return pipeline.cap_per_group(_docs(spark, sf), "source", cap=15).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source"
     )
 
@@ -1653,7 +1655,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "         row_number() OVER (PARTITION BY source ORDER BY "
             "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn\n"
             "  FROM documents) t\n"
-            "WHERE rn <= 40"
+            "WHERE rn <= 15"
         ),
         # offset packing: same 60-bit md5 order key, exclusive prefix sum of
         # whitespace token counts within pmod(hash, 8) buckets
