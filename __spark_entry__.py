@@ -623,6 +623,16 @@ def _q_doc_strip_boilerplate(spark, sf):
     )
 
 
+def _q_doc_weighted_sample(spark, sf):
+    """Quality-weighted corpus sample (Efraimidis–Spirakis race, weight =
+    n_chars): 100 docs, inclusion odds ∝ length, exact row set deterministic
+    in (seed, ids). Pure-projection key + global top-n — no shuffle."""
+    return pipeline.weighted_sample(_docs(spark, sf), "n_chars", n=100).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
 def _q_ann_ivf_indexed(spark, sf):
     """Persisted-IVF probe: build the partitionBy(_cell) index, then answer
     from it — the probe reads ONLY the nprobe cell partitions (partition
@@ -817,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_source": _q_doc_cap_per_source,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
+        "doc_weighted_sample": _q_doc_weighted_sample,
     }
 
 
@@ -1691,5 +1702,15 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "       CAST(count(*) AS BIGINT) AS n_kept_lines\n"
             "FROM l ANTI JOIN bad USING (line)\n"
             "GROUP BY doc_id"
+        ),
+        # Efraimidis–Spirakis race: key = -ln((h+1)/2^60)/weight, smallest
+        # n win; ln is IEEE-identical across engines for these inputs
+        "doc_weighted_sample": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (\n"
+            "  SELECT doc_id, n_chars,\n"
+            "         -ln((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)\n"
+            "             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k\n"
+            "  FROM documents WHERE n_chars > 0\n"
+            "  ORDER BY k, doc_id LIMIT 100) t"
         ),
     }

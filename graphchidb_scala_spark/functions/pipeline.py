@@ -142,6 +142,44 @@ def stratified_sample(
     )
 
 
+# ------------------------------------------------------- weighted sampling
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: ``n`` rows with
+    inclusion probability ∝ ``weight_col`` — the training-mix primitive
+    (sample by quality score, domain weight, token count). Uses the
+    Efraimidis–Spirakis exponential race: key = -ln(u)/w with u derived
+    from md5(seed:id) — no rand(), so re-runs, engines, and partitionings
+    agree on the exact row set, and appending rows never changes an
+    existing row's key (only the global cut line).
+
+    Scale shape: a pure projection computes the key; the global smallest-n
+    is a TakeOrderedAndProject (per-partition top-n, merge on the driver) —
+    no full sort, no shuffle of the data, works at any corpus size for the
+    top-n sizes a sample plausibly has."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: 60-bit hash + 1 over 2^60
+    u = (md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col))) + F.lit(1)) / F.lit(
+        float(2**60)
+    )
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_k", key)
+        .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+        .limit(int(n))
+        .drop("_k")
+    )
+
+
 # ------------------------------------------------------- per-group capping
 
 def cap_per_group(

@@ -176,3 +176,32 @@ def test_strip_boilerplate_lines(spark):
     got2 = {r["doc_id"]: r["clean_text"] for r in
             pipeline.strip_boilerplate(docs2, min_df=2).collect()}
     assert got2 == {0: "b\na\nc", 1: "q"}
+
+
+def test_weighted_sample_matches_python_race(spark):
+    import hashlib, math
+
+    rows = [(i, float(1 + i % 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r["doc_id"] for r in pipeline.weighted_sample(df, "w", n=50).collect()}
+
+    def key(i, w):
+        h = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / 2**60) / w
+
+    expect = {i for i, w in sorted(rows, key=lambda t: (key(*t), t[0]))[:50]}
+    assert got == expect
+    # partitioning-invariant
+    again = {r["doc_id"] for r in pipeline.weighted_sample(df.repartition(7), "w", n=50).collect()}
+    assert again == expect
+    with pytest.raises(ValueError, match="n must"):
+        pipeline.weighted_sample(df, "w", n=0)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # rows with weight 100 vs weight 1: heavy rows should dominate the sample
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = [r["doc_id"] for r in pipeline.weighted_sample(df, "w", n=100).collect()]
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy > 60  # 100 heavy rows at ~100x inclusion odds dominate

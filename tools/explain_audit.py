@@ -102,6 +102,12 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # weighted sample = projection key + global top-n (per-partition top-n,
+    # driver merge) — no sort-the-world Exchange, no join
+    "weighted_sample_take_ordered": (
+        lambda g, docs, emb: pipeline.weighted_sample(docs, "n_chars", n=100),
+        ["TakeOrderedAndProject", "!Join"],
+    ),
     # per-group cap = one Window over the group-key shuffle; no join
     "cap_per_group_single_window": (
         lambda g, docs, emb: pipeline.cap_per_group(docs, "source", cap=40),
