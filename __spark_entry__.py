@@ -623,6 +623,17 @@ def _q_doc_strip_boilerplate(spark, sf):
     )
 
 
+def _q_doc_repetition(spark, sf):
+    """Gopher-style repetition signals: per doc, fraction of word 2-/3-grams
+    that repeat an earlier gram. Pure projection — no shuffle, no join."""
+    return text.repetition_stats(_docs(spark, sf)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
 def _q_doc_weighted_sample(spark, sf):
     """Quality-weighted corpus sample (Efraimidis–Spirakis race, weight =
     n_chars): 100 docs, inclusion odds ∝ length, exact row set deterministic
@@ -828,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_repetition_stats": _q_doc_repetition,
     }
 
 
@@ -1712,5 +1724,25 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k\n"
             "  FROM documents WHERE n_chars > 0\n"
             "  ORDER BY k, doc_id LIMIT 100) t"
+        ),
+        # dup-n-gram fractions: ALL n-grams (multiplicity kept), fraction of
+        # repeats = (total - distinct) / total, rounded to 6
+        "doc_repetition_stats": (
+            "WITH t AS (\n"
+            "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,\n"
+            "         CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
+            "              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens\n"
+            "  FROM documents),\n"
+            "g AS (\n"
+            "  SELECT doc_id, n_tokens,\n"
+            "    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), "
+            "i -> array_to_string(tk[i:i+1], ' ')) ELSE [] END AS g2,\n"
+            "    CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), "
+            "i -> array_to_string(tk[i:i+2], ' ')) ELSE [] END AS g3\n"
+            "  FROM t)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,\n"
+            "  CASE WHEN len(g2) = 0 THEN 0.0 ELSE round((len(g2) - len(list_distinct(g2))) / len(g2), 6) END AS dup_2gram_frac,\n"
+            "  CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / len(g3), 6) END AS dup_3gram_frac\n"
+            "FROM g"
         ),
     }

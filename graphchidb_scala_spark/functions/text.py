@@ -128,6 +128,50 @@ def rolling_hashes(text: Column, window: int = 16) -> Column:
     return F.array_distinct(grams)
 
 
+def word_ngrams_all(text: Column, n: int) -> Column:
+    """ALL word n-grams (with duplicates, in order) — the repetition-signal
+    unit. Same sequence/transform/slice construction as
+    ``dedup.word_shingles`` but WITHOUT the array_distinct: repetition
+    measurement needs the multiplicity that dedup deliberately discards.
+    Stays in codegen; fewer than ``n`` tokens yields []."""
+    toks = F.split(F.trim(text), r"\s+")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
+    return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in the
+    same document — the Gopher-style repetition quality signal (looping
+    generations and boilerplate-stuffed pages score high; clean prose near
+    0). (total - distinct) / total; 0.0 for docs shorter than ``n`` tokens.
+    Pure Column expression with an exact SQL twin."""
+    g = word_ngrams_all(text, n)
+    total = F.size(g)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round((total - F.size(F.array_distinct(g))) / total, 6)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition block: token count + duplicate-2-gram and
+    duplicate-3-gram fractions — the filter inputs of repetition-based
+    quality pruning (drop docs whose dup fraction exceeds a threshold).
+    Pure projection over whatever scan is already running: no shuffle, no
+    join, no Python (plan-asserted: tools/explain_audit.py)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        dup_ngram_fraction(t, 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(t, 3).alias("dup_3gram_frac"),
+    )
+
+
 def token_histogram(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:

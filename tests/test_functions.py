@@ -652,3 +652,26 @@ def test_ivfpq_persisted_index_end_to_end(spark, tmp_path):
         got_df.explain("formatted")
     mm = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
     assert mm and "_cell" in mm.group(1)
+
+
+def test_repetition_stats_matches_python(spark):
+    rows = [
+        (0, "a b a b a b"),          # heavy 2-gram repetition
+        (1, "w x y z q r"),          # all grams unique
+        (2, "loop loop loop loop"),  # single repeated token
+        (3, "one"),                  # shorter than any n-gram
+        (4, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+
+    def frac(toks, n):
+        g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return round((len(g) - len(set(g))) / len(g), 6) if g else 0.0
+
+    for i, t in rows:
+        toks = t.split() if t.strip() else []
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["dup_2gram_frac"] == pytest.approx(frac(toks, 2))
+        assert got[i]["dup_3gram_frac"] == pytest.approx(frac(toks, 3))
+    assert got[0]["dup_2gram_frac"] > 0.5 and got[1]["dup_2gram_frac"] == 0.0

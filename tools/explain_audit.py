@@ -102,6 +102,14 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # repetition signals are a pure projection: array construction +
+    # distinct-count arithmetic all in codegen on the scan
+    "repetition_stats_pure_projection": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.text", fromlist=["text"]
+        ).repetition_stats(docs),
+        ["Project", "!Exchange", "!Join"],
+    ),
     # weighted sample = projection key + global top-n (per-partition top-n,
     # driver merge) — no sort-the-world Exchange, no join
     "weighted_sample_take_ordered": (
