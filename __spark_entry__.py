@@ -23,6 +23,7 @@ from graphchidb_scala_spark.functions import (
     events,
     multimodal,
     pipeline,
+    search,
     similarity,
     text,
 )
@@ -634,6 +635,27 @@ def _q_doc_repetition(spark, sf):
     )
 
 
+_SEARCH_TERMS = ("spark", "window", "merge")
+
+
+def _q_doc_tfidf_search(spark, sf):
+    """Keyword retrieval: top-20 docs by smoothed TF-IDF for a 3-term query.
+    The term IN-filter sits on the exploded tokens before any shuffle, so
+    post-scan work is proportional to matching pairs, not corpus size."""
+    return search.tfidf_search(_docs(spark, sf), _SEARCH_TERMS, k=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
+def _q_doc_bm25_search(spark, sf):
+    """BM25 (k1=1.2, b=0.75) top-20 for the same query: exact-integer
+    sum/count avgdl (one double division — engine-portable), idf/tf/length
+    normalization all in Catalyst."""
+    return search.bm25_search(_docs(spark, sf), _SEARCH_TERMS, k=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
 def _q_doc_weighted_sample(spark, sf):
     """Quality-weighted corpus sample (Efraimidis–Spirakis race, weight =
     n_chars): 100 docs, inclusion odds ∝ length, exact row set deterministic
@@ -840,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_repetition_stats": _q_doc_repetition,
+        # keyword retrieval over the corpus
+        "doc_tfidf_search": _q_doc_tfidf_search,
+        "doc_bm25_search": _q_doc_bm25_search,
     }
 
 
@@ -1724,6 +1749,44 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k\n"
             "  FROM documents WHERE n_chars > 0\n"
             "  ORDER BY k, doc_id LIMIT 100) t"
+        ),
+        # smoothed tf-idf: idf = ln((N+1)/(df+1)); the IN-filter mirrors the
+        # Spark pre-shuffle term filter
+        "doc_tfidf_search": (
+            "WITH tok AS (\n"
+            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
+            "pairs AS (\n"
+            "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
+            "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
+            "idf AS (\n"
+            "  SELECT tok, ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1)) AS idf\n"
+            "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(tf * idf), 6) AS score\n"
+            "FROM pairs JOIN idf USING (tok)\n"
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        # BM25: avgdl = exact integer sum/count in ONE double division
+        # (duplicating the Spark driver-side arithmetic bit-for-bit);
+        # literals written as the same unevaluated expressions (1.2 + 1)
+        # Spark computes, so both engines round identically
+        "doc_bm25_search": (
+            "WITH tok AS (\n"
+            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
+            "lens AS (\n"
+            "  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
+            "         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl FROM documents),\n"
+            "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),\n"
+            "pairs AS (\n"
+            "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
+            "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
+            "idf AS (\n"
+            "  SELECT tok, ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) AS idf\n"
+            "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+            "       round(sum(idf * CAST(tf AS DOUBLE) * (1.2 + 1) /\n"
+            "                 (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / (SELECT avgdl FROM a)))), 6) AS score\n"
+            "FROM pairs JOIN idf USING (tok) JOIN lens USING (doc_id)\n"
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
         ),
         # dup-n-gram fractions: ALL n-grams (multiplicity kept), fraction of
         # repeats = (total - distinct) / total, rounded to 6

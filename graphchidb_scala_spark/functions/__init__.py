@@ -3,6 +3,13 @@ similarity search, multimodal column plumbing. These go beyond the reference's
 surface (which has no scalar-function library, SURVEY.md §2.11) and are
 first-class operators of this engine."""
 
-from graphchidb_scala_spark.functions import dedup, multimodal, similarity, text
+from graphchidb_scala_spark.functions import (
+    dedup,
+    multimodal,
+    pipeline,
+    search,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "search", "similarity", "text"]

@@ -1,0 +1,133 @@
+"""Keyword search over the document corpus: TF-IDF and BM25 scoring.
+
+The retrieval half of a training-data pipeline (find docs matching an eval
+query, audit what the corpus says about a topic, build weak labels). Same
+design rules as the rest of the repo: whitespace tokenization identical to
+``text.token_count``, no rand(), no Python in the hot path, and every score
+is a deterministic expression with an exact DuckDB twin.
+
+Scale shape: the ONLY full pass over the corpus is the token explode; the
+very first operation after it filters to the query's terms (a literal IN
+over a handful of strings), so everything that shuffles afterwards is
+proportional to the number of matching (doc, term) pairs, not corpus size.
+Document norms (BM25's length term) come from a pure projection. Top-k is a
+TakeOrderedAndProject — no global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchidb_scala_spark.functions.text import token_count
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def term_stats(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) term frequency for the query's terms only —
+    DF(id, tok, tf). The term filter sits directly on the exploded tokens,
+    before any shuffle, so the aggregate's input is matching pairs only."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    return (
+        _doc_tokens(docs, id_col, text_col)
+        .filter(F.col("tok").isin(*[str(t) for t in terms]))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def tfidf_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by TF-IDF against a bag of query terms:
+    score(d) = Σ_t tf(t,d) · ln((N+1)/(df(t)+1)) (smoothed idf; natural
+    log, portable bit-for-bit). Returns DF(id, score) ordered by
+    (score DESC, id ASC), score rounded to 6 for cross-engine hashing.
+
+    N is one count; df(t) aggregates the already-term-filtered pair table;
+    the idf side is a handful of rows and broadcast-joins back."""
+    n_docs = docs.count()
+    pairs = term_stats(docs, terms, id_col, text_col)
+    df_t = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "tok", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)).alias("idf")
+    )
+    return (
+        pairs.join(F.broadcast(idf), "tok")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson/Okapi):
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Doc lengths |d| are a pure
+    projection; avgdl is one scalar agg. Returns DF(id, score),
+    (score DESC, id ASC), rounded to 6.
+
+    The standard ranking function, expressed entirely in Catalyst: the only
+    corpus-sized work is the token explode + the length projection."""
+    n_docs = docs.count()
+    lens = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    )
+    # exact integer sum/count, ONE double division: bit-identical to any
+    # engine computing sum(dl)/count(*) (a running double `avg` is
+    # accumulation-order-dependent and would not hash-match the oracle)
+    row = lens.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    if not row["s"]:
+        raise ValueError("corpus has no tokens")
+    avgdl = row["s"] / row["c"]
+    pairs = term_stats(docs, terms, id_col, text_col)
+    df_t = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)
+    )
+    return (
+        pairs.join(F.broadcast(idf), "tok")
+        .join(lens, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * tf * F.lit(float(k1 + 1)) / denom), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -1,0 +1,64 @@
+"""Keyword search (functions/search.py) vs python scoring models."""
+
+import math
+
+import pytest
+
+from graphchidb_scala_spark.functions import search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark spark window"),
+        (1, "merge window merge table row"),
+        (2, "completely unrelated words here"),
+        (3, "spark merge window spark table"),
+        (4, "window"),
+        (5, "table row value key"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _py_scores(rows, terms, mode, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    tf = {(i, w): toks[i].count(w) for i in toks for w in terms if w in toks[i]}
+    df = {w: sum(1 for i in toks if (i, w) in tf) for w in terms}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i in toks:
+        s = 0.0
+        for w in terms:
+            if (i, w) not in tf:
+                continue
+            if mode == "tfidf":
+                s += tf[(i, w)] * math.log((n + 1) / (df[w] + 1))
+            else:
+                idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf[(i, w)] * (k1 + 1) / (
+                    tf[(i, w)] + k1 * (1 - b + b * len(toks[i]) / avgdl)
+                )
+        if s:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_tfidf_matches_python(spark, corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    terms = ["spark", "merge", "window"]
+    got = {r["doc_id"]: r["score"] for r in search.tfidf_search(corpus, terms, k=10).collect()}
+    assert got == pytest.approx(_py_scores(rows, terms, "tfidf"))
+    # doc 3 mentions all three terms; doc 2 none
+    assert 3 in got and 2 not in got
+    with pytest.raises(ValueError, match="non-empty"):
+        search.tfidf_search(corpus, [], k=5)
+
+
+def test_bm25_matches_python_and_ranks_sanely(spark, corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    terms = ["spark", "merge", "window"]
+    got = {r["doc_id"]: r["score"] for r in search.bm25_search(corpus, terms, k=10).collect()}
+    assert got == pytest.approx(_py_scores(rows, terms, "bm25"))
+    ranked = [r["doc_id"] for r in search.bm25_search(corpus, terms, k=2).collect()]
+    assert len(ranked) == 2 and ranked[0] == max(got, key=got.get)

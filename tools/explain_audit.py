@@ -102,6 +102,16 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # keyword search: the tiny idf side broadcast-joins back onto the
+    # term-filtered pair table; top-k is a TakeOrdered, never a global sort
+    "tfidf_search_broadcast_topk": (
+        lambda g, docs, emb: _search().tfidf_search(docs, ("spark", "merge"), k=20),
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "!CartesianProduct"],
+    ),
+    "bm25_search_topk": (
+        lambda g, docs, emb: _search().bm25_search(docs, ("spark", "merge"), k=20),
+        ["TakeOrderedAndProject", "!CartesianProduct"],
+    ),
     # repetition signals are a pure projection: array construction +
     # distinct-count arithmetic all in codegen on the scan
     "repetition_stats_pure_projection": (
@@ -281,6 +291,12 @@ def _ivf_indexed_probe(emb):
     similarity.save_ivf_index(emb, path)
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     return similarity.ann_topk_ivf_indexed(emb.sparkSession, path, qvec, k=10, nprobe=2)
+
+
+def _search():
+    from graphchidb_scala_spark.functions import search
+
+    return search
 
 
 def _node2vec_hop(g):
