@@ -656,6 +656,18 @@ def _q_doc_bm25_search(spark, sf):
     )
 
 
+def _q_doc_tfidf_indexed(spark, sf):
+    """TF-IDF over a PERSISTED inverted index: token-bucketed postings
+    (partitionBy(_tb)), probe reads only the query terms' bucket
+    directories (partition pruning, plan-asserted). Same scores as the
+    live scan, so the doc_tfidf_search oracle verifies it."""
+    path = _scratch_index_dir("postings", sf)
+    search.save_postings_index(_docs(spark, sf), path)
+    return search.tfidf_search_indexed(spark, path, _SEARCH_TERMS, k=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
 def _q_doc_weighted_sample(spark, sf):
     """Quality-weighted corpus sample (Efraimidis–Spirakis race, weight =
     n_chars): 100 docs, inclusion odds ∝ length, exact row set deterministic
@@ -865,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyword retrieval over the corpus
         "doc_tfidf_search": _q_doc_tfidf_search,
         "doc_bm25_search": _q_doc_bm25_search,
+        "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
     }
 
 
@@ -1363,6 +1376,25 @@ def _gather_apply_sql(iterations: int = 2) -> str:
     )
 
 
+def _tfidf_sql() -> str:
+    # smoothed tf-idf: idf = ln((N+1)/(df+1)); the IN-filter mirrors the
+    # Spark pre-shuffle term filter. Shared by the live-scan and
+    # persisted-postings-index keys (same scores by construction).
+    return (
+        "WITH tok AS (\n"
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
+        "pairs AS (\n"
+        "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
+        "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
+        "idf AS (\n"
+        "  SELECT tok, ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1)) AS idf\n"
+        "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(tf * idf), 6) AS score\n"
+        "FROM pairs JOIN idf USING (tok)\n"
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "neighbors_point": _gsql(
@@ -1750,21 +1782,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  FROM documents WHERE n_chars > 0\n"
             "  ORDER BY k, doc_id LIMIT 100) t"
         ),
-        # smoothed tf-idf: idf = ln((N+1)/(df+1)); the IN-filter mirrors the
-        # Spark pre-shuffle term filter
-        "doc_tfidf_search": (
-            "WITH tok AS (\n"
-            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
-            "pairs AS (\n"
-            "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
-            "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
-            "idf AS (\n"
-            "  SELECT tok, ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1)) AS idf\n"
-            "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(tf * idf), 6) AS score\n"
-            "FROM pairs JOIN idf USING (tok)\n"
-            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
-        ),
+        "doc_tfidf_search": _tfidf_sql(),
+        # identical result set from the persisted postings index
+        "doc_tfidf_search_indexed": _tfidf_sql(),
         # BM25: avgdl = exact integer sum/count in ONE double division
         # (duplicating the Spark driver-side arithmetic bit-for-bit);
         # literals written as the same unevaluated expressions (1.2 + 1)

@@ -78,6 +78,146 @@ def tfidf_search(
     )
 
 
+def save_postings_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist an inverted index: per-(token, doc) postings written
+    ``partitionBy("_tb")`` where ``_tb = md5_hash60(token) % n_buckets`` —
+    the text analogue of the IVF vector index (same role as the reference's
+    shard skip-index, ShardIndex.java:33-101). A term query reads ONLY its
+    terms' bucket directories via partition pruning; the 100 TB corpus is
+    scanned exactly once, at build time.
+
+    Each posting row carries (tok, doc_id, tf, dl) — dl duplicated per row
+    so BM25 needs no second corpus-sized table at query time. A one-row
+    meta sidecar holds (n_docs, sum_dl) so idf/avgdl are exact at probe
+    time. Set ``n_buckets`` ≳ cluster cores at scale; one shuffle on the
+    bucket key gives one file per bucket."""
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lens = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl"), F.col(text_col)
+    )
+    postings = (
+        lens.select(F.col(id_col), "dl", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("_tb", F.pmod(md5_hash60(F.col("tok")), F.lit(int(n_buckets))))
+    )
+    (
+        postings.repartition("_tb")
+        .write.partitionBy("_tb")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    row = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    docs.sparkSession.createDataFrame(
+        [(int(row["n_docs"]), int(row["sum_dl"] or 0), int(n_buckets))],
+        "n_docs bigint, sum_dl bigint, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _probe_postings(spark, path: str, terms: Sequence[str]):
+    import hashlib
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % meta["n_buckets"]
+            for t in terms
+        }
+    )
+    pairs = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_tb").isin(buckets))
+        .filter(F.col("tok").isin(*[str(t) for t in terms]))
+    )
+    return meta, pairs
+
+
+def tfidf_search_indexed(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF top-k over a *persisted* postings index
+    (:func:`save_postings_index`): bucket selection is driver-side md5
+    arithmetic; the ``_tb`` filter is a partition-column predicate, so the
+    scan plans only the terms' bucket directories (PartitionFilters,
+    plan-asserted) — per-query cost is O(corpus/n_buckets · |terms|) rows
+    read, no corpus scan, no tokenization. Result is identical to the live
+    :func:`tfidf_search` (same tf/df/N), so the same SQL oracle verifies
+    both."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    meta, pairs = _probe_postings(spark, path, terms)
+    df_t = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "tok",
+        F.log(F.lit(float(meta["n_docs"] + 1)) / (F.col("df") + 1)).alias("idf"),
+    )
+    return (
+        pairs.join(F.broadcast(idf), "tok")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over the persisted postings index: dl rides on each
+    posting row and (n_docs, sum_dl) come from the meta sidecar, so the
+    probe touches nothing but the terms' buckets. Same scores as the live
+    :func:`bm25_search` (identical avgdl arithmetic)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    meta, pairs = _probe_postings(spark, path, terms)
+    n_docs = meta["n_docs"]
+    avgdl = meta["sum_dl"] / meta["n_docs"]
+    df_t = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)
+    )
+    return (
+        pairs.join(F.broadcast(idf), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * tf * F.lit(float(k1 + 1)) / denom), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     terms: Sequence[str],

@@ -62,3 +62,17 @@ def test_bm25_matches_python_and_ranks_sanely(spark, corpus):
     assert got == pytest.approx(_py_scores(rows, terms, "bm25"))
     ranked = [r["doc_id"] for r in search.bm25_search(corpus, terms, k=2).collect()]
     assert len(ranked) == 2 and ranked[0] == max(got, key=got.get)
+
+
+def test_postings_index_matches_live_search(spark, corpus, tmp_path):
+    terms = ["spark", "merge", "window"]
+    path = str(tmp_path / "pidx")
+    search.save_postings_index(corpus, path, n_buckets=8)
+    live_t = {(r["doc_id"], r["score"]) for r in search.tfidf_search(corpus, terms, k=10).collect()}
+    idx_t = {(r["doc_id"], r["score"]) for r in search.tfidf_search_indexed(spark, path, terms, k=10).collect()}
+    assert idx_t == live_t
+    live_b = {(r["doc_id"], r["score"]) for r in search.bm25_search(corpus, terms, k=10).collect()}
+    idx_b = {(r["doc_id"], r["score"]) for r in search.bm25_search_indexed(spark, path, terms, k=10).collect()}
+    assert idx_b == live_b
+    with pytest.raises(ValueError, match="non-empty"):
+        search.tfidf_search_indexed(spark, path, [], k=5)

@@ -112,6 +112,12 @@ CHECKS = {
         lambda g, docs, emb: _search().bm25_search(docs, ("spark", "merge"), k=20),
         ["TakeOrderedAndProject", "!CartesianProduct"],
     ),
+    # persisted postings probe: the _tb bucket predicate must prune
+    # partitions at the scan — a term query reads only its buckets
+    "postings_probe_partition_pruning": (
+        lambda g, docs, emb: _postings_probe(docs),
+        ["PartitionFilters: [_tb"],
+    ),
     # repetition signals are a pure projection: array construction +
     # distinct-count arithmetic all in codegen on the scan
     "repetition_stats_pure_projection": (
@@ -297,6 +303,14 @@ def _search():
     from graphchidb_scala_spark.functions import search
 
     return search
+
+
+def _postings_probe(docs):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="audit_postings_")
+    _search().save_postings_index(docs, path, n_buckets=16)
+    return _search().tfidf_search_indexed(docs.sparkSession, path, ("spark", "merge"), k=20)
 
 
 def _node2vec_hop(g):
