@@ -656,6 +656,33 @@ def _q_doc_bm25_search(spark, sf):
     )
 
 
+def _q_kcore3(spark, sf):
+    """3 peel rounds toward the 3-core (fixed-round form so DuckDB can
+    mirror the peels as unrolled CTEs; convergence form pytest-verified).
+    Per round: one degree agg + two semi-joins, edge set only shrinks."""
+    return gq.k_core(_g(spark, sf), k=3, peels=3)
+
+
+def _kcore_sql(k: int = 3, peels: int = 3) -> str:
+    parts = [
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + "e0 AS (SELECT a, b FROM und WHERE a <> b)"
+    ]
+    for r in range(1, peels + 1):
+        parts.append(
+            f"k{r} AS (SELECT a AS id FROM e{r-1} GROUP BY a HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS (SELECT a, b FROM e{r-1} "
+            f"WHERE a IN (SELECT id FROM k{r}) AND b IN (SELECT id FROM k{r}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(a AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM e{peels} GROUP BY a"
+    )
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -861,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_converged_stats": _q_cc_converged,
         "als_recommend": _q_als_recommend,
         "als_rmse": _q_als_rmse,
+        # k-core peeling (fixed 3 rounds; convergence form pytest-gated)
+        "kcore_peel3": _q_kcore3,
         # plain LSH-bucketed scan (redundant with the in-window _indexed
         # twin; kept for API parity, asserted by the out-of-window gate)
         "ann_topk_lsh": _q_ann_lsh,
@@ -1597,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY m, id LIMIT 1"
         ),
         "random_walks": _random_walks_sql(),
+        "kcore_peel3": _kcore_sql(k=3, peels=3),
         "doc_dedup_exact": (
             "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text)"

@@ -409,6 +409,58 @@ def motif_census_3(
     )
 
 
+def kcore_peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One peel: drop edges touching any vertex of degree < k. Exposed
+    module-level so the plan audit exercises the production round (two
+    semi-joins against the survivor set — equi keys, never a
+    nested-loop/cartesian; AQE broadcasts once survivors are small)."""
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    keep = deg.filter(F.col("deg") >= int(k)).select(F.col("a").alias("id"))
+    return (
+        e.join(keep.withColumnRenamed("id", "a"), "a", "semi")
+        .join(keep.withColumnRenamed("id", "b"), "b", "semi")
+        .select("a", "b")
+    )
+
+
+def k_core(
+    db: GraphDB,
+    k: int,
+    etype: int | None = None,
+    peels: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop vertices
+    with undirected degree < ``k`` until the graph stabilizes; what remains
+    is the k-core (the standard cohesion/spam-farm/community-seed filter).
+    Returns DF(id, deg) — endpoints of the surviving edge set with their
+    degree inside it (at convergence every one has deg ≥ k).
+
+    ``peels`` fixes the number of peel rounds (the SQL-oracle-checkable
+    form, mirrored round-for-round by the `kcore_peel3` DuckDB twin);
+    ``peels=None`` runs to convergence (edge count unchanged), bounded by
+    ``max_iter``, pytest-verified against a python peeler.
+
+    Scale shape per round: one map-side-combined degree aggregation + two
+    semi-joins of the edge set against the survivor ids (AQE picks
+    broadcast once survivors are small). Edge set only shrinks; lineage is
+    cut per round. O(rounds) ≤ O(V) worst case but ~degeneracy in practice
+    — the same contraction discipline as connected_components."""
+    und = cut_lineage(db.undirected_edges(etype).filter(F.col("a") != F.col("b")))
+    e = und
+    prev_edges = None
+    rounds = int(peels) if peels is not None else int(max_iter)
+    for _ in range(rounds):
+        if peels is None:
+            n = e.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
+        e = cut_lineage(kcore_peel_round(e, k))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(F.col("a").alias("id"), F.col("deg").cast("bigint").alias("deg"))
+
+
 def random_walks(
     db: GraphDB,
     seeds: Sequence[int],

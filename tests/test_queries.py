@@ -297,3 +297,28 @@ def test_node2vec_first_hop_uniform_with_self_loops(spark):
     picked_3 = sum(1 for v in first if v == 3)
     # binomial(64, 1/2): 12..52 is > 5-sigma wide; the bug gives ~0
     assert 12 <= picked_3 <= 52
+
+
+def test_kcore_converges_to_python_peeler(social_db):
+    g = social_db
+    import collections
+
+    edges = {(r["a"], r["b"]) for r in g.undirected_edges(0).collect() if r["a"] != r["b"]}
+    k = 2
+
+    def peel(es):
+        while True:
+            deg = collections.Counter(a for a, _ in es)
+            keep = {v for v, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in es if a in keep and b in keep}
+            if nxt == es:
+                return es
+            es = nxt
+
+    expect_es = peel(edges)
+    expect = collections.Counter(a for a, _ in expect_es)
+    got = {r["id"]: r["deg"] for r in gq.k_core(g, k=k).collect()}
+    assert got == dict(expect)
+    # fixed-round form is a superset on the way down to the fixed point
+    got3 = {r["id"] for r in gq.k_core(g, k=k, peels=3).collect()}
+    assert set(expect) <= got3

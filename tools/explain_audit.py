@@ -225,6 +225,14 @@ CHECKS = {
         lambda g, docs, emb: _ivf_indexed_probe(emb),
         ["PartitionFilters: [_cell", "!Exchange"],
     ),
+    # one k-core peel: degree agg + two equi semi-joins against the
+    # survivor ids — no nested-loop/cartesian however the sizes evolve
+    "kcore_peel_round_semi_joins": (
+        lambda g, docs, emb: gq.kcore_peel_round(
+            g.undirected_edges(0).filter(F.col("a") != F.col("b")), 3
+        ),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
     # node2vec's triangle probe: the (least(prev,dst), greatest(prev,dst)) ==
     # (ux, uy) condition must be extracted as equi hash-join keys — a
     # BroadcastNestedLoop/cartesian here would be candidates × |E| per hop.
