@@ -695,6 +695,18 @@ def _q_doc_tfidf_indexed(spark, sf):
     )
 
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def _q_doc_rebalance_mix(spark, sf):
+    """Target-mix resample: 4 sources get quotas ∝ 3:2:1:1 of 56 rows, the
+    other 16 sources drop out — the training-mix assembly step. Literal
+    quota table broadcast onto one Window over the stratum shuffle."""
+    return pipeline.rebalance_mix(
+        _docs(spark, sf), "source", _MIX_WEIGHTS, total_n=56
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
 def _q_doc_weighted_sample(spark, sf):
     """Quality-weighted corpus sample (Efraimidis–Spirakis race, weight =
     n_chars): 100 docs, inclusion odds ∝ length, exact row set deterministic
@@ -907,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_search": _q_doc_tfidf_search,
         "doc_bm25_search": _q_doc_bm25_search,
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
+        "doc_rebalance_mix": _q_doc_rebalance_mix,
     }
 
 
@@ -1811,6 +1824,17 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k\n"
             "  FROM documents WHERE n_chars > 0\n"
             "  ORDER BY k, doc_id LIMIT 100) t"
+        ),
+        # quotas = round(56 * w / 7): src0 24, src1 16, src2 8, src3 8
+        "doc_rebalance_mix": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (\n"
+            "  SELECT doc_id, source,\n"
+            "         row_number() OVER (PARTITION BY source ORDER BY "
+            "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn,\n"
+            "         CASE source WHEN 'src0' THEN 24 WHEN 'src1' THEN 16 "
+            "WHEN 'src2' THEN 8 WHEN 'src3' THEN 8 END AS quota\n"
+            "  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')) t\n"
+            "WHERE rn <= quota"
         ),
         "doc_tfidf_search": _tfidf_sql(),
         # identical result set from the persisted postings index

@@ -180,6 +180,48 @@ def weighted_sample(
     )
 
 
+# ------------------------------------------------------- domain-mix rebalance
+
+def rebalance_mix(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    total_n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Resample the corpus toward a target domain mix: stratum ``s`` gets a
+    quota of ``round(total_n · w_s / Σw)`` rows, filled with its quota
+    lowest md5(seed:id) hashes — the "30% web, 30% code, 20% books…"
+    training-mix step, deterministic like everything else here (no rand();
+    the exact row set is a function of (ids, weights, seed)). A stratum
+    smaller than its quota contributes everything it has; no reallocation
+    (documented under-fill keeps membership append-stable — re-weighting is
+    an explicit re-run, not a data-dependent cascade). Strata absent from
+    ``target_weights`` get quota 0.
+
+    Scale shape: the quota table is a handful of literal rows
+    broadcast-joined onto one Window row_number over the stratum shuffle —
+    the same single-shuffle shape as stratified_sample/cap_per_group."""
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    tot_w = sum(target_weights.values())
+    if tot_w <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    quotas = [
+        (name, int(round(total_n * w / tot_w))) for name, w in sorted(target_weights.items())
+    ]
+    qdf = df.sparkSession.createDataFrame(quotas, f"{strata_col} string, _quota bigint")
+    order_key = md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col)))
+    w = Window.partitionBy(strata_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(qdf), strata_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
 # ------------------------------------------------------- per-group capping
 
 def cap_per_group(

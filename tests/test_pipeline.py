@@ -205,3 +205,31 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     got = [r["doc_id"] for r in pipeline.weighted_sample(df, "w", n=100).collect()]
     heavy = sum(1 for i in got if i < 100)
     assert heavy > 60  # 100 heavy rows at ~100x inclusion odds dominate
+
+
+def test_rebalance_mix_quotas_and_determinism(spark):
+    import hashlib
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]  # 100 per stratum
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = pipeline.rebalance_mix(df, "source", {"s0": 2.0, "s1": 1.0}, total_n=30).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["s0"]) == 20 and len(by["s1"]) == 10  # 2:1 of 30
+    assert "s2" not in by  # unlisted stratum excluded
+    # survivors = quota lowest md5(42:id) per stratum
+    def h(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+    s0 = [i for i in range(300) if i % 3 == 0]
+    assert by["s0"] == set(sorted(s0, key=lambda i: (h(i), i))[:20])
+    # under-filled stratum contributes everything it has
+    small = spark.createDataFrame([(i, "s0" if i < 5 else "s1") for i in range(100)],
+                                  "doc_id bigint, source string")
+    got2 = pipeline.rebalance_mix(small, "source", {"s0": 1.0, "s1": 1.0}, total_n=40)
+    cnt = {r["source"]: 1 for r in got2.collect()}
+    n_s0 = sum(1 for r in got2.collect() if r["source"] == "s0")
+    assert n_s0 == 5  # quota 20, only 5 exist
+    with pytest.raises(ValueError, match="positive"):
+        pipeline.rebalance_mix(df, "source", {"s0": 0.0}, total_n=10)

@@ -132,6 +132,14 @@ CHECKS = {
         lambda g, docs, emb: pipeline.weighted_sample(docs, "n_chars", n=100),
         ["TakeOrderedAndProject", "!Join"],
     ),
+    # mix rebalance = literal quota table broadcast onto one Window over
+    # the stratum shuffle — no sort-merge join, no second shuffle
+    "rebalance_mix_broadcast_quota_window": (
+        lambda g, docs, emb: pipeline.rebalance_mix(
+            docs, "source", {"src0": 3.0, "src1": 1.0}, total_n=40
+        ),
+        ["Window", "BroadcastHashJoin", "!SortMergeJoin"],
+    ),
     # per-group cap = one Window over the group-key shuffle; no join
     "cap_per_group_single_window": (
         lambda g, docs, emb: pipeline.cap_per_group(docs, "source", cap=40),
