@@ -278,6 +278,13 @@ def _q_events_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
 
+def _q_events_funnel(spark, sf):
+    """view → click → purchase funnel (greedy earliest-first): cumulative
+    users per step. One user-key shuffle; the sequential walk runs inside a
+    higher-order aggregate expression, no per-step self-join."""
+    return events.funnel(_events(spark, sf), ["view", "click", "purchase"])
+
+
 def _q_events_props(spark, sf):
     return events.extract_props(_events(spark, sf), keys=("k",))
 
@@ -920,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": _q_doc_bm25_search,
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -1824,6 +1832,23 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k\n"
             "  FROM documents WHERE n_chars > 0\n"
             "  ORDER BY k, doc_id LIMIT 100) t"
+        ),
+        # sequential-min funnel twin: step-k time = first step-k event
+        # strictly after the user's chosen step-(k-1) time — same greedy
+        # earliest-first semantics as the Spark array walk, different plan
+        "events_funnel": (
+            "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id),\n"
+            "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id),\n"
+            "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id)\n"
+            "SELECT * FROM (\n"
+            "  SELECT CAST(1 AS BIGINT) AS step, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users\n"
+            "  UNION ALL SELECT 2, (SELECT count(*) FROM t2)\n"
+            "  UNION ALL SELECT 3, (SELECT count(*) FROM t3)) ORDER BY step"
         ),
         # quotas = round(56 * w / 7): src0 24, src1 16, src2 8, src3 8
         "doc_rebalance_mix": (

@@ -214,6 +214,70 @@ def window_rollup(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel analysis: how many users completed step 1, then step 2 strictly
+    later, then step 3 strictly later… (greedy earliest-first matching, the
+    standard product-analytics semantics). Returns DF(step, n_users) with
+    CUMULATIVE counts — n_users who reached at least that step — one row per
+    step, ordered.
+
+    Scale shape: ONE shuffle (groupBy user), then the whole sequential walk
+    happens inside a higher-order-function expression over the user's sorted
+    event array — no per-step self-join, no repeated scans, no Python. Per-
+    user state is (stage, ts-of-last-match); memory is the user's event list
+    (the same bound sessionization already accepts). The DuckDB oracle uses
+    the equivalent sequential-min formulation (first step-k event after the
+    chosen step-k-1 event) — different plan, same semantics, which is
+    exactly what an oracle should pin."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    )
+    # the accumulator's ts field must be EXACTLY the events column's type
+    # (timestamp vs timestamp_ntz differ by source) or the fold won't type
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast(events.schema[ts_col].dataType).alias("t"),
+    )
+
+    def step_fn(acc, e):
+        out = acc
+        # innermost-first fold of: if stage==i-1 and type==steps[i-1] and
+        # (i == 1 or ts > t) then advance
+        for i, s in list(enumerate(steps, start=1))[::-1]:
+            cond = (acc["stage"] == i - 1) & (e["et"] == s)
+            if i > 1:
+                cond = cond & (e["ts"] > acc["t"])
+            out = F.when(
+                cond, F.struct(F.lit(i).cast("int").alias("stage"), e["ts"].alias("t"))
+            ).otherwise(out)
+        return out
+
+    per_user = (
+        events.filter(F.col(type_col).isin([str(s) for s in steps]))
+        .groupBy(id_col)
+        .agg(arr.alias("evs"))
+        .select(F.aggregate("evs", init, step_fn)["stage"].alias("stage"))
+    )
+    stages = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    ladder = events.sparkSession.createDataFrame(
+        [(i,) for i in range(1, len(steps) + 1)], "step bigint"
+    )
+    return (
+        ladder.join(stages, stages["stage"] >= ladder["step"], "left")
+        .groupBy("step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_users"))
+        .orderBy("step")
+    )
+
+
 def extract_props(
     events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
 ) -> DataFrame:

@@ -675,3 +675,31 @@ def test_repetition_stats_matches_python(spark):
         assert got[i]["dup_2gram_frac"] == pytest.approx(frac(toks, 2))
         assert got[i]["dup_3gram_frac"] == pytest.approx(frac(toks, 3))
     assert got[0]["dup_2gram_frac"] > 0.5 and got[1]["dup_2gram_frac"] == 0.0
+
+
+def test_funnel_greedy_semantics(spark):
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes all three in order
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "purchase"),
+        # u2: click BEFORE any view never counts; reaches step 1 only
+        (2, T(0), "click"), (2, T(1), "view"),
+        # u3: purchase before click -> stops at step 2
+        (3, T(0), "view"), (3, T(1), "purchase"), (3, T(2), "click"),
+        # u4: same-ts click as first view is NOT strictly later
+        (4, T(0), "view"), (4, T(0), "click"),
+        # u5: nothing relevant
+        (5, T(0), "error"),
+        # u6: greedy uses the FIRST view; later click still matches
+        (6, T(0), "view"), (6, T(5), "view"), (6, T(3), "click"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id bigint, ts timestamp_ntz, event_type string"
+    )
+    got = {r["step"]: r["n_users"] for r in events.funnel(df, ["view", "click", "purchase"]).collect()}
+    # step1: u1,u2,u3,u4,u6 = 5; step2: u1,u3,u6 = 3; step3: u1 = 1
+    assert got == {1: 5, 2: 3, 3: 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        events.funnel(df, [])

@@ -233,6 +233,12 @@ CHECKS = {
         lambda g, docs, emb: _ivf_indexed_probe(emb),
         ["PartitionFilters: [_cell", "!Exchange"],
     ),
+    # funnel: the event table is touched once (one user-key shuffle + the
+    # in-expression sequential walk); no per-step self-join of the big table
+    "funnel_single_pass_no_selfjoin": (
+        lambda g, docs, emb: _funnel_plan(g),
+        ["partial_", "!SortMergeJoin"],
+    ),
     # one k-core peel: degree agg + two equi semi-joins against the
     # survivor ids — no nested-loop/cartesian however the sizes evolve
     "kcore_peel_round_semi_joins": (
@@ -319,6 +325,16 @@ def _search():
     from graphchidb_scala_spark.functions import search
 
     return search
+
+
+def _funnel_plan(g):
+    from graphchidb_scala_spark.functions import events as ev
+
+    df = g.spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev.funnel(df, ["view", "click", "purchase"])
 
 
 def _postings_probe(docs):
