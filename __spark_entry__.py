@@ -184,6 +184,43 @@ def _q_pagerank3(spark, sf):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_ppr3(spark, sf):
+    """Personalized PageRank from vertex 1, 3 iterations: reset mass
+    returns to the seed (relevance-to-here scoring). Same one-shuffle
+    iteration as pagerank; only the reset projection differs."""
+    pr = pregel.personalized_pagerank(_g(spark, sf), source=1, iterations=3)
+    # + 5e-10 before rounding, mirrored in the SQL twin: PPR ranks land ON
+    # the decimal lattice (e.g. exactly 0.0036125), so round-half at 1e-6
+    # flips with 1-ulp cross-engine noise; the shifted boundary is off the
+    # lattice, making the rounded value engine-stable
+    return pr.select("id", F.round(F.col("rank") + F.lit(5e-10), 6).alias("rank"))
+
+
+def _ppr3_sql(seed: int = 1) -> str:
+    iters = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        iters.append(
+            f"""r{k} AS (
+  SELECT r.id, CASE WHEN r.id = {seed} THEN (1.0 - 0.85) ELSE 0.0 END
+         + 0.85 * COALESCE(m.acc, 0) AS rank
+  FROM {prev} r LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.rank / d.outdeg) AS acc
+    FROM edges e JOIN {prev} rp ON rp.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = r.id
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),\n"
+        + f"r0 AS (SELECT id, CASE WHEN id = {seed} THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank FROM vertices),\n"
+        + ",\n".join(iters)
+        + "\nSELECT id, round(rank + 5e-10, 6) AS rank FROM r3"
+    )
+
+
 def _q_cc5(spark, sf):
     return pregel.connected_components(_g(spark, sf), fixed_iterations=5)
 
@@ -928,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
         "events_funnel": _q_events_funnel,
+        "ppr3": _q_ppr3,
     }
 
 
@@ -1589,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT seed, node AS id, CAST(min(depth) AS BIGINT) AS level FROM mwalk GROUP BY seed, node"
         ),
         "pagerank3": _pagerank3_sql(),
+        "ppr3": _ppr3_sql(seed=1),
         "cc5": _cc5_sql(),
         "pagerank_converged": _pagerank_conv_sql(),
         "cc_converged_stats": _cc_converged_sql(),

@@ -101,6 +101,48 @@ def pagerank(
     return ranks.join(vstatic, "id", "semi")
 
 
+def personalized_pagerank(
+    db: GraphDB,
+    source: int,
+    iterations: int = 10,
+    damping: float = 0.85,
+    etype: int | None = None,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Personalized PageRank: the reset mass returns to ``source`` instead
+    of spreading uniformly — rank = (1−d)·[id = source] + d·Σ_in rank/outdeg,
+    rank0 = [id = source]. The relevance-to-a-seed score behind
+    recommend-from-here queries (same role as the reference's FoF
+    recommendation ranking, but walk-based). Returns DF(id, rank); mass not
+    absorbed by the seed's reachable set decays to ~0, so scores order the
+    seed's neighborhood.
+
+    Identical shuffle structure to :func:`pagerank` (ONE exchange per
+    iteration; zero-contribution union instead of a per-iteration V-join;
+    edges+degrees checkpointed once); only the reset term differs — a
+    projection, not a join."""
+    e = db._typed(etype).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
+    vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
+    is_src = F.when(F.col("id") == int(source), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = vstatic.withColumn("rank", is_src)
+    zeros = vstatic.select("id", F.lit(0.0).alias("c"))
+
+    for i in range(1, iterations + 1):
+        msgs = (
+            edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .unionAll(zeros)
+        )
+        ranks = msgs.groupBy("id").agg(
+            (F.lit(1.0 - damping) * is_src + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+        if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
+            ranks = _checkpoint(ranks)
+    return ranks.join(vstatic, "id", "semi")
+
+
 # ---------------------------------------------------------- connected components
 
 def connected_components_star(
