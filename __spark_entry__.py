@@ -221,6 +221,13 @@ def _ppr3_sql(seed: int = 1) -> str:
     )
 
 
+def _q_adamic_adar(spark, sf):
+    """Adamic-Adar top-20 from customer 1: degree-discounted common-neighbor
+    scoring (rare shared neighbors beat hubs) — recommendFriends with hub
+    damping. Broadcast seed set, one wedge pass, TakeOrdered top-k."""
+    return gq.adamic_adar(_g(spark, sf), vertex=1, k=20)
+
+
 def _q_cc5(spark, sf):
     return pregel.connected_components(_g(spark, sf), fixed_iterations=5)
 
@@ -966,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rebalance_mix": _q_doc_rebalance_mix,
         "events_funnel": _q_events_funnel,
         "ppr3": _q_ppr3,
+        "adamic_adar_top20": _q_adamic_adar,
     }
 
 
@@ -1628,6 +1636,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank3": _pagerank3_sql(),
         "ppr3": _ppr3_sql(seed=1),
+        "adamic_adar_top20": _gsql(
+            "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
+            "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b)\n"
+            "  SELECT u2.b AS id, round(sum(1.0 / ln(d.deg)), 6) AS score\n"
+            "  FROM nu JOIN und u2 ON u2.a = nu.w AND u2.a <> u2.b JOIN deg d ON d.a = nu.w\n"
+            "  WHERE u2.b <> 1\n"
+            "  GROUP BY u2.b ORDER BY score DESC, id LIMIT 20"
+        ),
         "cc5": _cc5_sql(),
         "pagerank_converged": _pagerank_conv_sql(),
         "cc_converged_stats": _cc_converged_sql(),

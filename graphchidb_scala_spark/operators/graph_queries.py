@@ -409,6 +409,41 @@ def motif_census_3(
     )
 
 
+def adamic_adar(
+    db: GraphDB,
+    vertex: int,
+    etype: int | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction from ``vertex``: score(v) = Σ over common
+    undirected neighbors w of 1/ln(deg(w)) — the degree-discounted
+    refinement of FoF common-neighbor counting (rare shared neighbors count
+    more than hubs). The ranking behind recommendFriends
+    (SocialNetworkExample.scala:95-114) with hub damping. Returns the top-k
+    DF(id, score), (score DESC, id ASC), rounded to 6.
+
+    Scale shape: the seed's neighbor set broadcasts onto the undirected
+    edge table (one pass), degrees come from one map-side-combined agg and
+    broadcast-join back per matching wedge; top-k is a TakeOrdered. deg(w)
+    ≥ 2 for every common neighbor (w touches both u and v), so ln never
+    hits 0."""
+    und = db.undirected_edges(etype).filter(F.col("a") != F.col("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    nu = und.filter(F.col("a") == int(vertex)).select(F.col("b").alias("w"))
+    wedges = (
+        und.select(F.col("a").alias("w"), F.col("b").alias("id"))
+        .join(F.broadcast(nu), "w")
+        .filter(F.col("id") != int(vertex))
+    )
+    return (
+        wedges.join(deg.select(F.col("a").alias("w"), "deg"), "w")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(int(k))
+    )
+
+
 def kcore_peel_round(e: DataFrame, k: int) -> DataFrame:
     """One peel: drop edges touching any vertex of degree < k. Exposed
     module-level so the plan audit exercises the production round (two

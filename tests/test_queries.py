@@ -322,3 +322,22 @@ def test_kcore_converges_to_python_peeler(social_db):
     # fixed-round form is a superset on the way down to the fixed point
     got3 = {r["id"] for r in gq.k_core(g, k=k, peels=3).collect()}
     assert set(expect) <= got3
+
+
+def test_adamic_adar_matches_python(social_db):
+    import math
+    from collections import defaultdict
+
+    und = defaultdict(set)
+    for r in social_db.undirected_edges(0).collect():
+        if r["a"] != r["b"]:
+            und[r["a"]].add(r["b"])
+    u = 1
+    scores = defaultdict(float)
+    for w in und[u]:
+        for v in und[w]:
+            if v != u:
+                scores[v] += 1.0 / math.log(len(und[w]))
+    expect = {v: round(s, 6) for v, s in scores.items()}
+    got = {r["id"]: r["score"] for r in gq.adamic_adar(social_db, 1, etype=0, k=10**6).collect()}
+    assert got == pytest.approx(expect)

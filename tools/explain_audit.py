@@ -239,6 +239,12 @@ CHECKS = {
         lambda g, docs, emb: _funnel_plan(g),
         ["partial_", "!SortMergeJoin"],
     ),
+    # Adamic-Adar: seed neighbor set broadcasts onto the wedge pass;
+    # top-k is a TakeOrdered, never a global sort or cartesian
+    "adamic_adar_broadcast_topk": (
+        lambda g, docs, emb: gq.adamic_adar(g, 1, etype=0, k=20),
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    ),
     # one k-core peel: degree agg + two equi semi-joins against the
     # survivor ids — no nested-loop/cartesian however the sizes evolve
     "kcore_peel_round_semi_joins": (
