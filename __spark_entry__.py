@@ -322,6 +322,13 @@ def _q_events_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
 
+def _q_events_retention(spark, sf):
+    """Weekly cohort-retention triangle (integer week ids — no calendar/tz
+    semantics to disagree on). One user-key shuffle + a co-partitioned
+    join; no per-period self-joins."""
+    return events.retention_cohorts(_events(spark, sf))
+
+
 def _q_events_funnel(spark, sf):
     """view → click → purchase funnel (greedy earliest-first): cumulative
     users per step. One user-key shuffle; the sequential walk runs inside a
@@ -972,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "ppr3": _q_ppr3,
         "adamic_adar_top20": _q_adamic_adar,
     }
@@ -1904,6 +1912,19 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  SELECT CAST(1 AS BIGINT) AS step, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users\n"
             "  UNION ALL SELECT 2, (SELECT count(*) FROM t2)\n"
             "  UNION ALL SELECT 3, (SELECT count(*) FROM t3)) ORDER BY step"
+        ),
+        # integer week = floor(days since 2024-01-01 / 7); Spark's datediff
+        # uses the date part of the timestamp, mirrored by CAST(ts AS DATE)
+        "events_retention": (
+            "WITH p AS (\n"
+            "  SELECT user_id, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS p\n"
+            "  FROM events),\n"
+            "first AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),\n"
+            "active AS (SELECT DISTINCT user_id, p FROM p)\n"
+            "SELECT cohort, a.p - f.cohort AS period_n, "
+            "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users\n"
+            "FROM active a JOIN first f USING (user_id)\n"
+            "GROUP BY cohort, a.p - f.cohort"
         ),
         # quotas = round(56 * w / 7): src0 24, src1 16, src2 8, src3 8
         "doc_rebalance_mix": (

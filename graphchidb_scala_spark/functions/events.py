@@ -278,6 +278,42 @@ def funnel(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    epoch: str = "2024-01-01",
+    period_days: int = 7,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period (weeks since
+    ``epoch`` by default), counted in each later period they return —
+    DF(cohort, period_n, n_users) where period_n = 0 is the cohort's own
+    period. The DAU/WAU-retention triangle every product-analytics stack
+    computes; periods are plain integers (floor(days-since-epoch / 7)) so
+    the result hashes identically across engines with no calendar or
+    timezone semantics in play.
+
+    Scale shape: one user-key shuffle computes first-activity, the distinct
+    (user, period) activity table shuffles on the same key and joins
+    co-partitioned, and the final count-distinct aggregates on (cohort,
+    period). No window functions, no per-period self-joins."""
+    period = F.floor(
+        F.datediff(F.col(ts_col), F.lit(epoch).cast("date")) / int(period_days)
+    ).cast("bigint")
+    first = (
+        events.select(F.col(id_col), period.alias("p"))
+        .groupBy(id_col)
+        .agg(F.min("p").alias("cohort"))
+    )
+    active = events.select(F.col(id_col), period.alias("p")).distinct()
+    return (
+        active.join(first, id_col)
+        .select("cohort", (F.col("p") - F.col("cohort")).alias("period_n"), F.col(id_col))
+        .groupBy("cohort", "period_n")
+        .agg(F.count_distinct(id_col).cast("bigint").alias("n_users"))
+    )
+
+
 def extract_props(
     events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
 ) -> DataFrame:

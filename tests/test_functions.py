@@ -703,3 +703,26 @@ def test_funnel_greedy_semantics(spark):
     assert got == {1: 5, 2: 3, 3: 1}
     with pytest.raises(ValueError, match="non-empty"):
         events.funnel(df, [])
+
+
+def test_retention_cohorts_matches_python(spark):
+    import datetime as dt
+
+    D = lambda d: dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+    rows = [  # (user, day-offset)
+        (1, 0), (1, 8), (1, 15),       # cohort w0, active w0,w1,w2
+        (2, 3), (2, 4),                # cohort w0, active w0 only
+        (3, 7), (3, 21),               # cohort w1, active w1,w3 -> period 0,2
+        (4, 14),                       # cohort w2
+    ]
+    df = spark.createDataFrame(
+        [(u, D(d)) for u, d in rows], "user_id bigint, ts timestamp"
+    )
+    got = {(r["cohort"], r["period_n"]): r["n_users"]
+           for r in events.retention_cohorts(df).collect()}
+    assert got == {
+        (0, 0): 2,  # users 1,2 in week 0
+        (0, 1): 1, (0, 2): 1,  # user 1 returns w1, w2
+        (1, 0): 1, (1, 2): 1,  # user 3
+        (2, 0): 1,  # user 4
+    }
