@@ -206,3 +206,65 @@ def test_as_of_latest_matches_python_model(spark, seed):
         want[eid] = round(max(cand)[1], 4) if cand else None
     got = {r["event_id"]: r["asof_value"] for r in ev.as_of_latest(df).collect()}
     assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_pack_sequences_partition_invariants(spark, seed):
+    """Offset packing on random corpora: every doc appears exactly once,
+    offsets stay within budget, and within each (bucket, pack) the docs
+    tile the pack contiguously from offset 0 in hash order."""
+    from graphchidb_scala_spark.functions import pipeline
+
+    rng = random.Random(seed)
+    budget, nb = rng.choice([8, 16, 32]), rng.choice([2, 4])
+    docs = [(i, " ".join("w" for _ in range(rng.randint(0, 9)))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = pipeline.pack_sequences(df, budget=budget, n_buckets=nb).collect()
+    assert sorted(r["doc_id"] for r in got) == [i for i, _ in docs]
+    for r in got:
+        assert 0 <= r["pack_offset"] < budget
+        assert 0 <= r["bucket"] < nb
+    # per bucket: global starts (pack_id*budget + pack_offset) are exactly
+    # the exclusive prefix sums of n_tokens in (pack, offset) order — docs
+    # tile head-to-tail from 0 with no gaps or overlaps
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(
+            (r["pack_id"] * budget + r["pack_offset"], r["n_tokens"])
+        )
+    for rows in by_bucket.values():
+        rows.sort()
+        pos = 0
+        for start, n in rows:
+            assert start == pos
+            pos += n
+    # determinism under repartition
+    again = pipeline.pack_sequences(df.repartition(5), budget=budget, n_buckets=nb).collect()
+    assert {(r["doc_id"], r["bucket"], r["pack_id"], r["pack_offset"]) for r in again} == {
+        (r["doc_id"], r["bucket"], r["pack_id"], r["pack_offset"]) for r in got
+    }
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_weighted_sample_is_proper_subset_race(spark, seed):
+    """weighted_sample == the n smallest -ln(u)/w race keys of the python
+    model for random weights; sample of everything returns everything."""
+    import hashlib
+    import math
+
+    from graphchidb_scala_spark.functions import pipeline
+
+    rng = random.Random(seed)
+    rows = [(i, rng.choice([0.5, 1.0, 3.0, 10.0])) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    n = rng.randint(1, 40)
+    got = {r["doc_id"] for r in pipeline.weighted_sample(df, "w", n=n).collect()}
+
+    def key(i, w):
+        h = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / 2**60) / w
+
+    expect = {i for i, w in sorted(rows, key=lambda t: (key(*t), t[0]))[:n]}
+    assert got == expect
