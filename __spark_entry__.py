@@ -741,6 +741,51 @@ def _kcore_sql(k: int = 3, peels: int = 3) -> str:
     )
 
 
+def _q_knn_graph(spark, sf):
+    """Batch kNN graph (every vector → its 5 approximate nearest neighbors
+    within its 2 nearest IVF cells): assignment and probe selection are
+    codegen projections; the one shuffle is the cell-id equi-join —
+    N·nprobe·(N/K) candidates, the clustering/near-dup-graph backbone."""
+    return similarity.knn_graph_ivf(_emb(spark, sf), k=5, nprobe=2)
+
+
+def _knn_graph_sql(k: int = 5, nprobe: int = 2) -> str:
+    # same label-centroid codebook + L2 cell assignment as _ann_ivf_sql,
+    # per-vector probe selection and per-qid top-k via QUALIFY
+    return f"""
+WITH cb AS (
+  SELECT label, list(round(avg_x, 6) ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x::DOUBLE) AS avg_x FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) t(label, pos, avg_x) GROUP BY label
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cb.label FROM cb
+          ORDER BY list_distance(cb.centroid::DOUBLE[], e.embedding::DOUBLE[]), cb.label
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+probes AS (
+  SELECT c.vec_id AS qid, c.embedding AS qv, cb.label AS cell
+  FROM cells c, cb
+  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+    ORDER BY list_distance(cb.centroid::DOUBLE[], c.embedding::DOUBLE[]), cb.label) <= {nprobe}
+),
+pairs AS (
+  SELECT p.qid, c2.vec_id AS nid,
+         round(list_cosine_similarity(p.qv::DOUBLE[], c2.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM probes p JOIN cells c2 ON c2.cell = p.cell
+  WHERE c2.vec_id <> p.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= {k}
+""".strip()
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -978,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": _q_doc_bm25_search,
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
+        "knn_graph_ivf": _q_knn_graph,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "ppr3": _q_ppr3,
@@ -1913,6 +1959,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  UNION ALL SELECT 2, (SELECT count(*) FROM t2)\n"
             "  UNION ALL SELECT 3, (SELECT count(*) FROM t3)) ORDER BY step"
         ),
+        "knn_graph_ivf": _knn_graph_sql(k=5, nprobe=2),
         # integer week = floor(days since 2024-01-01 / 7); Spark's datediff
         # uses the date part of the timestamp, mirrored by CAST(ts AS DATE)
         "events_retention": (

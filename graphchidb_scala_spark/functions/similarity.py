@@ -195,6 +195,78 @@ def _nearest_cells(
     return [cell for cell, c in sorted(codebook, key=lambda t: (_sqdist(t[1]), t[0]))[:nprobe]]
 
 
+def probe_cells(vec_col: Column, codebook: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest-centroid cells of each row's vector as an array
+    column — the distributed twin of the driver-side :func:`_nearest_cells`.
+    Pure projection like :func:`ivf_cell` (codebook folds in as literals,
+    argsort = array_sort over (dist, cell) structs)."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.array(*[F.lit(float(c)) for c in centroid]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            F.lit(int(cell)).alias("c"),
+        )
+        for cell, centroid in codebook
+    ]
+    return F.transform(
+        F.slice(F.array_sort(F.array(*dists)), 1, int(nprobe)), lambda s: s.getField("c")
+    )
+
+
+def knn_graph_ivf(
+    df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Batch kNN-graph construction: EVERY vector gets its approximate k
+    nearest neighbors (cosine, searched within its ``nprobe`` nearest IVF
+    cells) — the all-vectors companion of :func:`ann_topk_ivf` and the
+    backbone of embedding clustering / near-dup graphs / kNN-based label
+    propagation. Returns DF(qid, nid, cos_sim), k rows per vector,
+    (cos_sim DESC, nid ASC) within each qid, sim rounded to 4 (the
+    tie-break key, cross-engine stable).
+
+    Scale shape: both cell assignment and per-vector probe selection are
+    pure projections (codebook literals in codegen); the single shuffle is
+    the equi-join on the cell id — candidate volume is N·nprobe·(N/K), the
+    quadratic term divided by the cell count, with cell skew handled by
+    AQE. Top-k per vector is one Window over the join's own partitioning."""
+    from pyspark.sql.window import Window
+
+    if codebook is None:
+        codebook = ivf_codebook(df, vec_col=vec_col)
+    q = df.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col), codebook, nprobe)).alias("_cell"),
+    )
+    cand = df.select(
+        F.col(id_col).cast("bigint").alias("nid"),
+        F.col(vec_col).alias("_nv"),
+        ivf_cell(F.col(vec_col), codebook).alias("_cell"),
+    )
+    pairs = q.join(cand, "_cell").filter(F.col("qid") != F.col("nid"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.select("qid", "nid", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def save_ivf_index(
     df: DataFrame,
     path: str,

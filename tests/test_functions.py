@@ -726,3 +726,44 @@ def test_retention_cohorts_matches_python(spark):
         (1, 0): 1, (1, 2): 1,  # user 3
         (2, 0): 1,  # user 4
     }
+
+
+def test_knn_graph_ivf_matches_python_model(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n = 8, 40
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 4) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {}
+    for r in similarity.knn_graph_ivf(emb, k=3, nprobe=2).collect():
+        got.setdefault(r["qid"], []).append((r["nid"], r["cos_sim"]))
+
+    # python replication: float32-stored vectors, label centroids rounded 6
+    vecs = {i: [float(__import__("numpy").float32(x)) for x in v] for i, v, _ in rows}
+    labels = {i: l for i, _, l in rows}
+    cents = {}
+    for l in set(labels.values()):
+        mem = [vecs[i] for i in vecs if labels[i] == l]
+        cents[l] = [round(sum(v[d] for v in mem) / len(mem), 6) for d in range(dim)]
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cell(v):
+        return min(cents, key=lambda l: (sqd(v, cents[l]), l))
+
+    def probes(v):
+        return [l for l in sorted(cents, key=lambda l: (sqd(v, cents[l]), l))[:2]]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 4)
+
+    cell_of = {i: cell(v) for i, v in vecs.items()}
+    for q, v in vecs.items():
+        ps = set(probes(v))
+        cand = [(cos(v, vecs[j]), j) for j in vecs if j != q and cell_of[j] in ps]
+        top = sorted(cand, key=lambda t: (-t[0], t[1]))[:3]
+        assert got[q] == [(j, s) for s, j in top], f"qid {q}"

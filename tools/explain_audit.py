@@ -227,6 +227,12 @@ CHECKS = {
         lambda g, docs, emb: _edgestore_scattered_batch_probe(g),
         ["Or(In(src", "!SortMergeJoin"],
     ),
+    # kNN graph: assignment + probe selection are projections; the ONLY
+    # join is the cell-id equi hash join (quadratic term / cell count)
+    "knn_graph_cell_equi_join": (
+        lambda g, docs, emb: similarity.knn_graph_ivf(emb, k=5, nprobe=2),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
     # persisted IVF probe: the _cell predicate must prune partitions at the
     # scan (PartitionFilters), not filter after a full read
     "ann_ivf_indexed_partition_pruning": (
