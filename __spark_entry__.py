@@ -786,6 +786,146 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= {k}
 """.strip()
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup (semantic dedup in embedding space): IVF-cell blocking +
+    keep-lowest-id within rounded-cosine >= tau; returns the surviving
+    corpus. tau=0.25 fits the synthetic embeddings' within-cluster cosine
+    spread (99th pct ~0.30) so the drop set is non-trivial at every sf."""
+    return similarity.semantic_dedup(_emb(spark, sf), threshold=0.25)
+
+
+def _semantic_dedup_sql(threshold: float = 0.25) -> str:
+    # same cb/cells CTEs as _knn_graph_sql; dropped = has a lower-id
+    # same-cell neighbor at rounded cosine >= tau; survivors via anti-join
+    return f"""
+WITH cb AS (
+  SELECT label, list(round(avg_x, 6) ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x::DOUBLE) AS avg_x FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) t(label, pos, avg_x) GROUP BY label
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cb.label FROM cb
+          ORDER BY list_distance(cb.centroid::DOUBLE[], e.embedding::DOUBLE[]), cb.label
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+        >= {threshold}
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(c.cell AS INTEGER) AS cell
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+WHERE d.vec_id IS NULL
+""".strip()
+
+
+def _pii_decorated_text():
+    """Deterministically derive PII-bearing text from the corpus (the
+    synthetic documents contain none): append an email / IPv4 / phone to a
+    doc_id-dependent subset. Both engines build the identical string."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@mail-hub.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" from 10.2."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+
+
+def _q_doc_pii(spark, sf):
+    """PII detection + scrub audit: per-kind regexp counts on the raw text
+    and an md5 fingerprint of the scrubbed text (typed placeholders) — a
+    pure-projection map pass, no shuffle at any corpus size."""
+    docs = _docs(spark, sf).withColumn("text", _pii_decorated_text())
+    return text.pii_report(docs)
+
+
+def _pii_sql() -> str:
+    # identical decoration, patterns, and placeholder order as
+    # text.PII_PATTERNS / scrub_pii; 'g' flag = Spark's replace-all default
+    from graphchidb_scala_spark.functions.text import PII_PATTERNS
+
+    decorated = (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail-hub.example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH d AS (SELECT doc_id, {decorated} AS t FROM documents)\n"
+        f"SELECT doc_id, {counts}, "
+        f"CAST(length({scrub}) AS BIGINT) AS scrub_len, md5({scrub}) AS scrub_md5\n"
+        "FROM d"
+    )
+
+
+def _q_doc_dsir(spark, sf):
+    """DSIR importance weights: target = the src0 slice, background = the
+    whole corpus; hashed-unigram (md5-portable, 256 buckets) log-likelihood
+    ratios summed per doc. The bucket log-ratio table is <=256 rows —
+    broadcast by construction; one shuffle for the per-doc sum."""
+    docs = _docs(spark, sf)
+    return pipeline.dsir_weights(
+        docs, docs.filter(F.col("source") == "src0"), buckets=256
+    )
+
+
+def _dsir_sql(buckets: int = 256, target_source: str = "src0") -> str:
+    # mirrors pipeline.dsir_weights: md5-hash60 % buckets bucketing,
+    # add-1 smoothing over a dense bucket grid, ln-ratio vs the corpus
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM tok WHERE tok <> ''
+),
+grid AS (SELECT CAST(range AS BIGINT) AS b FROM range({buckets})),
+tgt AS (
+  SELECT g.b, COALESCE(c.n, 0) + 1.0 AS ct
+  FROM grid g LEFT JOIN (
+    SELECT b, count(*) AS n FROM tb WHERE source = '{target_source}' GROUP BY b
+  ) c ON c.b = g.b
+),
+bg AS (
+  SELECT g.b, COALESCE(c.n, 0) + 1.0 AS cb
+  FROM grid g LEFT JOIN (SELECT b, count(*) AS n FROM tb GROUP BY b) c ON c.b = g.b
+),
+ratio AS (
+  SELECT t.b,
+         ln(t.ct / (SELECT sum(ct) FROM tgt)) - ln(b2.cb / (SELECT sum(cb) FROM bg)) AS lr
+  FROM tgt t JOIN bg b2 ON b2.b = t.b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(sum(r.lr), 4) AS dsir_weight
+FROM tb JOIN ratio r ON r.b = tb.b
+GROUP BY doc_id
+""".strip()
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -1028,6 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "ppr3": _q_ppr3,
         "adamic_adar_top20": _q_adamic_adar,
+        # semantic dedup / PII scrub / DSIR domain weighting
+        "semantic_dedup": _q_semantic_dedup,
+        "doc_pii_scrub": _q_doc_pii,
+        "doc_dsir_weights": _q_doc_dsir,
     }
 
 
@@ -2030,4 +2174,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  CASE WHEN len(g3) = 0 THEN 0.0 ELSE round((len(g3) - len(list_distinct(g3))) / len(g3), 6) END AS dup_3gram_frac\n"
             "FROM g"
         ),
+        "semantic_dedup": _semantic_dedup_sql(threshold=0.25),
+        "doc_pii_scrub": _pii_sql(),
+        "doc_dsir_weights": _dsir_sql(buckets=256, target_source="src0"),
     }

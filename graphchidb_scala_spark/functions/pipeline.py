@@ -362,3 +362,90 @@ def strip_boilerplate(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept_lines"),
     )
+
+
+# ---------------------------------------------------- DSIR importance weights
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023) weights:
+    score every document by how much more likely its hashed-unigram profile
+    is under a small ``target`` corpus than under the full ``df`` background —
+    ``w(doc) = Σ_tokens ln(p_target(bucket)/p_background(bucket))`` with
+    add-``alpha`` smoothing over ``buckets`` hash buckets. High-weight docs
+    "look like" the target domain; feed the result to
+    :func:`weighted_sample` (on exp-normalized weights) or a top-n cut to
+    assemble a domain-focused training mix. Returns DF(id, n_tokens,
+    dsir_weight), weight rounded for cross-engine comparison.
+
+    Hashing uses :func:`~graphchidb_scala_spark.functions.dedup.md5_hash60`
+    (mod ``buckets``) so DuckDB computes identical bucket ids — no rand(),
+    no stored model.
+
+    Scale shape: the two bucket distributions are ≤``buckets`` rows each by
+    construction (a parameter, not data-dependent), so the log-ratio table
+    is always broadcastable; the per-doc score is then one map-side-combined
+    groupBy over the exploded tokens — a single shuffle of (doc, partial-sum)
+    pairs regardless of corpus size. The target corpus is typically a tiny
+    curated sample; only its token histogram (≤``buckets`` rows) ever leaves
+    the aggregation."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    b = int(buckets)
+
+    def _tok_buckets(d: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        return (
+            d.select(F.col(id_col), F.explode(toks).alias("tok"))
+            .filter(F.col("tok") != "")
+            .withColumn("_b", md5_hash60(F.col("tok")) % b)
+        )
+
+    def _dist(d: DataFrame, name: str) -> DataFrame:
+        counts = _tok_buckets(d).groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        total = d.sparkSession.range(b).select(F.col("id").cast("bigint").alias("_b"))
+        return (
+            total.join(counts, "_b", "left")
+            .select(
+                "_b",
+                (
+                    (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(float(alpha)))
+                ).alias(name),
+            )
+        )
+
+    # smoothed log-ratio per bucket; the total-count normalizers cancel into
+    # a single per-token constant, ln(T_bg/T_tgt), folded into the ratio via
+    # the summed counts (both sides computed the same way, so the oracle
+    # reproduces it exactly)
+    tgt = _dist(target, "_ct")
+    bg = _dist(df, "_cb")
+    totals = F.broadcast(
+        tgt.agg(F.sum("_ct").alias("_tt")).crossJoin(bg.agg(F.sum("_cb").alias("_tb")))
+    )
+    ratio = (
+        tgt.join(bg, "_b")
+        .crossJoin(totals)
+        .select(
+            "_b",
+            (
+                F.log(F.col("_ct") / F.col("_tt")) - F.log(F.col("_cb") / F.col("_tb"))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        _tok_buckets(df)
+        .join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_lr"), round_dp).alias("dsir_weight"),
+        )
+    )

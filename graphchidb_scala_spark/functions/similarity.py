@@ -267,6 +267,50 @@ def knn_graph_ivf(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    corpus with the coarse quantizer, then inside each cell drop every vector
+    that has a *lower-id* neighbor with cosine ≥ ``threshold`` — the
+    embedding-space twin of near-dup text removal, used to prune
+    semantically-redundant training documents. Returns the SURVIVING corpus
+    as DF(``id_col``, cell); keep-lowest-id makes the result deterministic
+    and engine-independent (rounded sim is the comparison key).
+
+    Scale shape: cell assignment is a codegen projection (codebook literals);
+    the only quadratic term is the within-cell self-join — N·(N/K) candidate
+    pairs, the same equi-join shape as :func:`knn_graph_ivf`, with cell skew
+    handled by AQE. The drop set is derived, never collected or broadcast;
+    the final keep is one anti-join on the id."""
+    if codebook is None:
+        codebook = ivf_codebook(df, vec_col=vec_col)
+    cells = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        ivf_cell(F.col(vec_col), codebook).alias("cell"),
+    )
+    nbrs = cells.select(
+        F.col("_id").alias("_nid"), F.col("_v").alias("_nv"), F.col("cell").alias("_ncell")
+    )
+    dropped = (
+        cells.join(nbrs, cells["cell"] == nbrs["_ncell"])
+        .filter(F.col("_nid") < F.col("_id"))
+        .filter(F.round(cosine(F.col("_v"), F.col("_nv")), round_dp) >= float(threshold))
+        .select("_id")
+        .distinct()
+    )
+    return (
+        cells.join(dropped, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cell")
+    )
+
+
 def save_ivf_index(
     df: DataFrame,
     path: str,

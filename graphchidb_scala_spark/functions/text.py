@@ -283,3 +283,54 @@ def ngram_counts(
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ PII scrub
+
+#: PII detectors, ordered — scrubbing applies them in sequence, so earlier
+#: patterns must not leave partial matches for later ones (emails are removed
+#: before their digit runs could be misread, phones before lone octet pairs).
+#: Patterns stick to the Java-regex ∩ RE2 portable subset (no lookarounds,
+#: \b and bounded repetition behave identically), so the DuckDB oracle runs
+#: the exact same strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts on the raw text (before scrubbing) —
+    one regexp_count per detector, all JVM-side."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder, applying the
+    detectors in :data:`PII_PATTERNS` order. Pure projection — at 100 TB this
+    is a map-only pass with no shuffle, and Catalyst pushes it into the same
+    codegen stage as any surrounding filters."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DF(id, n_email, n_phone, n_ipv4, scrub_len, scrub_md5): detection
+    counts plus a fingerprint of the scrubbed text — the audit artifact a
+    redaction pass leaves behind (the md5 lets a reviewer verify the scrub
+    output byte-for-byte without retaining the raw text)."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    scrubbed = scrub_pii(t)
+    return df.select(
+        F.col(id_col),
+        *[counts[kind].alias(f"n_{kind}") for kind, _, _ in PII_PATTERNS],
+        F.length(scrubbed).cast("bigint").alias("scrub_len"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

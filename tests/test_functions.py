@@ -767,3 +767,63 @@ def test_knn_graph_ivf_matches_python_model(spark):
         cand = [(cos(v, vecs[j]), j) for j in vecs if j != q and cell_of[j] in ps]
         top = sorted(cand, key=lambda t: (-t[0], t[1]))[:3]
         assert got[q] == [(j, s) for s, j in top], f"qid {q}"
+
+
+# ------------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_keeps_lowest_id_per_near_dup_group(spark):
+    # two well-separated clusters; ids 0/1/2 are near-identical copies in
+    # cluster A, id 3 is a distinct A member, ids 10/11 near-identical in B
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, a, 0),
+        (1, [0.999, 0.001, 0.0, 0.0], 0),
+        (2, [0.998, -0.001, 0.0, 0.0], 0),
+        (3, [0.7, 0.0, 0.714, 0.0], 0),  # same cell, cos≈0.7 vs a
+        (10, b, 1),
+        (11, [0.001, 0.999, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    kept = {r["vec_id"] for r in similarity.semantic_dedup(df, threshold=0.95).collect()}
+    assert kept == {0, 3, 10}
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark):
+    rows = [
+        (i, [float(i == j) for j in range(4)], i % 2) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    kept = similarity.semantic_dedup(df, threshold=1.1)
+    assert kept.count() == 4
+
+
+# ------------------------------------------------------------------ PII scrub
+
+def test_pii_scrub_counts_and_placeholders(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@corp.example.org today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "call 555-123-4567 or 555.987.6543 now"),
+        (3, "plain text with no identifiers at all"),
+        (4, "bob@ex.co from 8.8.8.8 dial 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rep = {r["doc_id"]: r for r in text.pii_report(df).collect()}
+    assert (rep[0]["n_email"], rep[0]["n_ipv4"], rep[0]["n_phone"]) == (1, 0, 0)
+    assert (rep[1]["n_email"], rep[1]["n_ipv4"], rep[1]["n_phone"]) == (0, 2, 0)
+    assert (rep[2]["n_email"], rep[2]["n_ipv4"], rep[2]["n_phone"]) == (0, 0, 2)
+    assert (rep[3]["n_email"], rep[3]["n_ipv4"], rep[3]["n_phone"]) == (0, 0, 0)
+    assert (rep[4]["n_email"], rep[4]["n_ipv4"], rep[4]["n_phone"]) == (1, 1, 1)
+    scrubbed = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", text.scrub_pii(F.col("text")).alias("s")).collect()
+    }
+    assert scrubbed[0] == "mail me at <EMAIL> today"
+    assert scrubbed[1] == "server at <IP> and <IP> rebooted"
+    assert scrubbed[2] == "call <PHONE> or <PHONE> now"
+    assert scrubbed[3] == rows[3][1]
+    assert scrubbed[4] == "<EMAIL> from <IP> dial <PHONE>"

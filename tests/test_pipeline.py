@@ -233,3 +233,35 @@ def test_rebalance_mix_quotas_and_determinism(spark):
     assert n_s0 == 5  # quota 20, only 5 exist
     with pytest.raises(ValueError, match="positive"):
         pipeline.rebalance_mix(df, "source", {"s0": 0.0}, total_n=10)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # target domain talks about cats; background is a mixed corpus
+    rows = [
+        (0, "cat cat kitten purr cat", "pets"),
+        (1, "cat kitten sits on the mat", "pets"),
+        (2, "stock market prices fell sharply today", "finance"),
+        (3, "kitten purr cat mat cat", "web"),      # target-like, other source
+        (4, "bond yields and market futures rallied", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = df.filter("source = 'pets'")
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in pipeline.dsir_weights(df, target, buckets=64).collect()
+    }
+    assert len(w) == 5
+    # target-like docs outrank finance-like docs regardless of source
+    assert min(w[0], w[1], w[3]) > max(w[2], w[4])
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    rows = [(i, f"tok{i % 7} tok{i % 3} common word", "s" + str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = df.filter("source = 's0'")
+    a = {r["doc_id"]: r["dsir_weight"] for r in pipeline.dsir_weights(df, target).collect()}
+    b = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in pipeline.dsir_weights(df.repartition(11), target.repartition(5)).collect()
+    }
+    assert a == b
