@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.session import get_spark
 from graphchidb_scala_spark.sources.tpch import load_tables, tpch_graph
-from graphchidb_scala_spark.functions import dedup, pipeline, similarity
+from graphchidb_scala_spark.functions import dedup, pipeline, similarity, text
 
 
 def plan_of(df) -> str:
@@ -286,6 +286,27 @@ CHECKS = {
             "left_anti",
         ),
         ["!BroadcastExchange"],
+    ),
+    # SemDeDup: cell assignment is a projection; the within-cell self-join
+    # and the survivor anti-join are both equi joins — never nested-loop,
+    # however the cell sizes skew (AQE handles the hot cell)
+    "semantic_dedup_cell_equi_join": (
+        lambda g, docs, emb: similarity.semantic_dedup(emb, threshold=0.25),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # PII report: a pure map pass — no exchange anywhere, and column pruning
+    # reaches the scan (only doc_id + text read)
+    "pii_report_pure_projection": (
+        lambda g, docs, emb: text.pii_report(docs),
+        ["!Exchange", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    ),
+    # DSIR: the bucket log-ratio table (<= buckets rows) joins the exploded
+    # tokens as a broadcast hash join; the per-doc sum is map-side combined
+    "dsir_ratio_broadcast_doc_agg": (
+        lambda g, docs, emb: pipeline.dsir_weights(
+            docs, docs.filter(F.col("source") == "src0"), buckets=64
+        ),
+        ["BroadcastHashJoin", "partial_"],
     ),
 }
 
