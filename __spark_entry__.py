@@ -318,6 +318,43 @@ def _q_events_window(spark, sf):
     return events.window_agg(_events(spark, sf), window_minutes=60)
 
 
+def _q_events_window_sliding(spark, sf):
+    """3h windows hopping hourly — each event expands to 3 windows before
+    ONE map-side-combined aggregation (no self-joins, no re-scan)."""
+    return events.window_agg_sliding(
+        _events(spark, sf), length_minutes=180, slide_minutes=60
+    )
+
+
+def _q_events_hll(spark, sf):
+    """Cross-engine-exact HyperLogLog: per-event-type approx distinct users
+    (p=12, linear-counting range at this cardinality) and distinct events
+    (raw-HLL range) — per group only 2^p register rows reach the final agg,
+    the count-distinct shape that survives a 100 TB key universe."""
+    from graphchidb_scala_spark.functions import sketches
+
+    ev = _events(spark, sf)
+    users = sketches.hll_distinct(
+        ev, "user_id", ["event_type"], p=12, out_col="approx_users"
+    )
+    evts = sketches.hll_distinct(
+        ev, "event_id", ["event_type"], p=12, out_col="approx_events"
+    )
+    return users.join(evts, "event_type")
+
+
+def _events_hll_sql() -> str:
+    from graphchidb_scala_spark.functions import sketches
+
+    u = sketches.hll_distinct_sql("events", "user_id", ["event_type"], 12, "approx_users")
+    e = sketches.hll_distinct_sql("events", "event_id", ["event_type"], 12, "approx_events")
+    return (
+        f"WITH u AS (\n{u}\n), ev AS (\n{e}\n)\n"
+        "SELECT u.event_type, u.approx_users, ev.approx_events\n"
+        "FROM u JOIN ev ON ev.event_type = u.event_type"
+    )
+
+
 def _q_events_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
@@ -1172,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "doc_pii_scrub": _q_doc_pii,
         "doc_dsir_weights": _q_doc_dsir,
+        # sliding windows + cross-engine-exact HLL sketch
+        "events_window_sliding": _q_events_window_sliding,
+        "events_hll_distinct": _q_events_hll,
     }
 
 
@@ -2177,4 +2217,15 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "semantic_dedup": _semantic_dedup_sql(threshold=0.25),
         "doc_pii_scrub": _pii_sql(),
         "doc_dsir_weights": _dsir_sql(buckets=256, target_source="src0"),
+        # hopping window = the slide-aligned bucket shifted back i slides,
+        # i in 0..length/slide-1 (Spark's window() expansion, spelled out)
+        "events_window_sliding": (
+            "SELECT strftime(date_trunc('hour', ts) - i.i * INTERVAL 1 HOUR, "
+            "'%Y-%m-%d %H:%M:%S') AS ws, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events CROSS JOIN (SELECT unnest(range(3)) AS i) i "
+            "GROUP BY 1, 2"
+        ),
+        "events_hll_distinct": _events_hll_sql(),
     }

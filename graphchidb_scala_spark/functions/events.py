@@ -73,6 +73,42 @@ def window_agg(
     )
 
 
+def window_agg_sliding(
+    events: DataFrame,
+    length_minutes: int = 180,
+    slide_minutes: int = 60,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping/sliding-window counts + sums per event type: each event lands
+    in ``length/slide`` overlapping windows (the moving-average / rolling-rate
+    shape tumbling windows can't express). DF(ws, event_type, n_events,
+    sum_value). Spark's window(ts, length, slide) expands each row to its
+    windows BEFORE the aggregation, so the plan is still one shuffle with
+    map-side combine — the fan-out factor is length/slide, a constant.
+    Under readStream the identical expression is a stateful sliding window
+    with a watermark on ``ts``."""
+    if length_minutes % slide_minutes != 0:
+        raise ValueError("length_minutes must be a multiple of slide_minutes")
+    w = F.window(
+        F.col(ts_col), f"{int(length_minutes)} minutes", f"{int(slide_minutes)} minutes"
+    )
+    return (
+        events.groupBy(w.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_window_agg(
     events: DataFrame,
     window_minutes: int = 60,

@@ -827,3 +827,83 @@ def test_pii_scrub_counts_and_placeholders(spark):
     assert scrubbed[2] == "call <PHONE> or <PHONE> now"
     assert scrubbed[3] == rows[3][1]
     assert scrubbed[4] == "<EMAIL> from <IP> dial <PHONE>"
+
+
+# ------------------------------------------------------------------- sketches
+
+def test_hll_distinct_error_bound_and_branches(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    # large cardinality → raw-HLL branch; p=12 gives ~1.6% typical error
+    big = spark.range(50_000).select(F.col("id").alias("v"))
+    est = sketches.hll_distinct(big, "v", p=12).collect()[0]["approx_distinct"]
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # small cardinality → linear-counting branch, near-exact
+    small = spark.range(100).select(F.col("id").alias("v"))
+    est_s = sketches.hll_distinct(small, "v", p=12).collect()[0]["approx_distinct"]
+    assert abs(est_s - 100) / 100 < 0.02
+
+
+def test_hll_distinct_duplicates_and_partitioning_invariant(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.range(30_000).select((F.col("id") % 3_000).alias("v"))
+    a = sketches.hll_distinct(df, "v", p=12).collect()[0]["approx_distinct"]
+    b = sketches.hll_distinct(df.repartition(13), "v", p=12).collect()[0][
+        "approx_distinct"
+    ]
+    assert a == b  # register maxima are order-independent → identical estimate
+    assert abs(a - 3_000) / 3_000 < 0.05
+
+
+def test_hll_distinct_grouped(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).cast("string").alias("g"), (F.col("id") % 500).alias("v")
+    )
+    rows = {
+        r["g"]: r["approx_distinct"]
+        for r in sketches.hll_distinct(df, "v", ["g"], p=12).collect()
+    }
+    # group 0 sees even residues (250 distinct), group 1 odd residues (250)
+    assert set(rows) == {"0", "1"}
+    for est in rows.values():
+        assert abs(est - 250) / 250 < 0.05
+
+
+def test_window_agg_sliding_matches_python_model(spark):
+    import collections
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, hh, mm), "t%d" % (i % 2), 1.0)
+        for i, (hh, mm) in enumerate(
+            [(0, 5), (0, 55), (1, 10), (2, 30), (3, 0), (5, 59), (6, 0)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, event_type string, value double"
+    )
+    got = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events.window_agg_sliding(
+            df, length_minutes=180, slide_minutes=60
+        ).collect()
+    }
+    model = collections.Counter()
+    for _, ts, et, v in rows:
+        aligned = ts.replace(minute=0, second=0)
+        for i in range(3):
+            ws = aligned - dt.timedelta(hours=i)
+            model[(ws.strftime("%Y-%m-%d %H:%M:%S"), et)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(model)
+
+
+def test_window_agg_sliding_rejects_nonmultiple(spark):
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", "a", 1.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    with pytest.raises(ValueError):
+        events.window_agg_sliding(df, length_minutes=100, slide_minutes=60)

@@ -308,7 +308,41 @@ CHECKS = {
         ),
         ["BroadcastHashJoin", "partial_"],
     ),
+    # HLL sketch: register build is a map-side-combined (group,bucket) agg —
+    # the shuffle carries partial maxima, and no join appears anywhere
+    "hll_register_partial_agg": (
+        lambda g, docs, emb: _hll_plan(g),
+        ["partial_max", "!Join"],
+    ),
+    # sliding window: the window() expansion happens BEFORE one aggregation —
+    # no self-join / re-scan per hop, count+sum partials below the exchange
+    "sliding_window_single_agg": (
+        lambda g, docs, emb: _sliding_window_plan(g),
+        ["partial_count", "!Join"],
+    ),
 }
+
+
+def _hll_plan(g):
+    from graphchidb_scala_spark.functions import sketches
+
+    ev = g.spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        F.col("id").alias("user_id"),
+    )
+    return sketches.hll_distinct(ev, "user_id", ["event_type"], p=10)
+
+
+def _sliding_window_plan(g):
+    from graphchidb_scala_spark.functions import events as ev_mod
+
+    ev = g.spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    return ev_mod.window_agg_sliding(ev, length_minutes=180, slide_minutes=60)
 
 
 def _edgestore_batch_probe(g):
