@@ -228,6 +228,20 @@ def _q_adamic_adar(spark, sf):
     return gq.adamic_adar(_g(spark, sf), vertex=1, k=20)
 
 
+def _q_jaccard(spark, sf):
+    """Jaccard neighbor-set similarity top-20 from customer 1 — the
+    normalized link-prediction companion of adamic_adar (same broadcast
+    wedge pass, union size by arithmetic)."""
+    return gq.jaccard_similarity(_g(spark, sf), vertex=1, k=20)
+
+
+def _q_copurchase(spark, sf):
+    """Item-item co-occurrence over the orders→parts bipartite type: top-20
+    part pairs by distinct common orders — the co-purchase matrix. Exact
+    (no cap) at test scale; max_degree bounds hub baskets at 100 TB."""
+    return gq.bipartite_cooccurrence(_g(spark, sf), etype=1, k=20)
+
+
 def _q_cc5(spark, sf):
     return pregel.connected_components(_g(spark, sf), fixed_iterations=5)
 
@@ -1212,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding windows + cross-engine-exact HLL sketch
         "events_window_sliding": _q_events_window_sliding,
         "events_hll_distinct": _q_events_hll,
+        # link-prediction variants + bipartite projection
+        "jaccard_top20": _q_jaccard,
+        "copurchase_top20": _q_copurchase,
     }
 
 
@@ -2228,4 +2245,20 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "GROUP BY 1, 2"
         ),
         "events_hll_distinct": _events_hll_sql(),
+        "jaccard_top20": _gsql(
+            "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
+            "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"
+            "       inter AS (SELECT u2.b AS id, count(*) AS cap\n"
+            "                 FROM nu JOIN und u2 ON u2.a = nu.w AND u2.a <> u2.b\n"
+            "                 WHERE u2.b <> 1 GROUP BY u2.b)\n"
+            "  SELECT i.id, round(CAST(i.cap AS DOUBLE) / ((SELECT count(*) FROM nu) + d.deg - i.cap), 6) AS score\n"
+            "  FROM inter i JOIN deg d ON d.a = i.id\n"
+            "  ORDER BY score DESC, id LIMIT 20"
+        ),
+        "copurchase_top20": _gsql(
+            "  WITH e AS (SELECT DISTINCT src AS u, dst AS i FROM edges WHERE etype = 1)\n"
+            "  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_common\n"
+            "  FROM e a JOIN e b ON b.u = a.u AND a.i < b.i\n"
+            "  GROUP BY a.i, b.i ORDER BY n_common DESC, item_a, item_b LIMIT 20"
+        ),
     }

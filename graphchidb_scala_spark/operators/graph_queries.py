@@ -444,6 +444,95 @@ def adamic_adar(
     )
 
 
+def jaccard_similarity(
+    db: GraphDB,
+    vertex: int,
+    etype: int | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Jaccard neighbor-set similarity from ``vertex``: score(v) =
+    |N(u)∩N(v)| / |N(u)∪N(v)| over undirected neighborhoods — the
+    normalized companion of :func:`adamic_adar` (hubs with huge
+    neighborhoods stop dominating common-neighbor counts). Top-k
+    DF(id, score), (score DESC, id ASC), rounded to 6.
+
+    Scale shape: identical to adamic_adar — seed neighbor set broadcasts
+    onto one pass over the undirected edges (wedge count = intersection
+    size), degrees come from one map-side-combined agg joined back per
+    candidate, union = deg(u)+deg(v)-∩ is arithmetic; top-k is a
+    TakeOrdered. No all-pairs term anywhere."""
+    und = db.undirected_edges(etype).filter(F.col("a") != F.col("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    nu = und.filter(F.col("a") == int(vertex)).select(F.col("b").alias("w"))
+    du = int(nu.count())
+    inter = (
+        und.select(F.col("a").alias("w"), F.col("b").alias("id"))
+        .join(F.broadcast(nu), "w")
+        .filter(F.col("id") != int(vertex))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_cap"))
+    )
+    return (
+        inter.join(deg.select(F.col("a").alias("id"), "deg"), "id")
+        .select(
+            "id",
+            F.round(
+                F.col("_cap") / (F.lit(du) + F.col("deg") - F.col("_cap")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(int(k))
+    )
+
+
+def bipartite_cooccurrence(
+    db: GraphDB,
+    etype: int,
+    k: int = 20,
+    max_degree: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Item-item co-occurrence projection of a bipartite edge type
+    (src=user/basket, dst=item): top-k item pairs by the number of distinct
+    sources connecting both — the co-purchase / co-click matrix behind
+    item-to-item recommendation. DF(item_a, item_b, n_common), item_a <
+    item_b, ordered (n_common DESC, item_a, item_b).
+
+    Scale shape: the wedge term is Σ deg(u)² over sources — a hub basket
+    explodes it, so ``max_degree`` caps each source's fan-out to its
+    ``max_degree`` lowest seeded-md5 items (the repo's deterministic
+    per-group sample idiom, one Window) BEFORE the self-join; with the cap
+    the join is bounded by |E|·max_degree. The pair aggregation is
+    map-side combined; top-k is a TakeOrdered, never a global sort."""
+    from pyspark.sql.window import Window
+
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    e = (
+        db.edges.filter(F.col("etype") == int(etype))
+        .select(F.col("src").alias("u"), F.col("dst").alias("i"))
+        .distinct()
+    )
+    if max_degree is not None:
+        w = Window.partitionBy("u").orderBy(
+            md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col("i"))), F.col("i")
+        )
+        e = (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_degree))
+            .drop("_rn")
+        )
+    j = e.select(F.col("u"), F.col("i").alias("j"))
+    return (
+        e.join(j, "u")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy(F.col("i").alias("item_a"), F.col("j").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .orderBy(F.desc("n_common"), F.asc("item_a"), F.asc("item_b"))
+        .limit(int(k))
+    )
+
+
 def kcore_peel_round(e: DataFrame, k: int) -> DataFrame:
     """One peel: drop edges touching any vertex of degree < k. Exposed
     module-level so the plan audit exercises the production round (two

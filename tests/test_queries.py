@@ -341,3 +341,59 @@ def test_adamic_adar_matches_python(social_db):
     expect = {v: round(s, 6) for v, s in scores.items()}
     got = {r["id"]: r["score"] for r in gq.adamic_adar(social_db, 1, etype=0, k=10**6).collect()}
     assert got == pytest.approx(expect)
+
+
+def test_jaccard_similarity_matches_python(social_db):
+    from collections import defaultdict
+
+    und = defaultdict(set)
+    for r in social_db.undirected_edges(0).collect():
+        if r["a"] != r["b"]:
+            und[r["a"]].add(r["b"])
+    u = 1
+    expect = {}
+    for v in und:
+        if v == u:
+            continue
+        inter = len(und[u] & und[v])
+        if inter:
+            expect[v] = round(inter / len(und[u] | und[v]), 6)
+    got = {
+        r["id"]: r["score"]
+        for r in gq.jaccard_similarity(social_db, 1, etype=0, k=10**6).collect()
+    }
+    assert got == pytest.approx(expect)
+
+
+def test_bipartite_cooccurrence_matches_python(social_db):
+    from collections import Counter
+    from itertools import combinations
+
+    baskets = {}
+    for r in social_db.edges.filter("etype = 0").select("src", "dst").distinct().collect():
+        baskets.setdefault(r["src"], set()).add(r["dst"])
+    model = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            model[(a, b)] += 1
+    got = {
+        (r["item_a"], r["item_b"]): r["n_common"]
+        for r in gq.bipartite_cooccurrence(social_db, etype=0, k=10**6).collect()
+    }
+    assert got == dict(model)
+
+
+def test_bipartite_cooccurrence_cap_bounds_fanout(social_db):
+    capped = gq.bipartite_cooccurrence(social_db, etype=0, k=10**6, max_degree=2)
+    # with every basket capped at 2 items, each contributes at most 1 pair
+    n_baskets = social_db.edges.filter("etype = 0").select("src").distinct().count()
+    assert capped.count() <= n_baskets
+    # determinism: same seed → identical result set
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(
+        map(
+            tuple,
+            gq.bipartite_cooccurrence(social_db, etype=0, k=10**6, max_degree=2).collect(),
+        )
+    )
+    assert a == b

@@ -320,6 +320,13 @@ CHECKS = {
         lambda g, docs, emb: _sliding_window_plan(g),
         ["partial_count", "!Join"],
     ),
+    # bipartite projection: the user-key equi self-join carries the wedge
+    # pass (no cartesian however AQE sizes it); pair counts are map-side
+    # combined and top-k is a TakeOrdered, never a global sort
+    "bipartite_cooccurrence_equi_topk": (
+        lambda g, docs, emb: gq.bipartite_cooccurrence(g, etype=1, k=20),
+        ["partial_count", "TakeOrderedAndProject", "!CartesianProduct"],
+    ),
 }
 
 
