@@ -311,6 +311,106 @@ def semantic_dedup(
     )
 
 
+def kmeans_codebook(
+    df: DataFrame,
+    k: int = 64,
+    iterations: int = 10,
+    sample_cap: int = 16_384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train a K-cell coarse quantizer with seeded Lloyd's k-means on a
+    deterministic hash-ordered sample (same md5(id) sampling as
+    :func:`pq_train` — reproducible, not correlated with a single source /
+    crawl epoch). Returns the same ``[(cell, centroid)]`` shape as
+    :func:`ivf_codebook`, so every IVF consumer (ann_topk_ivf,
+    save_ivf_index, knn_graph_ivf, semantic_dedup) accepts it directly.
+
+    This is the K≈sqrt(N) trainer the 100 TB story needs: the label-centroid
+    codebook is capped at the label cardinality (fine for oracle parity,
+    too coarse for a billion vectors), while here K is a free parameter.
+    The model stays driver-resident (K·dim doubles — 2 MB at K=4096,
+    dim=64); only assignment is distributed. For K past the codegen-literal
+    sweet spot (~hundreds), assign with :func:`assign_cells_arrow` instead
+    of :func:`ivf_cell`."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(int(sample_cap))
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    uniq = np.unique(x, axis=0)
+    kk = min(int(k), len(uniq))
+    # deterministic farthest-point init (greedy k-center): immune to the
+    # first-k-distinct failure mode where two seeds land in one cluster and
+    # a planted cluster starves
+    chosen = [0]
+    d_near = ((uniq - uniq[0]) ** 2).sum(axis=1)
+    while len(chosen) < kk:
+        nxt = int(d_near.argmax())
+        chosen.append(nxt)
+        d_near = np.minimum(d_near, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+    cent = uniq[chosen].copy()
+    for _ in range(int(iterations)):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(kk):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+    return [(i, [float(v) for v in cent[i]]) for i in range(kk)]
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Nearest-centroid cell assignment via Arrow-batched numpy — the
+    large-K twin of :func:`ivf_cell`. The codegen-literal projection is
+    unbeatable up to a few hundred cells, but a K=4096 codebook would fold
+    262k literals into the expression tree; here the codebook ships once in
+    the serialized closure (K·dim doubles) and each Arrow batch does ONE
+    ``|batch|×K`` matmul-style distance argmin in numpy. Still a map-only
+    pass: no shuffle, no join, memory bounded by one batch.
+
+    Tie-break matches :func:`ivf_cell` (lowest cell id wins on equal
+    distance — numpy argmin is first-min over the cell-sorted books). The
+    expanded form ||c||²-2x·c rounds differently from the literal
+    Σ(x-c)² in the last ulp, so assignments can differ only where two
+    centroids are equidistant to float precision — irrelevant for any
+    real quantizer geometry."""
+    import numpy as np
+
+    import pandas as pd
+
+    cells = np.asarray([int(c) for c, _ in codebook], dtype=np.int64)
+    cent = np.asarray([v for _, v in codebook], dtype=np.float64)
+    order = np.argsort(cells, kind="stable")
+    cells, cent = cells[order], cent[order]
+    cent_sq = (cent**2).sum(axis=1)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} int"
+
+    def run(batches):
+        for pdf in batches:
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(x) == 0:
+                pdf[out_col] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant per row
+            d2 = cent_sq[None, :] - 2.0 * (x @ cent.T)
+            pdf[out_col] = cells[d2.argmin(axis=1)].astype("int32")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def save_ivf_index(
     df: DataFrame,
     path: str,

@@ -907,3 +907,64 @@ def test_window_agg_sliding_rejects_nonmultiple(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     with pytest.raises(ValueError):
         events.window_agg_sliding(df, length_minutes=100, slide_minutes=60)
+
+
+# ------------------------------------------------- large-K coarse quantizer
+
+def test_kmeans_codebook_recovers_planted_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4) * 10.0
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = similarity.kmeans_codebook(df, k=4, iterations=8)
+    got = sorted(
+        tuple(round(x) for x in cent) for _, cent in cb
+    )
+    assert got == sorted(tuple(round(x) for x in c) for c in centers)
+    # deterministic: same input → same codebook
+    assert cb == similarity.kmeans_codebook(df, k=4, iterations=8)
+
+
+def test_assign_cells_arrow_matches_codegen_assignment(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)], 0) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = [(c, [float(x) for x in rng.normal(0, 1, 8)]) for c in range(16)]
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", similarity.ivf_cell(F.col("embedding"), cb).alias("cell")
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["_cell"]
+        for r in similarity.assign_cells_arrow(df, cb).select("vec_id", "_cell").collect()
+    }
+    assert arrow == lit
+
+
+def test_kmeans_codebook_feeds_ivf_consumers(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        c = i % 3
+        base = [0.0] * 8
+        base[c] = 5.0
+        v = np.asarray(base) + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = similarity.kmeans_codebook(df, k=3, iterations=6)
+    res = similarity.knn_graph_ivf(df, k=2, nprobe=1, codebook=cb)
+    assert res.count() == 400  # 200 vectors × 2 neighbors, all cells populated

@@ -327,6 +327,14 @@ CHECKS = {
         lambda g, docs, emb: gq.bipartite_cooccurrence(g, etype=1, k=20),
         ["partial_count", "TakeOrderedAndProject", "!CartesianProduct"],
     ),
+    # large-K cell assignment: one Arrow-batched map pass — no shuffle, no
+    # join; the codebook rides in the closure, not the plan
+    "assign_cells_arrow_map_only": (
+        lambda g, docs, emb: similarity.assign_cells_arrow(
+            emb, [(c, [0.1 * c] * 64) for c in range(32)]
+        ),
+        ["MapInPandas", "!Exchange", "!Join"],
+    ),
 }
 
 
