@@ -397,3 +397,39 @@ def test_bipartite_cooccurrence_cap_bounds_fanout(social_db):
         )
     )
     assert a == b
+
+
+def test_local_clustering_coefficient_matches_python(social_db):
+    from collections import defaultdict
+    from itertools import combinations
+
+    und = defaultdict(set)
+    for r in social_db.undirected_edges(0).collect():
+        if r["a"] != r["b"]:
+            und[r["a"]].add(r["b"])
+            und[r["b"]].add(r["a"])
+    expect = {}
+    for v, nbrs in und.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        tri = sum(1 for a, b in combinations(sorted(nbrs), 2) if b in und[a])
+        expect[v] = round(2.0 * tri / (d * (d - 1)), 6)
+    got = {
+        r["id"]: r["coeff"]
+        for r in gq.local_clustering_coefficient(social_db, etype=0).collect()
+    }
+    assert got == pytest.approx(expect)
+
+
+def test_local_clustering_triangle_free_graph_is_all_zero(social_db, spark):
+    from graphchidb_scala_spark.db import GraphDB
+
+    # a path graph has no triangles; every interior vertex has coeff 0
+    edges = spark.createDataFrame(
+        [(0, i, i + 1, "", 0, 0) for i in range(10)],
+        "etype int, src bigint, dst bigint, col1 string, col2 int, col3 int",
+    )
+    db = GraphDB(edges)
+    rows = gq.local_clustering_coefficient(db, etype=0).collect()
+    assert len(rows) == 9 and all(r["coeff"] == 0.0 for r in rows)
