@@ -228,6 +228,24 @@ def _q_adamic_adar(spark, sf):
     return gq.adamic_adar(_g(spark, sf), vertex=1, k=20)
 
 
+def _q_graph_asof(spark, sf):
+    """Time-travel snapshot: per-etype edge counts + distinct sources with
+    the graph restricted to ts <= 1995-06-30 — every query method works on
+    the snapshot; the cutoff is a pushed scan predicate (partition pruning
+    under a ts-partitioned layout at scale)."""
+    g = _g(spark, sf).as_of("1995-06-30")
+    return g.edges.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.countDistinct("src").cast("bigint").alias("n_src"),
+    )
+
+
+def _q_events_outliers(spark, sf):
+    """Per-user z-score anomaly flags on event values (|z| >= 2.5,
+    population stddev): one Window over one user-key shuffle."""
+    return events.value_outliers(_events(spark, sf), z_threshold=2.5)
+
+
 def _q_jaccard(spark, sf):
     """Jaccard neighbor-set similarity top-20 from customer 1 — the
     normalized link-prediction companion of adamic_adar (same broadcast
@@ -1229,6 +1247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-prediction variants + bipartite projection
         "jaccard_top20": _q_jaccard,
         "copurchase_top20": _q_copurchase,
+        # temporal snapshot + anomaly flags
+        "graph_asof_counts": _q_graph_asof,
+        "events_value_outliers": _q_events_outliers,
     }
 
 
@@ -2260,5 +2281,19 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_common\n"
             "  FROM e a JOIN e b ON b.u = a.u AND a.i < b.i\n"
             "  GROUP BY a.i, b.i ORDER BY n_common DESC, item_a, item_b LIMIT 20"
+        ),
+        "graph_asof_counts": _gsql(
+            "  SELECT etype, CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(count(DISTINCT src) AS BIGINT) AS n_src "
+            "FROM edges WHERE ts <= DATE '1995-06-30' GROUP BY etype"
+        ),
+        "events_value_outliers": (
+            "WITH z AS (\n"
+            "  SELECT event_id, user_id,\n"
+            "         stddev_pop(value) OVER (PARTITION BY user_id) AS sd,\n"
+            "         round((value - avg(value) OVER (PARTITION BY user_id))\n"
+            "               / stddev_pop(value) OVER (PARTITION BY user_id), 4) AS z\n"
+            "  FROM events)\n"
+            "SELECT event_id, user_id, z FROM z WHERE sd > 0 AND abs(z) >= 2.5"
         ),
     }

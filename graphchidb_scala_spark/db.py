@@ -92,6 +92,16 @@ class GraphDB:
     def with_vertices(self, vertices: DataFrame) -> "GraphDB":
         return GraphDB(self.edges, vertices)
 
+    def as_of(self, cutoff, ts_col: str = "ts") -> "GraphDB":
+        """Time-travel snapshot: the graph restricted to edges with
+        ``ts_col <= cutoff`` — the query-side counterpart of the durable
+        edge log (reference analogue: the transaction-log replay point,
+        GraphChiDatabase.scala durable-buffer flush). Every query method
+        works unchanged on the snapshot; the filter is a plain pushed
+        predicate, so at 100 TB a ts-partitioned layout turns this into
+        partition pruning rather than a scan."""
+        return GraphDB(self.edges.filter(F.col(ts_col) <= cutoff), self._vertices)
+
     # ------------------------------------------------- neighborhood queries (§2.4)
 
     def query_out(self, vertex: int, etype: int | None = None) -> DataFrame:

@@ -350,6 +350,39 @@ def retention_cohorts(
     )
 
 
+def value_outliers(
+    events: DataFrame,
+    z_threshold: float = 2.5,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-user z-score outlier detection on the event value stream:
+    events whose value sits ≥ ``z_threshold`` population standard
+    deviations from that user's mean — the anomaly-flagging pass of an
+    event pipeline (fraud spikes, sensor glitches, runaway counters).
+    DF(event_id, user_id, z), z rounded (the rounded value is also the
+    threshold comparand, keeping the cut cross-engine stable). Users with
+    zero variance are excluded (no meaningful z).
+
+    Scale shape: ONE shuffle on the user key — mean and stddev share a
+    single Window spec, the z projection and filter run in the same stage;
+    no groupBy-plus-join-back double shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col)
+    mu = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_pop(F.col(value_col)).over(w)
+    z = F.round((F.col(value_col) - mu) / sd, round_dp)
+    return (
+        events.select(
+            F.col("event_id"), F.col(user_col), sd.alias("_sd"), z.alias("z")
+        )
+        .filter((F.col("_sd") > 0) & (F.abs(F.col("z")) >= float(z_threshold)))
+        .select("event_id", user_col, "z")
+    )
+
+
 def extract_props(
     events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
 ) -> DataFrame:

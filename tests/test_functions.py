@@ -968,3 +968,29 @@ def test_kmeans_codebook_feeds_ivf_consumers(spark):
     cb = similarity.kmeans_codebook(df, k=3, iterations=6)
     res = similarity.knn_graph_ivf(df, k=2, nprobe=1, codebook=cb)
     assert res.count() == 400  # 200 vectors × 2 neighbors, all cells populated
+
+
+def test_value_outliers_matches_python(spark):
+    import statistics
+
+    rows = []
+    # user 1: tight cluster + one spike; user 2: zero variance; user 3: two pts
+    vals = {1: [10.0, 10.1, 9.9, 10.05, 9.95, 30.0], 2: [5.0, 5.0, 5.0], 3: [1.0, 2.0]}
+    eid = 0
+    for u, vs in vals.items():
+        for v in vs:
+            rows.append((eid, u, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    got = {r["event_id"]: r["z"] for r in events.value_outliers(df, 2.0).collect()}
+    expect = {}
+    eid = 0
+    for u, vs in vals.items():
+        mu = statistics.fmean(vs)
+        sd = statistics.pstdev(vs)
+        for v in vs:
+            if sd > 0 and abs(round((v - mu) / sd, 4)) >= 2.0:
+                expect[eid] = round((v - mu) / sd, 4)
+            eid += 1
+    assert got == pytest.approx(expect)
+    assert len(got) == 1  # only user 1's spike

@@ -433,3 +433,22 @@ def test_local_clustering_triangle_free_graph_is_all_zero(social_db, spark):
     db = GraphDB(edges)
     rows = gq.local_clustering_coefficient(db, etype=0).collect()
     assert len(rows) == 9 and all(r["coeff"] == 0.0 for r in rows)
+
+
+def test_as_of_snapshot_restricts_and_queries_work(social_db):
+    full = social_db.edges.count()
+    cutoff = social_db.edges.selectExpr(
+        "percentile_approx(timestamp, 0.5) AS m"
+    ).collect()[0]["m"]
+    snap = social_db.as_of(cutoff, ts_col="timestamp")
+    n = snap.edges.count()
+    assert 0 < n < full
+    assert snap.edges.filter(f"timestamp > {cutoff}").count() == 0
+    # snapshot degrees = degrees computed on the filtered edge set
+    a = {r["id"]: r["out_deg"] for r in snap.degrees(etype=0).collect()}
+    manual = {
+        r["src"]: r["c"]
+        for r in snap.edges.filter("etype = 0").groupBy("src").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    assert {k: v for k, v in a.items() if v > 0} == manual

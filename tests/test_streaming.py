@@ -321,3 +321,50 @@ def test_stream_drop_exact_duplicates(spark, tmp_path):
     texts = sorted(t for _, t in out)
     assert texts == ["aaa", "bbb", "ccc"]          # one survivor per content
     assert [i for i, t in out if t == "aaa"] == [1]  # first arrival wins
+
+
+def test_stream_sliding_window_matches_batch(spark, tmp_path):
+    """The sliding-window expression is the same under readStream: with a
+    watermark and a far-future sentinel, append mode finalizes exactly the
+    windows the batch twin computes."""
+    import datetime as dt
+
+    from graphchidb_scala_spark.functions.events import window_agg_sliding
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i, (m, et, v) in enumerate(
+        [(1, "click", 1.0), (65, "click", 2.0), (125, "view", 4.0), (190, "view", 0.5)]
+    ):
+        rows.append((i, et, base + dt.timedelta(minutes=m), v))
+    rows.append((99, "sentinel", base + dt.timedelta(days=3), 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    src = tmp_path / "swagg_in"
+    df.coalesce(1).write.parquet(str(src))
+
+    batch = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in window_agg_sliding(df, 180, 60).collect()
+        if r["event_type"] != "sentinel"
+    }
+    stream = spark.readStream.schema(
+        "event_id bigint, event_type string, ts timestamp, value double"
+    ).parquet(str(src)).withWatermark("ts", "1 minute")
+    out = window_agg_sliding(stream, 180, 60)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swagg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("swagg_out").collect()
+        if r["event_type"] != "sentinel"
+    }
+    assert got == batch
