@@ -246,6 +246,15 @@ def _q_events_outliers(spark, sf):
     return events.value_outliers(_events(spark, sf), z_threshold=2.5)
 
 
+def _q_mis(spark, sf):
+    """Luby-style maximal independent set (seeded md5 priorities —
+    deterministic). Rows-only by policy: the parallel local-min rounds
+    equal the sequential greedy MIS, which is inherently order-sequential
+    (an 18k-deep recursive CTE is not a practical oracle); the pytest gate
+    asserts greedy-equality, independence, and maximality directly."""
+    return gq.maximal_independent_set(_g(spark, sf), etype=None)
+
+
 def _q_jaccard(spark, sf):
     """Jaccard neighbor-set similarity top-20 from customer 1 — the
     normalized link-prediction companion of adamic_adar (same broadcast
@@ -1250,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal snapshot + anomaly flags
         "graph_asof_counts": _q_graph_asof,
         "events_value_outliers": _q_events_outliers,
+        # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
+        "mis_seeded": _q_mis,
     }
 
 

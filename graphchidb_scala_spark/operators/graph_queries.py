@@ -533,6 +533,60 @@ def bipartite_cooccurrence(
     )
 
 
+def maximal_independent_set(
+    db: GraphDB,
+    etype: int | None = None,
+    max_rounds: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Luby-style maximal independent set on the undirected simple graph:
+    no two MIS vertices are adjacent, and every non-MIS vertex has an MIS
+    neighbor — the distributed symmetry-breaking primitive behind graph
+    coloring, scheduling, and parallel matching. Deterministic: priorities
+    are md5(seed:id), so re-runs, partitionings, and engines agree on the
+    exact set. Returns DF(id) of MIS members.
+
+    Scale shape: each round is one aggregation over the live edge set (the
+    min neighbor priority) + semi/anti joins to retire winners and their
+    neighbors; the live set shrinks geometrically (Luby: expected ≥ half
+    the EDGES retire per round), so the loop is O(log n) rounds with
+    checkpoints cutting lineage. Isolated vertices join the MIS trivially
+    at their first round."""
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    pri = lambda c: md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(c)))  # noqa: E731
+    und = cut_lineage(
+        db.undirected_edges(etype).filter(F.col("a") != F.col("b")).distinct()
+    )
+    live_v = cut_lineage(und.select(F.col("a").alias("id")).distinct())
+    live_e = und
+    mis = None
+    for _ in range(int(max_rounds)):
+        if live_v.isEmpty():
+            break
+        # min neighbor priority per vertex; vertices with no live neighbor win
+        nbr_min = live_e.groupBy("a").agg(F.min(pri("b")).alias("_nm"))
+        winners = cut_lineage(
+            live_v.join(nbr_min, live_v["id"] == nbr_min["a"], "left")
+            .filter(F.col("_nm").isNull() | (pri("id") < F.col("_nm")))
+            .select("id")
+        )
+        mis = winners if mis is None else mis.unionAll(winners)
+        # retire winners and their neighbors
+        retired = winners.unionAll(
+            live_e.join(winners, live_e["a"] == winners["id"], "semi").select(
+                F.col("b").alias("id")
+            )
+        ).distinct()
+        live_v = cut_lineage(live_v.join(retired, "id", "anti"))
+        live_e = cut_lineage(
+            live_e.join(live_v.select(F.col("id").alias("a")), "a", "semi").join(
+                live_v.select(F.col("id").alias("b")), "b", "semi"
+            )
+        )
+    return mis if mis is not None else live_v
+
+
 def local_clustering_coefficient(
     db: GraphDB,
     etype: int | None = None,

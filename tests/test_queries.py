@@ -452,3 +452,35 @@ def test_as_of_snapshot_restricts_and_queries_work(social_db):
         .withColumnRenamed("count", "c").collect()
     }
     assert {k: v for k, v in a.items() if v > 0} == manual
+
+
+def test_maximal_independent_set_equals_greedy_by_priority(social_db):
+    import hashlib
+    from collections import defaultdict
+
+    und = defaultdict(set)
+    nodes = set()
+    for r in social_db.undirected_edges(0).collect():
+        if r["a"] != r["b"]:
+            und[r["a"]].add(r["b"])
+            und[r["b"]].add(r["a"])
+        nodes.add(r["a"])
+        nodes.add(r["b"])
+
+    def pri(v):
+        return int(hashlib.md5(f"42:{v}".encode()).hexdigest()[:15], 16)
+
+    # Luby local-min rounds compute exactly the sequential greedy MIS in
+    # priority order (the lexicographically-first MIS)
+    expect, blocked = set(), set()
+    for v in sorted(nodes, key=lambda v: (pri(v), v)):
+        if v not in blocked:
+            expect.add(v)
+            blocked |= und[v] | {v}
+    got = {r["id"] for r in gq.maximal_independent_set(social_db, etype=0).collect()}
+    assert got == expect
+    # independence + maximality, asserted directly
+    for v in got:
+        assert not (und[v] & got)
+    for v in nodes - got:
+        assert und[v] & got
