@@ -246,6 +246,20 @@ def _q_events_outliers(spark, sf):
     return events.value_outliers(_events(spark, sf), z_threshold=2.5)
 
 
+def _q_pca(spark, sf):
+    """PCA-reduce the embedding corpus to 8 dims. Rows-only by policy:
+    the eigendecomposition has no ANSI-SQL twin (DuckDB has no eigh);
+    the pytest gate asserts planted-subspace recovery, orthonormality,
+    and numpy projection parity."""
+    emb = _emb(spark, sf)
+    mean, comps, _ = similarity.pca_train(emb)
+    out = similarity.pca_project(emb, mean, comps, k=8)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(F.col("pca"), lambda x: F.round(x, 4)).alias("pca"),
+    )
+
+
 def _q_mis(spark, sf):
     """Luby-style maximal independent set (seeded md5 priorities —
     deterministic). Rows-only by policy: the parallel local-min rounds
@@ -1261,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": _q_events_outliers,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
+        # rows-only: no SQL eigh; pytest gate (planted subspace + parity)
+        "embedding_pca": _q_pca,
     }
 
 

@@ -411,6 +411,94 @@ def assign_cells_arrow(
     return df.mapInPandas(run, out_schema)
 
 
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Train a PCA model over an embedding column: returns (mean,
+    components, eigenvalues) with components[i] the i-th principal axis
+    (descending eigenvalue), sign-fixed so each axis's largest-|x| entry is
+    positive (removes eigh's sign ambiguity).
+
+    Scale shape: the only distributed work is second-moment accumulation —
+    each Arrow batch emits ONE partial row (count, Σx, Σxxᵀ flattened,
+    dim+dim² doubles), so the driver collects #batches rows of a few KB
+    however large the corpus is (a treeAggregate in DataFrame clothing);
+    the dim×dim eigendecomposition is driver-side numpy. dim is the
+    embedding width (64-4096), never the corpus size."""
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[vec_col])
+    schema = "n bigint, s array<double>, g array<double>"
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    comps = []
+    for i in range(dim):
+        v = evecs[:, i]
+        if v[int(np.abs(v).argmax())] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(x) for x in mu], comps, [float(x) for x in evals]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: Sequence[float],
+    components: Sequence[Sequence[float]],
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append a ``k``-dim PCA projection column: y_j = (x−μ)·W_j. The mean
+    and the k axes fold into the plan as literals (k·dim doubles — the
+    codegen sweet spot for typical k), so projection is a pure map
+    expression like :func:`ivf_cell`; for k·dim past that, the
+    :func:`assign_cells_arrow` pattern applies."""
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    centered = F.zip_with(
+        xd, F.array(*[F.lit(float(m)) for m in mean]), lambda x, m: x - m
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(w)) for w in components[j]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(int(k))
+    ]
+    return df.withColumn(out_col, F.array(*cols))
+
+
 def save_ivf_index(
     df: DataFrame,
     path: str,

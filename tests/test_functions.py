@@ -994,3 +994,49 @@ def test_value_outliers_matches_python(spark):
             eid += 1
     assert got == pytest.approx(expect)
     assert len(got) == 1  # only user 1's spike
+
+
+# ------------------------------------------------------------------ PCA
+
+def test_pca_recovers_planted_subspace(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(0, 1, (8, 2)))[0].T  # 2 orthonormal axes in R^8
+    z = rng.normal(0, [3.0, 1.5], (500, 2))              # strong planted variance
+    x = z @ basis + rng.normal(0, 0.01, (500, 8)) + 7.0  # nonzero mean
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(500)],
+        "vec_id bigint, embedding array<float>",
+    )
+    mean, comps, evals = similarity.pca_train(df)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-3)
+    # top-2 eigenvalues dominate, rest is noise-floor
+    assert evals[1] > 1.0 and evals[2] < 0.01
+    # top-2 axes span the planted subspace
+    W = np.asarray(comps[:2])
+    proj = W @ basis.T  # 2x2, should be (near-)orthogonal rotation
+    np.testing.assert_allclose(np.abs(np.linalg.det(proj)), 1.0, atol=1e-2)
+    # orthonormality
+    C = np.asarray(comps)
+    np.testing.assert_allclose(C @ C.T, np.eye(8), atol=1e-8)
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, (200, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    mean, comps, _ = similarity.pca_train(df)
+    got = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in similarity.pca_project(df, mean, comps, k=3).collect()
+    }
+    W = np.asarray(comps[:3])
+    want = (np.asarray([list(map(np.float32, row)) for row in x], dtype=np.float64) - np.asarray(mean)) @ W.T
+    for i in range(200):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5)

@@ -335,6 +335,14 @@ CHECKS = {
         ),
         ["MapInPandas", "!Exchange", "!Join"],
     ),
+    # PCA projection: mean + axes are plan literals, the k dot products run
+    # in codegen — map-only like the IVF assignment
+    "pca_project_pure_projection": (
+        lambda g, docs, emb: similarity.pca_project(
+            emb, [0.0] * 64, [[1.0 if i == j else 0.0 for i in range(64)] for j in range(8)], k=8
+        ),
+        ["Project", "!Exchange", "!Join"],
+    ),
 }
 
 
