@@ -268,3 +268,93 @@ def test_weighted_sample_is_proper_subset_race(spark, seed):
 
     expect = {i for i, w in sorted(rows, key=lambda t: (key(*t), t[0]))[:n]}
     assert got == expect
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_scrub_pii_idempotent_and_clean(spark, seed):
+    """scrub(scrub(x)) == scrub(x), and scrubbed text re-detects zero PII —
+    on random text interleaved with random PII instances."""
+    from graphchidb_scala_spark.functions import text as textmod
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "x9", "...", "a.b", "@", "10.2", "555-12"]
+    rows = []
+    for i in range(10):
+        parts = [rng.choice(words) for _ in range(rng.randint(0, 8))]
+        if rng.random() < 0.7:
+            parts.insert(rng.randint(0, len(parts)), f"u{i}@ex{i}.org")
+        if rng.random() < 0.5:
+            parts.insert(0, f"10.{i}.0.{rng.randint(0, 255)}")
+        if rng.random() < 0.5:
+            parts.append(f"{rng.randint(100, 999)}-555-{rng.randint(1000, 9999)}")
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = df.select("doc_id", textmod.scrub_pii(F.col("text")).alias("text"))
+    twice = once.select("doc_id", textmod.scrub_pii(F.col("text")).alias("text"))
+    assert {r["doc_id"]: r["text"] for r in once.collect()} == {
+        r["doc_id"]: r["text"] for r in twice.collect()
+    }
+    recount = once.select(
+        *[c.alias(k) for k, c in textmod.pii_counts(F.col("text")).items()]
+    ).collect()
+    assert all(r["email"] == 0 and r["phone"] == 0 and r["ipv4"] == 0 for r in recount)
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_sliding_window_conserves_events(spark, seed):
+    """Every event lands in exactly length/slide hopping windows, so the
+    window counts sum to 3x the row count (180/60)."""
+    import datetime as dt
+
+    from graphchidb_scala_spark.functions.events import window_agg_sliding
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b"]),
+            base + dt.timedelta(minutes=rng.randint(0, 5000)),
+            1.0,
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp_ntz, value double"
+    )
+    out = window_agg_sliding(df, 180, 60)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 3 * len(rows)
+
+
+def test_dsir_weights_zero_when_target_is_background(spark):
+    """target == background → every log-ratio is 0 → every doc weight is 0."""
+    from graphchidb_scala_spark.functions import pipeline
+
+    rows = [(i, f"tok{i % 5} common text here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    w = pipeline.dsir_weights(df, df, buckets=64).collect()
+    assert len(w) == 20 and all(r["dsir_weight"] == 0.0 for r in w)
+
+
+def test_semantic_dedup_idempotent(spark):
+    """Dedup of the survivors drops nothing (the survivor set is stable)."""
+    import random as _r
+
+    from graphchidb_scala_spark.functions import similarity
+
+    rng = _r.Random(4)
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 2] = 1.0
+        rows.append(
+            (i, [v + rng.gauss(0, 0.15) for v in base], i % 2)
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = similarity.ivf_codebook(df)
+    s1 = similarity.semantic_dedup(df, threshold=0.98, codebook=cb)
+    survivors = df.join(s1.select("vec_id"), "vec_id", "semi")
+    s2 = similarity.semantic_dedup(survivors, threshold=0.98, codebook=cb)
+    assert {r["vec_id"] for r in s1.collect()} == {r["vec_id"] for r in s2.collect()}
