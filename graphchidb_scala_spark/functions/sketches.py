@@ -30,6 +30,34 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_register_cols(value_col: str, p: int):
+    """(bucket, rho) Column pair for one value — the per-row half of the
+    sketch, shared by the batch aggregate and the streaming stateful op."""
+    tail_bits = 60 - p
+    h = md5_hash60(F.col(value_col).cast("string"))
+    bucket = F.shiftright(h, tail_bits)
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    bitlen = F.when(tail == F.lit(0), F.lit(0)).otherwise(
+        F.length(F.conv(tail, 10, 2))
+    )
+    return bucket, F.lit(tail_bits + 1) - bitlen
+
+
+def hll_estimate_py(registers, p: int) -> float:
+    """Python-side estimator over a dense register array (missing buckets =
+    0) — the same arithmetic as the SQL/Column form, used by the streaming
+    stateful op where the registers live in group state."""
+    m = 1 << p
+    s = sum(2.0 ** (-int(r)) for r in registers)
+    zeros = sum(1 for r in registers if int(r) == 0)
+    raw = _alpha(m) * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        import math
+
+        return round(m * math.log(m / zeros), 4)
+    return round(raw, 4)
+
+
 def hll_distinct(
     df: DataFrame,
     value_col: str,
@@ -48,14 +76,8 @@ def hll_distinct(
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     m = 1 << p
-    tail_bits = 60 - p
-    h = md5_hash60(F.col(value_col).cast("string"))
-    bucket = F.shiftright(h, tail_bits)
-    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
-    bitlen = F.when(tail == F.lit(0), F.lit(0)).otherwise(
-        F.length(F.conv(tail, 10, 2))
-    )
-    rho = (F.lit(tail_bits + 1) - bitlen).alias("_rho")
+    bucket, rho_col = hll_register_cols(value_col, p)
+    rho = rho_col.alias("_rho")
     gb = [F.col(c) for c in group_cols]
     registers = (
         df.select(*gb, bucket.alias("_bkt"), rho)

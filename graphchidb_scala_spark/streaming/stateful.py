@@ -195,3 +195,67 @@ def stream_drop_exact_duplicates(
             .drop("_h")
         )
     return h.dropDuplicates(["_h"]).drop("_h")
+
+
+# ---------------------------------------------------------------- streaming HLL
+
+def _hll_fn(p: int, group_col: str) -> Callable[..., Iterable[pd.DataFrame]]:
+    m = 1 << p
+
+    def fn(key: tuple[Any, ...], pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        from graphchidb_scala_spark.functions.sketches import hll_estimate_py
+
+        if state.exists:
+            regs_list, n = state.get
+            regs = np.asarray(regs_list, dtype=np.int32)
+        else:
+            regs, n = np.zeros(m, dtype=np.int32), 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            np.maximum.at(
+                regs,
+                pdf["_bkt"].to_numpy(dtype=np.int64),
+                pdf["_rho"].to_numpy(dtype=np.int32),
+            )
+        state.update(([int(r) for r in regs], int(n)))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "approx_distinct": [hll_estimate_py(regs, p)],
+                "n_rows": [int(n)],
+            }
+        )
+
+    return fn
+
+
+def stream_hll_distinct(
+    events_stream: DataFrame,
+    value_col: str,
+    group_col: str = "event_type",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming approximate distinct per group: the per-row (bucket, rho)
+    projection runs in codegen on each micro-batch; group state holds the
+    2^p register maxima, merged across batches with an elementwise max —
+    the associative/commutative merge that makes HLL a *sketch* (state is
+    2^p ints per group forever, never the key universe). Emits the group's
+    refreshed estimate every batch it appears in (update mode). The final
+    estimate equals the batch :func:`~graphchidb_scala_spark.functions.
+    sketches.hll_distinct` over the union of all batches, exactly — same
+    registers, same estimator."""
+    from graphchidb_scala_spark.functions.sketches import hll_register_cols
+
+    bucket, rho = hll_register_cols(value_col, p)
+    rows = events_stream.select(
+        F.col(group_col), bucket.alias("_bkt"), rho.alias("_rho")
+    )
+    return rows.groupBy(group_col).applyInPandasWithState(
+        _hll_fn(p, group_col),
+        outputStructType=f"{group_col} string, approx_distinct double, n_rows bigint",
+        stateStructType="registers array<int>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -368,3 +368,49 @@ def test_stream_sliding_window_matches_batch(spark, tmp_path):
         if r["event_type"] != "sentinel"
     }
     assert got == batch
+
+
+def test_stream_hll_matches_batch_sketch_across_batches(spark, tmp_path):
+    """Register-max merge across micro-batches (maxFilesPerTrigger=1 forces
+    several): the final streaming estimate equals the batch hll_distinct
+    over the union — same registers, same estimator."""
+    from graphchidb_scala_spark.functions.sketches import hll_distinct
+    from graphchidb_scala_spark.streaming.stateful import stream_hll_distinct
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    parts = []
+    for b in range(3):
+        df = spark.createDataFrame(
+            [("t%d" % (i % 2), (b * 400 + i) % 900) for i in range(600)],
+            "event_type string, user_id bigint",
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{b}"))
+        parts.append(df)
+    union = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct(union, "user_id", ["event_type"], p=10).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stream_hll_distinct(stream, "user_id", p=10)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("hll_out").collect()
+    assert len(rows) > 2  # several micro-batches emitted interim estimates
+    final = {}
+    for r in rows:  # last update per group wins (rows arrive in batch order)
+        final[r["event_type"]] = r["approx_distinct"]
+    assert final == want
