@@ -1018,6 +1018,45 @@ GROUP BY doc_id
 """.strip()
 
 
+def _q_doc_curate(spark, sf):
+    """End-to-end curation capstone: quality gate (+ exact dedup) ->
+    benchmark decontamination (eval set = doc_id %% 97 == 0, k=2 word
+    shingles) -> per-source cap (15, seeded). Composes the standalone
+    verified stages; returns the final training-set (doc_id, source)."""
+    docs = _docs(spark, sf)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.curate_corpus(
+        corpus, benchmark, min_tokens=5, min_quality=0.3,
+        langs=("en", "de", "fr", "es"), shingle_k=5, cap=15,
+    )
+
+
+def _curate_sql() -> str:
+    # stage-by-stage CTE composition of the doc_quality_filter,
+    # doc_contamination, and doc_cap_per_source oracles, each reading the
+    # previous stage's survivors; eval docs (%97==0) are excluded up front
+    # and their shingles come from the raw benchmark text
+    qf = _quality_filter_inner_sql("corpus0")
+    return f"""
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+{qf},
+surv AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM filt GROUP BY md5(text)),
+base AS (SELECT d.doc_id, d.source, d.text FROM corpus0 d JOIN surv USING (doc_id)),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 3, 1)), i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM t WHERE len(tk) >= 5),
+bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents WHERE doc_id % 97 = 0),
+b AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk) - 3, 1)), i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM bt WHERE len(tk) >= 5),
+hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN b USING (sh)),
+clean AS (SELECT base.doc_id, base.source FROM base LEFT JOIN hits USING (doc_id) WHERE hits.doc_id IS NULL)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+  FROM clean) t
+WHERE rn <= 15
+""".strip()
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -1277,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_seeded": _q_mis,
         # rows-only: no SQL eigh; pytest gate (planted subspace + parity)
         "embedding_pca": _q_pca,
+        # end-to-end curation capstone (quality -> decontaminate -> cap)
+        "doc_curate_corpus": _q_doc_curate,
     }
 
 
@@ -1518,7 +1559,7 @@ def _occ_sql(word: str) -> str:
     return f"((length(p) - length(replace(p, '{word}', ''))) / {len(word)}.0)"
 
 
-def _doc_text_stats_sql() -> str:
+def _doc_text_stats_sql(src: str = "documents") -> str:
     scores = {
         lang: " + ".join(_occ_sql(w) for w in words)
         for lang, words in LANG_STOPWORDS.items()
@@ -1528,7 +1569,7 @@ def _doc_text_stats_sql() -> str:
         punct = f"replace({punct}, '{ch}', '')"
     return f"""
 WITH padded AS (
-  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM {src}
 ),
 scored AS (
   SELECT doc_id, text,
@@ -1550,6 +1591,20 @@ SELECT doc_id, n_tokens, n_chars_m, n_punct,
        ELSE 'es' END AS lang_pred
 FROM scored
 """.strip()
+
+
+
+
+def _quality_filter_inner_sql(src: str) -> str:
+    """prof/keep/filt CTE chunk of the quality-filter oracle, parameterized
+    on the source relation (shared by doc_quality_filter and the curation
+    capstone)."""
+    return (
+        f"prof AS ({_doc_text_stats_sql(src)}),\n"
+        "keep AS (SELECT doc_id FROM prof WHERE n_tokens >= 5 "
+        "AND quality >= 0.3 AND lang_pred IN ('en','de','fr','es')),\n"
+        f"filt AS (SELECT d.doc_id, d.text FROM {src} d JOIN keep USING (doc_id))"
+    )
 
 
 def _doc_text_profile_sql() -> str:
@@ -2012,11 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_text_profile": _doc_text_profile_sql(),
         "doc_quality_filter": (
-            f"WITH prof AS ({_doc_text_stats_sql()}),\n"
-            "keep AS (SELECT doc_id FROM prof WHERE n_tokens >= 5 "
-            "AND quality >= 0.3 AND lang_pred IN ('en','de','fr','es')),\n"
-            "filt AS (SELECT d.doc_id, d.text FROM documents d "
-            "JOIN keep USING (doc_id))\n"
+            f"WITH {_quality_filter_inner_sql('documents')}\n"
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM filt GROUP BY md5(text)"
         ),
         "doc_ngram_neardup": _exact_jaccard_sql(0.5, with_block=True),
@@ -2293,6 +2344,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "GROUP BY 1, 2"
         ),
         "events_hll_distinct": _events_hll_sql(),
+        "doc_curate_corpus": _curate_sql(),
         "jaccard_top20": _gsql(
             "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
             "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"

@@ -449,3 +449,47 @@ def dsir_weights(
             F.round(F.sum("_lr"), round_dp).alias("dsir_weight"),
         )
     )
+
+
+# ----------------------------------------------------- end-to-end curation
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    langs=("en", "de", "fr", "es"),
+    shingle_k: int = 2,
+    cap: int = 15,
+    cap_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end curation recipe, composed from the verified stages:
+    C4-style quality gate (+ exact dedup) → benchmark decontamination →
+    per-source quota cap. Returns the final training-set DF(id, cap_col).
+    Each stage is the same function a user calls standalone, so the
+    composition inherits every stage's oracle/pytest verification and
+    scale shape (no new shuffles beyond the stages' own).
+
+    This is the assembly line a 100 TB corpus actually runs: the quality
+    gate is a projection+filter, dedup one hash shuffle, decontamination
+    one shingle-key join against a (count-gated broadcast) benchmark
+    shingle set, and the cap one Window per stratum."""
+    from graphchidb_scala_spark.functions.text import filter_documents
+
+    filt = filter_documents(
+        docs,
+        min_tokens=min_tokens,
+        min_quality=min_quality,
+        langs=tuple(langs) if langs is not None else None,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    clean = decontaminate(
+        filt, benchmark, k=shingle_k, id_col=id_col, text_col=text_col
+    )
+    return cap_per_group(
+        clean, cap_col, cap=cap, seed=seed, id_col=id_col
+    ).select(F.col(id_col).cast("bigint"), cap_col)

@@ -265,3 +265,50 @@ def test_dsir_weights_partitioning_invariant(spark):
         for r in pipeline.dsir_weights(df.repartition(11), target.repartition(5)).collect()
     }
     assert a == b
+
+
+def test_curate_corpus_composes_stage_invariants(spark):
+    rows = []
+    # 3 sources x 20 docs of varied quality; doc 0/25/50 exact dupes
+    for i in range(60):
+        src = f"s{i % 3}"
+        if i in (0, 25, 50):
+            t = "the quick brown fox jumps over the lazy dog again and again"
+        elif i % 7 == 0:
+            t = "x"  # fails min_tokens
+        else:
+            t = f"the document number {i} talks about the weather and the sea in plain words"
+        rows.append((i, t, src))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame(
+        [(1000, "talks about the weather and the sea in plain words today")],
+        "doc_id bigint, text string",
+    )
+    out = pipeline.curate_corpus(df, bench, min_tokens=3, min_quality=0.0,
+                                 langs=None, shingle_k=5, cap=5)
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    # short docs gone
+    assert not any(i % 7 == 0 and i not in (0,) for i in ids if i % 7 == 0 and i != 0)
+    # exact dupes: only the min id (0) may survive of {0, 25, 50}
+    assert not ({25, 50} & ids)
+    # decontamination: every surviving doc shares no 5-shingle with bench
+    texts = {r["doc_id"]: r[1] for r in df.select("doc_id", "text").collect()}
+    bsh = set()
+    bt = bench.collect()[0]["text"].split()
+    for j in range(len(bt) - 4):
+        bsh.add(" ".join(bt[j : j + 5]))
+    for i in ids:
+        tk = texts[i].split()
+        sh = {" ".join(tk[j : j + 5]) for j in range(max(len(tk) - 4, 0))}
+        assert not (sh & bsh)
+    # cap respected per source
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in got)
+    assert all(v <= 5 for v in per_src.values())
+    # deterministic
+    again = {r["doc_id"] for r in pipeline.curate_corpus(
+        df, bench, min_tokens=3, min_quality=0.0, langs=None, shingle_k=5, cap=5
+    ).collect()}
+    assert again == ids
