@@ -5,11 +5,22 @@ first-class operators of this engine."""
 
 from graphchidb_scala_spark.functions import (
     dedup,
+    events,
     multimodal,
     pipeline,
     search,
     similarity,
+    sketches,
     text,
 )
 
-__all__ = ["dedup", "multimodal", "pipeline", "search", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "events",
+    "multimodal",
+    "pipeline",
+    "search",
+    "similarity",
+    "sketches",
+    "text",
+]
