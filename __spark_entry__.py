@@ -260,6 +260,34 @@ def _q_pca(spark, sf):
     )
 
 
+def _q_weighted_sssp(spark, sf):
+    """Weighted SSSP from customer 1 (4 Bellman-Ford rounds): cheapest
+    <=4-hop path cost per reached vertex — one relax join + min-agg per
+    round, the PageRank iteration shape."""
+    return gq.weighted_sssp(_g(spark, sf), source=1, iterations=4)
+
+
+def _weighted_sssp_sql(iterations: int = 4, source: int = 1) -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT id, min(d) AS d FROM (
+    SELECT id, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, p.d + e.weight AS d FROM {prev} p JOIN edges e ON e.src = p.id
+  ) GROUP BY id
+)"""
+        )
+        prev = f"r{k}"
+    return _gsql(
+        f"  WITH r0 AS (SELECT CAST({source} AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d),\n"
+        + ",\n".join(rounds)
+        + f"\n  SELECT id, round(d, 4) AS dist FROM {prev}"
+    )
+
+
 def _q_mis(spark, sf):
     """Luby-style maximal independent set (seeded md5 priorities —
     deterministic). Rows-only by policy: the parallel local-min rounds
@@ -1312,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal snapshot + anomaly flags
         "graph_asof_counts": _q_graph_asof,
         "events_value_outliers": _q_events_outliers,
+        # weighted shortest paths (Bellman-Ford rounds)
+        "weighted_sssp4": _q_weighted_sssp,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
         # rows-only: no SQL eigh; pytest gate (planted subspace + parity)
@@ -2345,6 +2375,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         ),
         "events_hll_distinct": _events_hll_sql(),
         "doc_curate_corpus": _curate_sql(),
+        "weighted_sssp4": _weighted_sssp_sql(iterations=4, source=1),
         "jaccard_top20": _gsql(
             "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
             "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"

@@ -533,6 +533,41 @@ def bipartite_cooccurrence(
     )
 
 
+def weighted_sssp(
+    db: GraphDB,
+    source: int,
+    iterations: int = 4,
+    etype: int | None = None,
+    weight_col: str = "weight",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Weighted single-source shortest distances, Bellman-Ford style: after
+    ``iterations`` rounds every vertex holds the cheapest ≤-k-hop path cost
+    from ``source`` (the weighted companion of the hop-count
+    :func:`single_source_shortest_path`; with iterations ≥ V−1 and
+    non-negative weights this is exact Dijkstra-equivalent). DF(id, dist),
+    dist rounded for cross-engine comparison.
+
+    Scale shape: one relax per round — an equi join of the current frontier
+    distances against the edge table plus a min-aggregate; the same
+    single-shuffle-per-iteration plan as PageRank, lineage-checkpointed.
+    No priority queue to serialize through the driver."""
+    e = db._typed(etype).select(
+        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    )
+    spark = db.spark
+    dist = spark.createDataFrame([(int(source), 0.0)], "id bigint, d double")
+    for _ in range(int(iterations)):
+        relax = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("_w")).alias("d"))
+        )
+        dist = cut_lineage(
+            dist.unionAll(relax).groupBy("id").agg(F.min("d").alias("d"))
+        )
+    return dist.select("id", F.round("d", round_dp).alias("dist"))
+
+
 def maximal_independent_set(
     db: GraphDB,
     etype: int | None = None,

@@ -484,3 +484,28 @@ def test_maximal_independent_set_equals_greedy_by_priority(social_db):
         assert not (und[v] & got)
     for v in nodes - got:
         assert und[v] & got
+
+
+def test_weighted_sssp_matches_python_bellman_ford(social_db):
+    from collections import defaultdict
+
+    edges = [
+        (r["src"], r["dst"], float(r["weight"]))
+        for r in social_db.edges.filter("etype = 0")
+        .select("src", "dst", "weight")
+        .collect()
+    ]
+    src = 1
+    dist = {src: 0.0}
+    for _ in range(4):
+        nd = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nd.get(v, float("inf")):
+                nd[v] = dist[u] + w
+        dist = nd
+    expect = {v: round(d, 4) for v, d in dist.items()}
+    got = {
+        r["id"]: r["dist"]
+        for r in gq.weighted_sssp(social_db, 1, iterations=4, etype=0).collect()
+    }
+    assert got == pytest.approx(expect)
