@@ -816,6 +816,13 @@ def _q_doc_repetition(spark, sf):
 _SEARCH_TERMS = ("spark", "window", "merge")
 
 
+def _q_bpe_pairs(spark, sf):
+    """Top-20 adjacent char-pair frequencies (the first BPE merge
+    statistic): codegen pair explode + map-side-combined count +
+    TakeOrdered."""
+    return text.bpe_pair_counts(_docs(spark, sf), k=20)
+
+
 def _q_doc_tfidf_search(spark, sf):
     """Keyword retrieval: top-20 docs by smoothed TF-IDF for a 3-term query.
     The term IN-filter sits on the exploded tokens before any shuffle, so
@@ -1342,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": _q_events_outliers,
         # weighted shortest paths (Bellman-Ford rounds)
         "weighted_sssp4": _q_weighted_sssp,
+        # tokenizer-training statistic (first BPE merge pair counts)
+        "bpe_pair_top20": _q_bpe_pairs,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
         # rows-only: no SQL eigh; pytest gate (planted subspace + parity)
@@ -2376,6 +2385,13 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "events_hll_distinct": _events_hll_sql(),
         "doc_curate_corpus": _curate_sql(),
         "weighted_sssp4": _weighted_sssp_sql(iterations=4, source=1),
+        "bpe_pair_top20": (
+            "WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),\n"
+            "p AS (SELECT unnest(list_transform(range(1, length(w)), "
+            "i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w WHERE length(w) >= 2)\n"
+            "SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p "
+            "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"
+        ),
         "jaccard_top20": _gsql(
             "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
             "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"

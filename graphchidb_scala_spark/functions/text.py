@@ -260,6 +260,37 @@ def filter_documents(
     return out
 
 
+def bpe_pair_counts(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-k adjacent character-pair frequencies over whitespace words — the
+    statistic the FIRST BPE merge step maximizes (tokenizer training starts
+    here: count all symbol pairs, merge the most frequent, repeat).
+    DF(pair, cnt) ordered (cnt DESC, pair ASC), every occurrence counted.
+
+    Scale shape: words explode to per-word character-pair arrays in one
+    codegen projection (split + transform over substrings — no Python),
+    then a map-side-combined groupBy and a TakeOrdered top-k: one shuffle
+    of (pair, partial-count) rows at any corpus size."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs_per_word = F.flatten(
+        F.transform(
+            toks,
+            lambda w: F.when(F.length(w) < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(1))),
+                    lambda i: w.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs_per_word).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(int(k))
+    )
+
+
 def ngram_counts(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -1040,3 +1040,17 @@ def test_pca_project_matches_numpy(spark):
     want = (np.asarray([list(map(np.float32, row)) for row in x], dtype=np.float64) - np.asarray(mean)) @ W.T
     for i in range(200):
         np.testing.assert_allclose(got[i], want[i], atol=1e-5)
+
+
+def test_bpe_pair_counts_matches_python(spark):
+    from collections import Counter
+
+    rows = [("banana and ananas",), ("na na",), ("",), ("x",)]
+    df = spark.createDataFrame(rows, "text string")
+    model = Counter()
+    for (t,) in rows:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                model[w[i : i + 2]] += 1
+    got = {r["pair"]: r["cnt"] for r in text.bpe_pair_counts(df, k=100).collect()}
+    assert got == dict(model)

@@ -106,3 +106,31 @@ def test_salted_aggregation_and_join(spark):
     j = skew.salted_join(df, dim, "key")
     assert j.count() == df.count()  # every row matches exactly one dim row
     assert j.filter(F.col("key") == 0).select("name").distinct().collect()[0]["name"] == "n0"
+
+
+def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
+    from graphchidb_scala_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "extra": 9}',
+        "this is not json at all",
+        '{"doc_id": 3, "text": "", "lang": "en", "source": "books"}',
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    docs, corrupt = read_documents_jsonl(spark, str(src))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_chars"] == 11 and got[2]["lang"] == "fr"
+    assert "extra" not in docs.columns  # schema projection drops unknown keys
+    bad = [r["line"] for r in corrupt.collect()]
+    assert bad == ["this is not json at all"]
+
+    out = tmp_path / "export"
+    write_documents_jsonl(docs, str(out))
+    back, _ = read_documents_jsonl(spark, str(out))
+    assert {r["doc_id"] for r in back.collect()} == {1, 2, 3}
