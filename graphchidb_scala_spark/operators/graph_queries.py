@@ -540,6 +540,7 @@ def weighted_sssp(
     etype: int | None = None,
     weight_col: str = "weight",
     round_dp: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Weighted single-source shortest distances, Bellman-Ford style: after
     ``iterations`` rounds every vertex holds the cheapest ≤-k-hop path cost
@@ -562,9 +563,10 @@ def weighted_sssp(
             dist.join(e, dist["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("d") + F.col("_w")).alias("d"))
         )
-        dist = cut_lineage(
-            dist.unionAll(relax).groupBy("id").agg(F.min("d").alias("d"))
-        )
+        dist = dist.unionAll(relax).groupBy("id").agg(F.min("d").alias("d"))
+        if checkpoint:
+            # checkpoint=False keeps the plan un-collapsed (plan audits)
+            dist = cut_lineage(dist)
     return dist.select("id", F.round("d", round_dp).alias("dist"))
 
 

@@ -337,6 +337,20 @@ CHECKS = {
     ),
     # PCA projection: mean + axes are plan literals, the k dot products run
     # in codegen — map-only like the IVF assignment
+    # BPE pair stats: codegen explode + map-side combine + TakeOrdered —
+    # one shuffle of (pair, partial-count), no join, no global sort
+    "bpe_pairs_partial_topk": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.text", fromlist=["text"]
+        ).bpe_pair_counts(docs, k=20),
+        ["partial_count", "TakeOrderedAndProject", "!Join"],
+    ),
+    # one weighted-SSSP relax round: frontier-edge equi join + min agg —
+    # the PageRank iteration shape, never a nested loop
+    "weighted_sssp_relax_round": (
+        lambda g, docs, emb: gq.weighted_sssp(g, 1, iterations=1, checkpoint=False),
+        ["partial_min", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
     "pca_project_pure_projection": (
         lambda g, docs, emb: similarity.pca_project(
             emb, [0.0] * 64, [[1.0 if i == j else 0.0 for i in range(64)] for j in range(8)], k=8
