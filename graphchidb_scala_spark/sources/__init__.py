@@ -10,6 +10,7 @@ from graphchidb_scala_spark.sources.tpch import (
 )
 from graphchidb_scala_spark.sources.edgelist import read_edge_list
 from graphchidb_scala_spark.sources.bucketed import load_bucketed, save_bucketed
+from graphchidb_scala_spark.sources.jsonl import read_documents_jsonl, write_documents_jsonl
 
 __all__ = [
     "GRAPH_SQL_CTES",
@@ -21,4 +22,6 @@ __all__ = [
     "read_edge_list",
     "save_bucketed",
     "load_bucketed",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
 ]
