@@ -556,6 +556,11 @@ def weighted_sssp(
     e = db._typed(etype).select(
         "src", "dst", F.col(weight_col).cast("double").alias("_w")
     )
+    if checkpoint:
+        # Materialize the edge projection ONCE: db.edges embeds the
+        # lineitem aggregations, and without this every round's relax
+        # re-runs that whole build pipeline (2 shuffles/round at any SF).
+        e = cut_lineage(e)
     spark = db.spark
     dist = spark.createDataFrame([(int(source), 0.0)], "id bigint, d double")
     for _ in range(int(iterations)):
