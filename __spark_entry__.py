@@ -246,6 +246,53 @@ def _q_events_outliers(spark, sf):
     return events.value_outliers(_events(spark, sf), z_threshold=2.5)
 
 
+def _q_events_transitions(spark, sf):
+    """First-order Markov next-event transition matrix: per-user lead()
+    pairs, counts + row-normalized probabilities — one user-key shuffle
+    then a tiny type-pair aggregate."""
+    return events.next_event_transitions(_events(spark, sf))
+
+
+def _q_events_scd2(spark, sf):
+    """SCD2 historization of the event log: per-user validity intervals
+    [valid_from, valid_to) closed by the next event — one user-key
+    shuffle, no self-join. Restricted to users < 40 to keep the
+    comparison table small."""
+    ev = _events(spark, sf).filter(F.col("user_id") < 40)
+    return events.scd2_state(ev)
+
+
+def _q_doc_logprob(spark, sf):
+    """Corpus unigram-LM mean log-prob per document — the perplexity
+    proxy for quality ranking (explode → freq table → token join → doc
+    average)."""
+    return text.unigram_logprob(_docs(spark, sf))
+
+
+def _q_doc_ppl_buckets(spark, sf):
+    """CCNet-style head/middle/tail bucketing: ntile(3) over the rounded
+    unigram logprob (DESC, doc_id tiebreak)."""
+    return text.perplexity_buckets(_docs(spark, sf), n_buckets=3)
+
+
+def _q_doc_chunk_dedup(spark, sf):
+    """Chunk-level exact dedup (C4 duplicate-line rule over 10-token
+    chunks): keep the globally first occurrence of each chunk, reassemble
+    survivors; returns per-doc kept-chunk counts + deduped text."""
+    return text.dedup_chunks(_docs(spark, sf), chunk_tokens=10)
+
+
+def _q_drop_neardups_keep_best(spark, sf):
+    """Near-dedup drop with quality-aware survivor rule: cluster MinHash-LSH
+    pairs, keep the member with the most chars (ties → lowest id) —
+    the keep-cleanest-crawl variant of drop_near_duplicates."""
+    docs = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_exact_pairs(docs, threshold=0.5)
+    return dedup.drop_near_duplicates_keep_best(
+        docs, pairs.select("id_a", "id_b"), score_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_pca(spark, sf):
     """PCA-reduce the embedding corpus to 8 dims. Rows-only by policy:
     the eigendecomposition has no ANSI-SQL twin (DuckDB has no eigh);
@@ -295,6 +342,74 @@ def _q_mis(spark, sf):
     (an 18k-deep recursive CTE is not a practical oracle); the pytest gate
     asserts greedy-equality, independence, and maximality directly."""
     return gq.maximal_independent_set(_g(spark, sf), etype=None)
+
+
+def _q_hits(spark, sf):
+    """HITS hubs/authorities, 4 L1-normalized iterations — the
+    link-analysis twin of pagerank3 (two message aggregations per round
+    against a once-checkpointed edge set)."""
+    return gq.hits(_g(spark, sf), iterations=4)
+
+
+def _hits_sql(iterations: int = 4) -> str:
+    # AS MATERIALIZED: each CTE is referenced 2-3 times per level; DuckDB's
+    # default inlining would blow the plan up exponentially in `iterations`
+    parts = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "vv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM vv)",
+    ]
+    for k in range(1, iterations + 1):
+        parts += [
+            f"am{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS s FROM de e "
+            f"JOIN h{k-1} h ON h.id = e.src GROUP BY e.dst)",
+            f"a{k} AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0) / t.ts AS auth FROM vv v "
+            f"LEFT JOIN am{k} m ON m.id = v.id "
+            f"CROSS JOIN (SELECT SUM(s) AS ts FROM am{k}) t)",
+            f"hm{k} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS s FROM de e "
+            f"JOIN a{k} a ON a.id = e.dst GROUP BY e.src)",
+            f"h{k} AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0) / t.ts AS hub FROM vv v "
+            f"LEFT JOIN hm{k} m ON m.id = v.id "
+            f"CROSS JOIN (SELECT SUM(s) AS ts FROM hm{k}) t)",
+        ]
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT h.id, round(h.hub + 5e-10, 6) AS hub, "
+        f"round(a.auth + 5e-10, 6) AS auth FROM h{iterations} h "
+        f"JOIN a{iterations} a ON a.id = h.id"
+    )
+
+
+def _q_harmonic(spark, sf):
+    """Landmark harmonic centrality: 8 simultaneous BFS (depth 3) from
+    customers 1-8, score = sum of 1/dist over reaching landmarks — the
+    sampled closeness estimator built on the MultiBFS batch."""
+    return gq.harmonic_centrality(_g(spark, sf), seeds=range(1, 9), max_depth=3)
+
+
+def _q_assortativity(spark, sf):
+    """Degree assortativity (Newman) over the undirected simple graph —
+    one corr() aggregate after decorating each edge with endpoint
+    degrees."""
+    return gq.degree_assortativity(_g(spark, sf))
+
+
+def _q_scc(spark, sf):
+    """Exact SCC (FW-BW-Trim + min-label coloring) on the typed graph with
+    injected back-edges: orders with orderkey % 7 == 0 point back to their
+    customer, so each such customer forms one SCC with its reversed orders
+    while everything else stays singleton (the TPC-H graph is a DAG). The
+    oracle derives that closed form; pytest exercises nested/multi-cycle
+    digraphs the closed form can't express."""
+    g = _g(spark, sf)
+    rev = (
+        g.edges.filter(
+            (F.col("etype") == 0) & (((F.col("dst") - F.lit(ORDER_OFFSET)) % 7) == 0)
+        )
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return gq.strongly_connected_components(g, extra_edges=rev)
 
 
 def _q_jaccard(spark, sf):
@@ -1357,6 +1472,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_pca,
         # end-to-end curation capstone (quality -> decontaminate -> cap)
         "doc_curate_corpus": _q_doc_curate,
+        # link-analysis + centrality + global-structure diagnostics
+        "hits4": _q_hits,
+        "harmonic_centrality8": _q_harmonic,
+        "degree_assortativity": _q_assortativity,
+        # directed components (FW-BW-Trim coloring)
+        "scc": _q_scc,
+        # event-log modeling: Markov next-event matrix + SCD2 historization
+        "events_transitions": _q_events_transitions,
+        "events_scd2": _q_events_scd2,
+        # unigram-LM quality scoring + CCNet-style perplexity tiers
+        "doc_logprob": _q_doc_logprob,
+        "doc_ppl_buckets": _q_doc_ppl_buckets,
+        # chunk-level (C4 duplicate-line) dedup + quality-aware survivor rule
+        "doc_chunk_dedup": _q_doc_chunk_dedup,
+        "drop_neardups_keep_best": _q_drop_neardups_keep_best,
     }
 
 
@@ -1764,6 +1894,63 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
 FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
 WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
+""".strip()
+
+
+def _doc_logprob_sql() -> str:
+    """Shared CTE prefix for the unigram-LM twins: token table + per-token
+    corpus log-prob. MATERIALIZED — toks/freq are referenced twice."""
+    return (
+        "WITH toks AS MATERIALIZED (\n"
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok\n"
+        "  FROM documents),\n"
+        "freq AS MATERIALIZED (\n"
+        "  SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),\n"
+        "lp AS MATERIALIZED (\n"
+        "  SELECT tok, ln(c * 1.0 / (SELECT sum(c) FROM freq)) AS lp FROM freq)"
+    )
+
+
+def _drop_keep_best_sql(threshold: float = 0.5) -> str:
+    """Keep-best near-dedup survivors: unblocked exact Jaccard pairs (the
+    LSH operating point has recall 1.0, same equivalence as the
+    minhash_lsh_neardup twin) → transitive closure → keep the
+    (n_chars DESC, doc_id ASC) argmax per component."""
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, CAST(i AS INT), 5))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(s, t) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+),
+comp AS (SELECT s AS id, min(t) AS cl FROM reach GROUP BY s),
+best AS (
+  SELECT c.cl, first(c.id ORDER BY d.n_chars DESC, c.id) AS keep
+  FROM comp c JOIN documents d ON d.doc_id = c.id GROUP BY c.cl
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN best b ON b.cl = c.cl
+WHERE c.id IS NULL OR d.doc_id = b.keep
 """.strip()
 
 
@@ -2421,5 +2608,93 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "               / stddev_pop(value) OVER (PARTITION BY user_id), 4) AS z\n"
             "  FROM events)\n"
             "SELECT event_id, user_id, z FROM z WHERE sd > 0 AND abs(z) >= 2.5"
+        ),
+        "events_transitions": (
+            "WITH pairs AS (\n"
+            "  SELECT event_type AS from_type,\n"
+            "         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type\n"
+            "  FROM events),\n"
+            "cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n\n"
+            "        FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type)\n"
+            "SELECT from_type, to_type, n,\n"
+            "       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p\n"
+            "FROM cnt"
+        ),
+        "events_scd2": (
+            "SELECT user_id, event_type AS state, value,\n"
+            "       epoch_us(ts) AS valid_from_us,\n"
+            "       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,\n"
+            "       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current\n"
+            "FROM events WHERE user_id < 40"
+        ),
+        "doc_logprob": _doc_logprob_sql() + (
+            "\nSELECT doc_id, round(avg(lp) + 5e-10, 6) AS logprob,\n"
+            "       CAST(count(*) AS BIGINT) AS n_tokens\n"
+            "FROM toks JOIN lp USING (tok) GROUP BY doc_id"
+        ),
+        "doc_ppl_buckets": _doc_logprob_sql() + (
+            ",\nscored AS (SELECT doc_id, round(avg(lp) + 5e-10, 6) AS logprob\n"
+            "           FROM toks JOIN lp USING (tok) GROUP BY doc_id)\n"
+            "SELECT doc_id, logprob,\n"
+            "       CAST(ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS INT) AS bucket\n"
+            "FROM scored"
+        ),
+        "doc_chunk_dedup": (
+            "WITH d AS MATERIALIZED (\n"
+            "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents),\n"
+            "ix AS MATERIALIZED (\n"
+            "  SELECT doc_id, arr, CAST(unnest(range(CAST(ceil(len(arr) / 10.0) AS BIGINT))) AS INT) AS idx\n"
+            "  FROM d),\n"
+            "chunks AS MATERIALIZED (\n"
+            "  SELECT doc_id, idx,\n"
+            "         array_to_string(arr[idx*10+1 : idx*10+10], ' ') AS chunk\n"
+            "  FROM ix),\n"
+            "kept AS MATERIALIZED (\n"
+            "  SELECT doc_id, idx, chunk,\n"
+            "         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn\n"
+            "  FROM chunks),\n"
+            "reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,\n"
+            "               string_agg(chunk, ' ' ORDER BY idx) AS text_dedup\n"
+            "        FROM kept WHERE rn = 1 GROUP BY doc_id)\n"
+            "SELECT d.doc_id, CAST(ceil(len(arr) / 10.0) AS BIGINT) AS n_chunks,\n"
+            "       COALESCE(r.n_kept, 0) AS n_kept,\n"
+            "       COALESCE(r.text_dedup, '') AS text_dedup\n"
+            "FROM d LEFT JOIN reb r ON r.doc_id = d.doc_id"
+        ),
+        "drop_neardups_keep_best": _drop_keep_best_sql(),
+        "hits4": _hits_sql(iterations=4),
+        "harmonic_centrality8": (
+            "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"
+            "mwalk(seed, node, depth) AS (\n"
+            "  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), 0\n"
+            "  FROM customer WHERE c_custkey BETWEEN 1 AND 8\n"
+            "  UNION\n"
+            "  SELECT w.seed, e.dst, w.depth + 1 FROM mwalk w "
+            "JOIN edges e ON e.src = w.node WHERE w.depth < 3\n"
+            "),\n"
+            "lvl AS (SELECT seed, node, min(depth) AS level FROM mwalk GROUP BY seed, node)\n"
+            "SELECT node AS id, round(sum(1.0 / level) + 5e-10, 6) AS harmonic, "
+            "CAST(count(*) AS BIGINT) AS n_landmarks "
+            "FROM lvl WHERE level > 0 GROUP BY node"
+        ),
+        "degree_assortativity": _gsql(
+            "  WITH u AS (SELECT a, b FROM und WHERE a <> b),\n"
+            "       deg AS (SELECT a, count(*) AS d FROM u GROUP BY a)\n"
+            "  SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,\n"
+            "         round(avg(dx.d), 4) AS avg_degree,\n"
+            "         round(corr(dx.d, dy.d), 4) AS assortativity\n"
+            "  FROM u JOIN deg dx ON dx.a = u.a JOIN deg dy ON dy.a = u.b"
+        ),
+        # closed form for the injected-cycle graph: SCC(c) = {c} U its
+        # reversed orders (min member = c, customer ids < ORDER_OFFSET);
+        # every other vertex is singleton because the base graph is a DAG
+        "scc": _gsql(
+            f"  WITH rev AS (SELECT src AS c, dst AS o FROM edges\n"
+            f"               WHERE etype = 0 AND (dst - {ORDER_OFFSET}) % 7 = 0),\n"
+            "       allv AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)\n"
+            "  SELECT v.id, CAST(COALESCE(o.c, c.c, v.id) AS BIGINT) AS scc\n"
+            "  FROM allv v\n"
+            "  LEFT JOIN (SELECT o AS id, c FROM rev) o ON o.id = v.id\n"
+            "  LEFT JOIN (SELECT DISTINCT c AS id, c FROM rev) c ON c.id = v.id"
         ),
     }

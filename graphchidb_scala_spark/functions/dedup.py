@@ -563,3 +563,37 @@ def simhash_pairs(
         cands.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def drop_near_duplicates_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`drop_near_duplicates` with a quality-aware survivor rule:
+    keep the cluster member with the highest ``score_col`` (ties → lowest
+    id) instead of the lowest id — what production pipelines actually want
+    when duplicates differ in quality (keep the cleanest crawl of a page,
+    not the earliest-crawled one).
+
+    Scale shape: one extra equi join decorating cluster members with their
+    score and one max-struct aggregate per cluster (map-side combined) on
+    top of the star-contraction clustering; the drop-set anti-join keeps
+    the count-gated broadcast of the min-id variant."""
+    clusters = near_duplicate_clusters(pairs)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+    )
+    # argmax by (score DESC, id ASC): lexicographic struct max of (_s, -id)
+    best = (
+        scored.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("_s"), (-F.col("id")).alias("_n"))).alias("_b"))
+        .select("cluster", (-F.col("_b._n")).alias("keep_id"))
+    )
+    to_drop = (
+        clusters.join(best, "cluster")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(_broadcast_if_small_ids(to_drop), id_col, "left_anti")

@@ -396,3 +396,77 @@ def extract_props(
             for k in keys
         ],
     )
+
+
+def next_event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: for consecutive events (ordered by ``ts``, tie-broken by
+    ``id_col``) count from_type → to_type and normalize per from_type —
+    the next-event model behind funnels, session prediction, and UX flow
+    mining. DF(from_type, to_type, n, p), p rounded.
+
+    Scale shape: ONE shuffle on the user key (lead() window), then a
+    map-side-combined global count per type pair and a window-sum
+    normalization over the tiny type×type matrix — no self-joins."""
+    from pyspark.sql.window import Window
+
+    seq = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), round_dp).alias("p"),
+    )
+
+
+def scd2_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) state table from the event log:
+    each event opens a validity interval [valid_from, valid_to) on its
+    user's ``type_col`` attribute, closed by the user's next event —
+    the standard CDC/warehouse historization of an append-only log.
+    DF(user_id, state, value, valid_from_us, valid_to_us, is_current);
+    bounds are microsecond epochs (exact, engine/timezone-robust — the
+    sessionize convention), valid_to_us NULL on the open (current)
+    interval.
+
+    Scale shape: ONE shuffle on the user key — lead() over the same
+    window supplies the closing timestamp; no join of the log against
+    itself. At 100 TB the log arrives ts-partitioned and the user-key
+    exchange is the only movement."""
+    from pyspark.sql.window import Window
+
+    seq = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt = F.lead(us).over(seq)
+    return events.select(
+        F.col(user_col),
+        F.col(type_col).alias("state"),
+        F.col(value_col).alias("value"),
+        us.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

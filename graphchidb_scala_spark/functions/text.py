@@ -365,3 +365,122 @@ def pii_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         F.length(scrubbed).cast("bigint").alias("scrub_len"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus unigram language-model score per document: mean ln p(token)
+    under the corpus's own token frequencies — the cheap perplexity proxy
+    used to quality-rank documents when no external LM is available
+    (higher = more typical text, lower = rare-token noise). DF(id, logprob,
+    n_tokens), logprob rounded (+5e-10 pre-round shift, the cross-engine
+    boundary trick).
+
+    Scale shape: one explode + token-key aggregation builds the frequency
+    table (map-side combined), one global 1-row total broadcast back, then
+    one token-key equi join scores every token occurrence and one doc-key
+    aggregation averages — no driver-side vocabulary, no UDF."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("_c") / F.col("_t")).alias("_lp")
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_lp") + F.lit(5e-10), round_dp).alias("logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by their
+    :func:`unigram_logprob` score and ntile them into ``n_buckets``
+    quality tiers — bucket 1 ("head") = most-typical text, the last
+    ("tail") = noisiest; the standard pre-training corpus partitioning for
+    per-tier sampling rates. DF(id, logprob, bucket). Deterministic: the
+    ntile order is (rounded logprob DESC, id ASC), a total order.
+
+    Scale shape: inherits the logprob plan; the ntile is one global sort —
+    at 100 TB swap it for a sampled-quantile cut (degree_quantiles
+    pattern) if an exact tile boundary isn't required."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    w = Window.orderBy(F.desc("logprob"), F.asc(id_col))
+    return scored.select(
+        id_col, "logprob", F.ntile(int(n_buckets)).over(w).alias("bucket")
+    )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact dedup (the C4 duplicate-line rule generalized to
+    fixed-size token chunks, for corpora without line structure): split
+    each document into consecutive ``chunk_tokens``-token chunks, keep
+    only the globally FIRST occurrence of each distinct chunk (ordered by
+    doc id then chunk position), and reassemble the surviving chunks —
+    removing boilerplate repeated across documents while keeping one copy.
+    DF(id, n_chunks, n_kept, text_dedup); documents whose every chunk is
+    seen earlier come back empty, ready for a length filter.
+
+    Scale shape: chunking is a pure array projection (no explode until the
+    chunk table, which is ~corpus_tokens/chunk_tokens rows); the
+    keep-first rule is one window rank over the chunk key — a single
+    shuffle — and reassembly is one doc-key aggregation over kept chunks
+    (sorted array join, order-insensitive to partitioning)."""
+    from pyspark.sql.window import Window
+
+    c = int(chunk_tokens)
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(arr) / c).cast("int")
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(arr, i * c + 1, c), " "),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("idx"))
+    kept = chunked.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        df.select(F.col(id_col), n_chunks.cast("bigint").alias("n_chunks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -912,3 +912,234 @@ def node2vec_walks(
     for v in visited[1:]:
         out = out.unionAll(v)
     return out.select("walk_id", "step", "id")
+
+
+def hits(
+    db: GraphDB,
+    iterations: int = 4,
+    etype: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg), fixed-iteration form: per
+    round auth(v) = Σ hub(u) over in-edges u→v then hub(v) = Σ auth(w)
+    over out-edges v→w, each L1-normalized — the link-analysis companion
+    of PageRank for the reference's ranking family (the accumulator-apply
+    shape of VertexCentricComputation, GraphChiDatabase.scala analogue as
+    for pagerank, operators/pregel.py:35). DF(id, hub, auth) rounded for
+    cross-engine comparison (the +5e-10 pre-round shift keeps values off
+    rounding boundaries, the ppr3 trick).
+
+    Scale shape: two message aggregations per round (one shuffle each on
+    dst then src) against an edge set checkpointed ONCE; normalization is
+    a 1-row global sum broadcast back — no per-round edge rebuild, no
+    driver-side state. Same plan at 100× — the edge exchange is reused
+    across rounds."""
+    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
+    v = cut_lineage(
+        e.select(F.col("src").alias("id")).unionAll(e.select(F.col("dst"))).distinct()
+    )
+    hub = v.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(int(iterations)):
+        a_msgs = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_sum = a_msgs.agg(F.sum("_a").alias("_s"))
+        auth = cut_lineage(
+            v.join(a_msgs, "id", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select("id", (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_s")).alias("auth"))
+        )
+        h_msgs = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        h_sum = h_msgs.agg(F.sum("_h").alias("_s"))
+        hub = cut_lineage(
+            v.join(h_msgs, "id", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select("id", (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_s")).alias("hub"))
+        )
+    shift = F.lit(5e-10)
+    return (
+        hub.join(auth, "id")
+        .select(
+            "id",
+            F.round(F.col("hub") + shift, round_dp).alias("hub"),
+            F.round(F.col("auth") + shift, round_dp).alias("auth"),
+        )
+    )
+
+
+def harmonic_centrality(
+    db: GraphDB,
+    seeds: Sequence[int],
+    max_depth: int,
+    etype: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Landmark harmonic centrality: run K simultaneous BFS from the seed
+    landmarks (:func:`multi_bfs_levels` — the reference's MultiBFS batch,
+    MultiBFS.scala:37-157) and score each reached vertex by
+    Σ 1/dist(landmark, v) over landmarks that reach it — the standard
+    sampled estimator for closeness/harmonic centrality at scales where
+    all-pairs BFS is impossible. DF(id, harmonic, n_landmarks); seeds
+    themselves score over the OTHER landmarks (dist 0 terms excluded).
+
+    Scale shape: inherits multi_bfs's one-join-per-hop batched frontier;
+    the scoring pass is a single map-side-combined aggregation. Landmark
+    count scales the state linearly, never quadratically."""
+    lv = multi_bfs_levels(db, seeds, max_depth, etype)
+    return (
+        lv.filter(F.col("level") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("level")) + F.lit(5e-10), round_dp).alias(
+                "harmonic"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_landmarks"),
+        )
+    )
+
+
+def degree_assortativity(
+    db: GraphDB, etype: int | None = None, round_dp: int = 4
+) -> DataFrame:
+    """Degree assortativity (Newman): Pearson correlation of endpoint
+    degrees over the undirected simple edge set — one number telling
+    whether hubs attach to hubs (>0) or to leaves (<0); the global
+    structure diagnostic next to degree_quantiles. Returns a single row
+    (n_edges, avg_degree, assortativity), rounded.
+
+    Scale shape: one degree aggregation + two equi joins to decorate each
+    edge with endpoint degrees + one global corr() aggregate (map-side
+    partials) — three shuffles total, no iteration, no collect."""
+    und = db.undirected_edges(etype).filter(F.col("a") != F.col("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a"), F.col("d").alias("dx"))
+    db_ = deg.select(F.col("a").alias("b"), F.col("d").alias("dy"))
+    dec = und.join(da, "a").join(db_, "b")
+    return dec.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(F.avg("dx"), round_dp).alias("avg_degree"),
+        F.round(F.corr("dx", "dy"), round_dp).alias("assortativity"),
+    )
+
+
+def strongly_connected_components(
+    db: GraphDB,
+    etype: int | None = None,
+    extra_edges: DataFrame | None = None,
+    max_rounds: int = 30,
+    max_inner: int = 100,
+) -> DataFrame:
+    """Exact strongly connected components on the directed graph —
+    FW-BW-Trim with min-label coloring (Orzan's coloring algorithm; the
+    distributed SCC method of Slota et al.), the directed companion of
+    :func:`~graphchidb_scala_spark.operators.pregel.connected_components`.
+    Per outer round: (1) TRIM — vertices with no live in-edge or no live
+    out-edge are singleton SCCs, peeled to fixpoint (this alone finishes
+    any DAG in depth rounds); (2) COLOR — forward min-label propagation to
+    fixpoint partitions the remainder into color sets, each containing the
+    full SCC of its root; (3) BW — backward propagation from each color
+    root restricted to its color marks exactly that root's SCC. Finalized
+    vertices leave the live graph; repeat. Returns DF(id, scc) with
+    scc = min member id, over all endpoint vertices.
+
+    ``extra_edges`` (DF(src, dst)) unions extra arcs into the typed edge
+    set — how callers inject cycles / overlay graphs without a new store.
+
+    Scale shape: every step is an equi join or aggregation on the live
+    edge set, which only shrinks; label propagation is the CC contraction
+    discipline (one shuffle per hop, lineage cut per fixpoint step). No
+    driver-side graph state — the driver sees only counts."""
+    e = db._typed(etype).select("src", "dst")
+    if extra_edges is not None:
+        e = e.unionAll(extra_edges.select("src", "dst"))
+    live_e = cut_lineage(e.filter(F.col("src") != F.col("dst")).distinct())
+    live_v = cut_lineage(
+        live_e.select(F.col("src").alias("id"))
+        .unionAll(live_e.select(F.col("dst")))
+        .distinct()
+    )
+    # vertices that only ever appear in self-loops still need a row
+    self_only = (
+        e.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(live_v, "id", "anti")
+    )
+    done = [self_only.select("id", F.col("id").alias("scc"))]
+    for _ in range(int(max_rounds)):
+        if live_v.isEmpty():
+            break
+        # ---- trim: no in-edge or no out-edge => singleton SCC
+        for _ in range(int(max_inner)):
+            has_out = live_e.select(F.col("src").alias("id")).distinct()
+            has_in = live_e.select(F.col("dst").alias("id")).distinct()
+            keep = cut_lineage(live_v.join(has_out, "id", "semi").join(has_in, "id", "semi"))
+            trimmed = live_v.join(keep, "id", "anti")
+            if trimmed.isEmpty():
+                break
+            done.append(cut_lineage(trimmed.select("id", F.col("id").alias("scc"))))
+            live_v = keep
+            live_e = cut_lineage(
+                live_e.join(keep.withColumnRenamed("id", "src"), "src", "semi").join(
+                    keep.withColumnRenamed("id", "dst"), "dst", "semi"
+                )
+            )
+        if live_v.isEmpty():
+            break
+        # ---- color: forward min-label fixpoint
+        color = cut_lineage(live_v.select("id", F.col("id").alias("c")))
+        for _ in range(int(max_inner)):
+            msgs = (
+                live_e.join(
+                    color.select(F.col("id").alias("src"), F.col("c")), "src"
+                ).select(F.col("dst").alias("id"), "c")
+            )
+            new_color = cut_lineage(
+                color.unionAll(msgs).groupBy("id").agg(F.min("c").alias("c"))
+            )
+            changed = (
+                new_color.join(color.withColumnRenamed("c", "c0"), "id")
+                .filter(F.col("c") != F.col("c0"))
+            )
+            color = new_color
+            if changed.isEmpty():
+                break
+        # ---- backward: from each color root, restricted to its color
+        mark = cut_lineage(
+            color.filter(F.col("id") == F.col("c")).select("id", F.col("c").alias("scc"))
+        )
+        for _ in range(int(max_inner)):
+            msgs = (
+                live_e.join(
+                    mark.select(F.col("id").alias("dst"), "scc"), "dst"
+                ).select(F.col("src").alias("id"), "scc")
+            )
+            # only adopt the mark if this vertex carries the same color
+            msgs = msgs.join(
+                color.withColumnRenamed("c", "scc"), ["id", "scc"], "semi"
+            )
+            new_mark = cut_lineage(
+                mark.unionAll(msgs).groupBy("id").agg(F.min("scc").alias("scc"))
+            )
+            if new_mark.count() == mark.count():
+                mark = new_mark
+                break
+            mark = new_mark
+        done.append(mark)
+        live_v = cut_lineage(live_v.join(mark, "id", "anti"))
+        live_e = cut_lineage(
+            live_e.join(live_v.withColumnRenamed("id", "src"), "src", "semi").join(
+                live_v.withColumnRenamed("id", "dst"), "dst", "semi"
+            )
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionAll(d)
+    return out.select("id", "scc")

@@ -1,0 +1,233 @@
+"""Tests for the round-5 additions: SCC, HITS, harmonic centrality,
+assortativity, chunk dedup, keep-best drop, unigram LM, transitions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchidb_scala_spark.db import GraphDB
+from graphchidb_scala_spark.functions import dedup, text
+from graphchidb_scala_spark.functions import events as ev
+from graphchidb_scala_spark.operators import graph_queries as gq
+
+
+def _db(spark, pairs):
+    rows = [(0, int(a), int(b)) for a, b in pairs]
+    return GraphDB(spark.createDataFrame(rows, "etype int, src bigint, dst bigint"))
+
+
+def _python_scc(pairs):
+    """Tarjan (iterative) reference."""
+    adj: dict[int, list[int]] = {}
+    verts = set()
+    for a, b in pairs:
+        verts.add(a)
+        verts.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index, low, onstk = {}, {}, set()
+    stack, result, counter = [], {}, [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    result[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return result
+
+
+SCC_GRAPHS = [
+    # two 3-cycles bridged by a DAG edge + pendant chain
+    [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7), (7, 8)],
+    # nested cycles sharing a vertex (one big SCC)
+    [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (4, 5), (5, 1)],
+    # pure DAG (all singletons)
+    [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)],
+    # self-loops + isolated 2-cycle
+    [(1, 1), (2, 3), (3, 2), (3, 4)],
+    # the pair-label counterexample: (min-reaching, min-reachable) equal
+    # for 5 and 6 but different SCCs — breaks fwd/bwd-pair shortcuts
+    [(0, 5), (0, 6), (5, 1), (6, 1)],
+]
+
+
+@pytest.mark.parametrize("pairs", SCC_GRAPHS)
+def test_scc_matches_tarjan(spark, pairs):
+    got = {
+        r["id"]: r["scc"]
+        for r in gq.strongly_connected_components(_db(spark, pairs)).collect()
+    }
+    assert got == _python_scc(pairs)
+
+
+def test_scc_long_cycle_and_chain(spark):
+    # 8-cycle (one SCC) feeding an 8-chain (singletons)
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    chain = [(7, 100)] + [(100 + i, 101 + i) for i in range(7)]
+    pairs = cyc + chain
+    got = {
+        r["id"]: r["scc"]
+        for r in gq.strongly_connected_components(_db(spark, pairs)).collect()
+    }
+    assert got == _python_scc(pairs)
+
+
+def test_hits_bipartite(spark):
+    # hub 1 endorses three pages, hub 6 endorses one of them: 1 out-ranks 6
+    # as a hub, and the doubly-endorsed page 2 out-ranks its siblings
+    db = _db(spark, [(1, 2), (1, 3), (1, 4), (6, 2)])
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in gq.hits(db, iterations=8).collect()}
+    hubs = {i: h for i, (h, _) in rows.items()}
+    auths = {i: a for i, (_, a) in rows.items()}
+    assert max(hubs, key=hubs.get) == 1 and hubs[1] > hubs[6] > 0
+    assert auths[2] > auths[3] == auths[4] > 0
+    # L1 normalization holds
+    assert abs(sum(hubs.values()) - 1.0) < 1e-4
+    assert abs(sum(auths.values()) - 1.0) < 1e-4
+
+
+def test_harmonic_centrality_path(spark):
+    # path 1→2→3→4, landmarks {1, 2}: harmonic(3) = 1/2 + 1/1
+    db = _db(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {
+        r["id"]: (r["harmonic"], r["n_landmarks"])
+        for r in gq.harmonic_centrality(db, seeds=[1, 2], max_depth=3).collect()
+    }
+    assert rows[3] == (pytest.approx(1.5, abs=1e-6), 2)
+    assert rows[2] == (pytest.approx(1.0, abs=1e-6), 1)
+    assert rows[4] == (pytest.approx(1.0 / 3 + 1.0 / 2, abs=1e-6), 2)
+
+
+def test_assortativity_star_is_negative(spark):
+    # star: center degree 5, leaves degree 1 → strongly disassortative
+    db = _db(spark, [(0, i) for i in range(1, 6)])
+    row = gq.degree_assortativity(db).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["assortativity"] == -1.0
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # every token equally frequent → every doc scores ln(1/4)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    for d in (1, 2):
+        assert rows[d]["logprob"] == pytest.approx(math.log(0.25), abs=1e-5)
+        assert rows[d]["n_tokens"] == 2
+
+
+def test_perplexity_buckets_order(spark):
+    # doc 1 = common tokens (head), doc 3 = rare tokens (tail)
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x x y z"), (3, "q w e r")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["bucket"] for r in text.perplexity_buckets(df, 3).collect()}
+    assert rows[1] == 1 and rows[3] == 3
+
+
+def test_dedup_chunks_removes_repeats(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + uniq1), (2, boiler + " " + uniq2), (3, boiler)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.dedup_chunks(df, chunk_tokens=10).collect()}
+    # doc 1 keeps both chunks (first occurrence of boilerplate)
+    assert rows[1]["n_kept"] == 2 and rows[1]["text_dedup"] == boiler + " " + uniq1
+    # doc 2 loses the boilerplate chunk, keeps its unique chunk
+    assert rows[2]["n_kept"] == 1 and rows[2]["text_dedup"] == uniq2
+    # doc 3 is entirely boilerplate → empty
+    assert rows[3]["n_kept"] == 0 and rows[3]["text_dedup"] == ""
+    assert rows[3]["n_chunks"] == 1
+
+
+def test_drop_near_duplicates_keep_best(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (9, 7)], "doc_id bigint, score bigint"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_near_duplicates_keep_best(
+            df, pairs, score_col="score"
+        ).collect()
+    )
+    # cluster {1,2,3}: keep 2 (score 30); 9 untouched
+    assert kept == [2, 9]
+
+
+def test_next_event_transitions_probabilities(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "a"),
+        (4, "2024-01-01 00:03:00", 1, "c"),
+        (5, "2024-01-01 00:00:00", 2, "a"),
+        (6, "2024-01-01 00:01:00", 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in ev.next_event_transitions(df).collect()
+    }
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "a")] == (1, 1.0)
+
+
+def test_scd2_intervals_tile(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "s1", 1.0),
+        (2, "2024-01-01 01:00:00", 1, "s2", 2.0),
+        (3, "2024-01-01 02:00:00", 1, "s3", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(ev.scd2_state(df).collect(), key=lambda r: r["valid_from_us"])
+    # intervals tile exactly: each valid_to = next valid_from; last open
+    assert [r["state"] for r in out] == ["s1", "s2", "s3"]
+    assert out[0]["valid_to_us"] == out[1]["valid_from_us"]
+    assert out[1]["valid_to_us"] == out[2]["valid_from_us"]
+    assert out[2]["valid_to_us"] is None and out[2]["is_current"]
