@@ -1341,6 +1341,119 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+# ---------------------------------------------- round-5b: sketch set algebra
+
+_SIDE_A_RE = "^src[0-9]$"  # sources src0..src9 vs src10..src19
+
+
+def _doc_grams3(spark, sf, side_a: bool):
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    side = docs.filter(cond if side_a else ~cond)
+    return side.select(
+        F.explode(text.word_ngrams_all(F.col("text"), 3)).alias("gram")
+    )
+
+
+_GRAMS3_SQL = (
+    "(SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),"
+    " i -> array_to_string(tk[i:i+2], ' '))) AS gram"
+    " FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk"
+    " FROM documents WHERE {cond}) t WHERE len(tk) >= 3)"
+)
+
+
+def _q_corpus_overlap(spark, sf):
+    """Train/test overlap from sketches only: MinHash Jaccard + HLL set
+    sizes between the src0-9 and src10-19 corpus halves over word 3-gram
+    sets — shuffles num_hashes + 2^p rows per side (a constant) where the
+    exact overlap join would shuffle the full n-gram universe."""
+    from graphchidb_scala_spark.functions import sketches
+
+    a = _doc_grams3(spark, sf, True)
+    b = _doc_grams3(spark, sf, False)
+    return sketches.corpus_overlap(a, b, "gram", num_hashes=64, p=12)
+
+
+def _corpus_overlap_sql() -> str:
+    from graphchidb_scala_spark.functions import sketches
+
+    ta = _GRAMS3_SQL.format(cond="regexp_matches(source, '^src[0-9]$')")
+    tb = _GRAMS3_SQL.format(cond="NOT regexp_matches(source, '^src[0-9]$')")
+    return sketches.corpus_overlap_sql(ta, tb, "gram", num_hashes=64, p=12)
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 3
+
+
+def _q_bloom_contamination(spark, sf):
+    """Fixed-memory decontamination screen: Bloom filter of the held-out
+    half's word 3-grams (m=2^16 bits however big the reference corpus gets
+    — broadcastable), probed by every (doc_id, gram) of the train half;
+    per-doc flagged-gram counts. False positives bounded, no false
+    negatives: a doc with n_flagged = 0 is PROVABLY clean, which is the
+    production contract (screen cheap, verify survivors exactly)."""
+    from graphchidb_scala_spark.functions import sketches
+
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    ref = docs.filter(~cond).select(
+        F.explode(text.word_ngrams_all(F.col("text"), 3)).alias("gram")
+    )
+    bits = sketches.bloom_build(ref, "gram", m=_BLOOM_M, k=_BLOOM_K)
+    probe = (
+        docs.filter(cond)
+        .select(
+            "doc_id",
+            F.explode(text.word_ngrams_all(F.col("text"), 3)).alias("gram"),
+        )
+        .distinct()
+    )
+    flags = sketches.bloom_probe(
+        probe, ["doc_id", "gram"], "gram", bits, m=_BLOOM_M, k=_BLOOM_K
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.col("maybe_member").cast("int")).cast("bigint").alias("n_flagged"),
+    )
+
+
+def _bloom_contamination_sql() -> str:
+    from graphchidb_scala_spark.functions import sketches
+
+    pos = sketches.bloom_positions_sql("gram", _BLOOM_M, _BLOOM_K)
+    ref = _GRAMS3_SQL.format(cond="NOT regexp_matches(source, '^src[0-9]$')")
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT unnest({pos}) AS pos FROM {ref}
+),
+probe AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents WHERE regexp_matches(source, '^src[0-9]$')) t
+    WHERE len(tk) >= 3
+  )
+),
+pp AS (
+  SELECT doc_id, gram, len({pos}) AS need, unnest({pos}) AS pos FROM probe
+),
+hits AS (
+  SELECT doc_id, gram, need, count(*) AS got
+  FROM pp JOIN bits USING (pos) GROUP BY doc_id, gram, need
+),
+flags AS (
+  SELECT p.doc_id, p.gram,
+         coalesce(h.got = h.need, FALSE) AS maybe_member
+  FROM probe p LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.gram = p.gram
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM flags GROUP BY doc_id
+""".strip()
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1487,6 +1600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk-level (C4 duplicate-line) dedup + quality-aware survivor rule
         "doc_chunk_dedup": _q_doc_chunk_dedup,
         "drop_neardups_keep_best": _q_drop_neardups_keep_best,
+        # sketch set algebra: MinHash corpus overlap + Bloom decontamination
+        "corpus_overlap_minhash": _q_corpus_overlap,
+        "doc_bloom_contamination": _q_bloom_contamination,
     }
 
 
@@ -2662,6 +2778,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "FROM d LEFT JOIN reb r ON r.doc_id = d.doc_id"
         ),
         "drop_neardups_keep_best": _drop_keep_best_sql(),
+        "corpus_overlap_minhash": _corpus_overlap_sql(),
+        "doc_bloom_contamination": _bloom_contamination_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

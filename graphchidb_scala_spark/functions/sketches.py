@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from graphchidb_scala_spark.functions.dedup import md5_hash60
 
@@ -137,3 +137,237 @@ SELECT {gpre}round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
              THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END, 4) AS {out_col}
 FROM est
 """.strip()
+
+
+def seeded_hash60(col: Column, seed: int) -> Column:
+    """Seed-``i`` member of the portable 60-bit hash family:
+    ``md5("{seed}:" + value)`` truncated to 60 bits. DuckDB computes the
+    identical value (``('0x'||substr(md5(seed||':'||x),1,15))::BIGINT``),
+    which is what makes the MinHash / Bloom sketches below hash-match
+    verifiable cross-engine (xxhash64's seeds are Spark-only)."""
+    return md5_hash60(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+
+
+def seeded_hash60_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`seeded_hash60` over a SQL expression."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+def set_signature(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Classic k-hash MinHash signature of the SET of values in ``value_col``
+    (per group): DF(*group_cols, i, minh) with one row per hash function,
+    ``minh = min over values of seeded_hash60(value, i)``.
+
+    This is the corpus-level twin of per-document
+    :func:`~graphchidb_scala_spark.functions.dedup.minhash_signatures`: the
+    "document" is an entire corpus slice, and the signature supports
+    resemblance estimates BETWEEN corpora (train/test overlap) without ever
+    joining the full key universes.
+
+    Scale shape: all ``num_hashes`` mins are partial aggregates with
+    map-side combine — per-mapper state is ``num_hashes`` longs per group,
+    and ONE shuffle moves just ``num_hashes`` longs per (mapper, group)
+    regardless of corpus size. No distinct, no sort, no value shuffle.
+    Duplicated values cost nothing (min is idempotent), so no pre-dedup pass
+    is needed. Reference analogue: the sketch/summary role of
+    ShardIndex.java:33-101 (skip data, keep a tiny summary)."""
+    gb = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    aggs = [
+        F.min(seeded_hash60(v, i)).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    wide = df.groupBy(*gb).agg(*aggs)
+    return wide.select(
+        *gb,
+        F.posexplode(
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+        ).alias("i", "minh"),
+    )
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_hashes: int = 64,
+    p: int = 12,
+) -> DataFrame:
+    """Set-resemblance estimates between two corpora from sketches only:
+    1-row DF(j_est, distinct_a, distinct_b, union_est, inter_est,
+    contain_a_in_b, contain_b_in_a), all rounded to 4dp.
+
+    ``j_est`` is the unbiased MinHash estimator (fraction of agreeing
+    signature positions); distinct counts come from the cross-engine-exact
+    HyperLogLog; the set sizes follow from inclusion-exclusion:
+    ``|A∪B| = (|A|+|B|)/(1+J)`` and ``|A∩B| = J·|A∪B|``. This answers the
+    decontamination-planning question ("how much of the test set's vocab /
+    n-grams already appear in train?") with two sketch scans — the exact
+    join (:func:`~graphchidb_scala_spark.functions.pipeline.contamination_hits`)
+    shuffles the full n-gram universe; this shuffles ``num_hashes + 2^p``
+    rows per side, a constant, at any corpus size.
+
+    Estimator determinism: agreeing-position counts are integers,
+    ``j = matches/num_hashes`` is exact binary for power-of-two
+    ``num_hashes``, and the HLL estimates are rounded before use, so the
+    derived arithmetic is reproducible cross-engine bit-for-bit."""
+    sig_a = set_signature(df_a, value_col, num_hashes=num_hashes)
+    sig_b = set_signature(df_b, value_col, num_hashes=num_hashes)
+    matches = (
+        sig_a.alias("a")
+        .join(sig_b.alias("b"), "i")
+        .agg(
+            F.sum(
+                (F.col("a.minh") == F.col("b.minh")).cast("int")
+            ).alias("_m")
+        )
+    )
+    da = hll_distinct(df_a, value_col, p=p, out_col="distinct_a")
+    db = hll_distinct(df_b, value_col, p=p, out_col="distinct_b")
+    j = F.col("_m") / F.lit(float(num_hashes))
+    union = (F.col("distinct_a") + F.col("distinct_b")) / (F.lit(1.0) + j)
+    inter = j * union
+    return (
+        matches.crossJoin(da)
+        .crossJoin(db)
+        .select(
+            F.round(j, 4).alias("j_est"),
+            F.col("distinct_a"),
+            F.col("distinct_b"),
+            F.round(union, 4).alias("union_est"),
+            F.round(inter, 4).alias("inter_est"),
+            F.round(inter / F.col("distinct_a"), 4).alias("contain_a_in_b"),
+            F.round(inter / F.col("distinct_b"), 4).alias("contain_b_in_a"),
+        )
+    )
+
+
+def corpus_overlap_sql(
+    table_a: str,
+    table_b: str,
+    value_expr: str,
+    num_hashes: int = 64,
+    p: int = 12,
+) -> str:
+    """DuckDB twin of :func:`corpus_overlap` — identical hash family,
+    identical estimator arithmetic, identical rounding, so the estimates
+    hash-match. ``table_a``/``table_b`` are FROM-clauses (may be
+    subqueries), ``value_expr`` the element expression."""
+
+    def sig(tbl: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT {i} AS i, min({seeded_hash60_sql(value_expr, i)}) AS minh FROM {tbl}"
+            for i in range(num_hashes)
+        )
+        return arms
+
+    ha = hll_distinct_sql(table_a, value_expr, (), p, "distinct_a")
+    hb = hll_distinct_sql(table_b, value_expr, (), p, "distinct_b")
+    return f"""
+WITH sig_a AS ({sig(table_a)}),
+sig_b AS ({sig(table_b)}),
+m AS (
+  SELECT sum(CASE WHEN sig_a.minh = sig_b.minh THEN 1 ELSE 0 END) AS _m
+  FROM sig_a JOIN sig_b USING (i)
+),
+da AS ({ha}),
+db AS ({hb}),
+est AS (
+  SELECT _m / {float(num_hashes)!r} AS j, distinct_a, distinct_b,
+         (distinct_a + distinct_b) / (1.0 + _m / {float(num_hashes)!r}) AS un
+  FROM m, da, db
+)
+SELECT round(j, 4) AS j_est, distinct_a, distinct_b,
+       round(un, 4) AS union_est, round(j * un, 4) AS inter_est,
+       round(j * un / distinct_a, 4) AS contain_a_in_b,
+       round(j * un / distinct_b, 4) AS contain_b_in_a
+FROM est
+""".strip()
+
+
+def bloom_positions(col: Column, m: int, k: int) -> Column:
+    """The ``k`` bit positions (deduplicated, sorted) a value sets in an
+    ``m``-bit Bloom filter — ``seeded_hash60(value, j) mod m`` for
+    ``j = 0..k-1``."""
+    return F.array_distinct(
+        F.array(*[F.pmod(seeded_hash60(col, j), F.lit(m)) for j in range(k)])
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m: int = 1 << 18, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter of the values as a DF(pos) of set bit positions
+    (≤ ``m`` rows however large the input corpus). The fixed-memory
+    membership sketch: where
+    :func:`~graphchidb_scala_spark.functions.pipeline.contamination_hits`
+    semi-joins the full reference n-gram set (shuffle grows with the
+    reference corpus), the Bloom position table is capped at ``m`` rows —
+    broadcastable to every executor at any reference scale, at the price of
+    a bounded false-positive rate (~``(1-e^{-kn/m})^k``; zero false
+    negatives)."""
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(value_col), m, k)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    bits: DataFrame,
+    m: int = 1 << 18,
+    k: int = 3,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe rows of ``df`` (unique per ``key_cols``) against a Bloom
+    position table from :func:`bloom_build`: DF(*key_cols, out_col bool).
+    A row is a (possible) member iff ALL of its ``k`` positions are set —
+    counted against the deduplicated position array so intra-key position
+    collisions can't produce false negatives.
+
+    The ``bits`` side is broadcast when ``m`` is broadcast-sized (≤ 2^24):
+    the probe is then a map-side hash join — no shuffle of the probe corpus
+    at all, the shape that lets a 100 TB train scan screen against a test
+    set in one pass."""
+    pos = bloom_positions(F.col(value_col), m, k)
+    probes = df.select(
+        *[F.col(c) for c in key_cols],
+        F.size(pos).alias("_need"),
+        F.explode(pos).alias("pos"),
+    )
+    bits_side = F.broadcast(bits) if m <= (1 << 24) else bits
+    hits = probes.join(bits_side, "pos").groupBy(
+        *[F.col(c) for c in key_cols], F.col("_need")
+    ).agg(F.count(F.lit(1)).alias("_got"))
+    flagged = hits.select(
+        *key_cols, (F.col("_got") == F.col("_need")).alias(out_col)
+    )
+    # rows with zero matched positions never reach the inner join — restore
+    # them as definite non-members
+    return (
+        df.select(*key_cols)
+        .distinct()
+        .join(flagged, list(key_cols), "left")
+        .select(
+            *key_cols, F.coalesce(F.col(out_col), F.lit(False)).alias(out_col)
+        )
+    )
+
+
+def bloom_positions_sql(expr: str, m: int, k: int) -> str:
+    """DuckDB twin of :func:`bloom_positions` (a LIST expression)."""
+    arms = ", ".join(
+        f"(({seeded_hash60_sql(expr, j)}) % {m} + {m}) % {m}" for j in range(k)
+    )
+    return f"list_distinct([{arms}])"

@@ -1054,3 +1054,80 @@ def test_bpe_pair_counts_matches_python(spark):
                 model[w[i : i + 2]] += 1
     got = {r["pair"]: r["cnt"] for r in text.bpe_pair_counts(df, k=100).collect()}
     assert got == dict(model)
+
+
+def test_set_signature_dedup_and_partitioning_invariant(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    vals = [(f"v{i % 50}",) for i in range(1000)]
+    df = spark.createDataFrame(vals, "v string")
+    distinct = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    a = {
+        (r["i"], r["minh"])
+        for r in sketches.set_signature(df, "v", num_hashes=16).collect()
+    }
+    b = {
+        (r["i"], r["minh"])
+        for r in sketches.set_signature(distinct.repartition(7), "v", num_hashes=16).collect()
+    }
+    assert len(a) == 16
+    assert a == b  # min over a SET: duplicates and partitioning are invisible
+
+
+def test_corpus_overlap_estimates_track_true_jaccard(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    # |A|=600, |B|=600, |A∩B|=300 → J = 1/3
+    a = spark.createDataFrame([(f"k{i}",) for i in range(600)], "v string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(300, 900)], "v string")
+    row = sketches.corpus_overlap(a, b, "v", num_hashes=256, p=12).collect()[0]
+    assert abs(row["j_est"] - 1 / 3) < 0.12  # ±2σ ≈ 2/sqrt(256)·√(J(1-J))
+    assert abs(row["distinct_a"] - 600) < 60
+    assert abs(row["union_est"] - 900) < 150
+    assert abs(row["inter_est"] - 300) < 120
+    assert 0.0 <= row["contain_a_in_b"] <= 1.2
+
+
+def test_corpus_overlap_identical_and_disjoint_extremes(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(200)], "v string")
+    b = spark.createDataFrame([(f"y{i}",) for i in range(200)], "v string")
+    same = sketches.corpus_overlap(a, a, "v", num_hashes=32, p=12).collect()[0]
+    assert same["j_est"] == 1.0 and same["contain_a_in_b"] == 1.0
+    disj = sketches.corpus_overlap(a, b, "v", num_hashes=32, p=12).collect()[0]
+    assert disj["j_est"] == 0.0 and disj["inter_est"] == 0.0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    m, k = 1 << 14, 3
+    members = spark.createDataFrame([(f"m{i}",) for i in range(500)], "v string")
+    bits = sketches.bloom_build(members, "v", m=m, k=k)
+    assert bits.count() <= m
+    # every member must be flagged (no false negatives)
+    got = sketches.bloom_probe(
+        members.selectExpr("v AS key", "v"), ["key"], "v", bits, m=m, k=k
+    )
+    assert got.filter(~F.col("maybe_member")).count() == 0
+    # non-members: fp rate ≈ (1-e^{-kn/m})^k ≈ 0.4% at n=500 — allow 5%
+    others = spark.createDataFrame([(f"o{i}",) for i in range(2000)], "v string")
+    fp = (
+        sketches.bloom_probe(
+            others.selectExpr("v AS key", "v"), ["key"], "v", bits, m=m, k=k
+        )
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    assert fp <= 100
+
+
+def test_bloom_probe_restores_zero_match_rows(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    bits = spark.createDataFrame([(999_999,)], "pos bigint")  # no real positions
+    probe = spark.createDataFrame([("a", "x"), ("b", "y")], "key string, v string")
+    out = sketches.bloom_probe(probe, ["key"], "v", bits, m=1 << 14, k=3)
+    assert out.count() == 2
+    assert out.filter(F.col("maybe_member")).count() == 0
