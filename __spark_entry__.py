@@ -1454,6 +1454,142 @@ FROM flags GROUP BY doc_id
 """.strip()
 
 
+# ------------------------------- round-5b: truss / betweenness / label prop
+
+
+def _q_ktruss(spark, sf):
+    """4-truss (2 peel rounds) of the part co-purchase projection — the
+    tripartite base graph is triangle-free, so the truss runs where the
+    triangles live: parts sharing an order. Bounded-round peel converges
+    from above and mirrors the SQL unroll exactly; k_truss(rounds=None)
+    gives the fixpoint."""
+    g = _g(spark, sf)
+    op = g._typed(1).select(F.col("src").alias("o"), F.col("dst").alias("p"))
+    proj = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    db2 = GraphDB(proj.select(F.lit(0).alias("etype"), "src", "dst"))
+    return gq.k_truss(db2, k=4, rounds=2)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
+    peel = []
+    prev = "e0"
+    for r in range(rounds):
+        peel.append(
+            f"""s{r} AS (SELECT x AS u, y AS v FROM {prev} UNION ALL SELECT y, x FROM {prev}),
+sup{r} AS (
+  SELECT e.x, e.y, count(*) AS c
+  FROM {prev} e
+  JOIN s{r} s1 ON s1.u = e.x
+  JOIN s{r} s2 ON s2.u = e.y AND s2.v = s1.v
+  GROUP BY e.x, e.y
+),
+e{r + 1} AS (SELECT x, y FROM sup{r} WHERE c >= {k - 2})"""
+        )
+        prev = f"e{r + 1}"
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        "e0 AS (\n"
+        "  SELECT DISTINCT a.dst AS x, b.dst AS y\n"
+        "  FROM edges a JOIN edges b ON b.src = a.src\n"
+        "  WHERE a.etype = 1 AND b.etype = 1 AND a.dst < b.dst\n"
+        "),\n" + ",\n".join(peel) + f"\nSELECT x, y FROM {prev}"
+    )
+
+
+_BETWEENNESS_SEEDS = [1, 2, 3, 4, 5, 6]
+
+
+def _q_betweenness(spark, sf):
+    """Depth-3 bounded Brandes betweenness from 6 customer seeds: exact
+    dependency accumulation over the c→o→p→s layers (orders and parts
+    brokering many seed paths score high)."""
+    return gq.betweenness_bounded(_g(spark, sf), _BETWEENNESS_SEEDS, max_depth=3)
+
+
+def _betweenness_sql(depth: int = 3) -> str:
+    seeds = ", ".join(str(s) for s in _BETWEENNESS_SEEDS)
+    ctes = [
+        f"sd AS (SELECT unnest([{seeds}]) AS seed)",
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "f0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS id, "
+        "CAST(1 AS BIGINT) AS sigma FROM sd)",
+    ]
+    for d in range(1, depth + 1):
+        prev = f"f{d - 1}"
+        seen = " UNION ALL ".join(
+            f"SELECT seed, id FROM f{i}" for i in range(d)
+        )
+        ctes.append(
+            f"""f{d} AS (
+  SELECT p.seed, e.dst AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM {prev} p JOIN de e ON e.src = p.id
+  WHERE NOT EXISTS (SELECT 1 FROM ({seen}) v
+                    WHERE v.seed = p.seed AND v.id = e.dst)
+  GROUP BY p.seed, e.dst
+)"""
+        )
+    ctes.append(
+        f"d{depth} AS (SELECT seed, id, 0.0 AS delta FROM f{depth})"
+    )
+    for d in range(depth - 1, 0, -1):
+        ctes.append(
+            f"""d{d} AS (
+  SELECT f.seed, f.id,
+         coalesce((SELECT sum(CAST(f.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta))
+                   FROM de e
+                   JOIN f{d + 1} w ON w.seed = f.seed AND w.id = e.dst
+                   JOIN d{d + 1} dw ON dw.seed = w.seed AND dw.id = w.id
+                   WHERE e.src = f.id), 0.0) AS delta
+  FROM f{d} f
+)"""
+        )
+    allc = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{i}" for i in range(1, depth + 1)
+    )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(sum(delta), 4) AS betweenness FROM ({allc}) GROUP BY id"
+    )
+
+
+def _q_label_prop(spark, sf):
+    """Seeded min-label propagation (4 rounds, all edge types): 20 customer
+    seeds flood their ids downstream; the state universe GROWS to message
+    recipients — the documented Pregel semantics of propagate_labels."""
+    g = _g(spark, sf)
+    initial = spark.range(1, 21).select(
+        F.col("id").cast("bigint").alias("id"), F.col("id").cast("bigint").alias("lbl")
+    )
+    return pregel.propagate_labels(g, initial, iterations=4, agg="min")
+
+
+def _label_prop_sql(iters: int = 4) -> str:
+    ctes = [
+        "l0 AS (SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS lbl "
+        "FROM range(1, 21) t(i))"
+    ]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (
+  SELECT id, min(lbl) AS lbl FROM (
+    SELECT e.dst AS id, p.lbl FROM {p} p JOIN edges e ON e.src = p.id
+    UNION ALL SELECT id, lbl FROM {p}
+  ) GROUP BY id
+)"""
+        )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT id, lbl FROM l{iters}"
+    )
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1603,6 +1739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch set algebra: MinHash corpus overlap + Bloom decontamination
         "corpus_overlap_minhash": _q_corpus_overlap,
         "doc_bloom_contamination": _q_bloom_contamination,
+        # triangle-cohesion core, sampled centrality, seeded label flood
+        "ktruss4_copurchase": _q_ktruss,
+        "betweenness_d3": _q_betweenness,
+        "label_prop4": _q_label_prop,
     }
 
 
@@ -2780,6 +2920,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "drop_neardups_keep_best": _drop_keep_best_sql(),
         "corpus_overlap_minhash": _corpus_overlap_sql(),
         "doc_bloom_contamination": _bloom_contamination_sql(),
+        "ktruss4_copurchase": _ktruss_sql(),
+        "betweenness_d3": _betweenness_sql(),
+        "label_prop4": _label_prop_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

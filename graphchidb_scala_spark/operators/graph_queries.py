@@ -1143,3 +1143,209 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionAll(d)
     return out.select("id", "scc")
+
+
+def _canonical_undirected(e: DataFrame) -> DataFrame:
+    """Distinct canonical (x < y) undirected simple edges from a directed
+    edge set — least/greatest collapse both directions before the distinct
+    (shared by triangle_count / LCC / k-truss)."""
+    return cut_lineage(
+        e.select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+
+
+def edge_support(ce: DataFrame) -> DataFrame:
+    """Per-edge triangle support over canonical undirected edges DF(x, y):
+    DF(x, y, sup) for edges in ≥1 triangle. Degree-ordered orientation
+    (wedge centers bounded ~sqrt(2m) on power-law graphs — the same bound
+    triangle_count relies on); each closed triangle is found exactly once
+    and exploded to its three canonical edges before a map-side-combined
+    count, so no edge-pair blowup at hubs."""
+    deg = (
+        ce.select(F.col("x").alias("id"))
+        .unionAll(ce.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("id").alias("y"), F.col("d").alias("dy"))
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = cut_lineage(
+        ce.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+            F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("db_"),
+        )
+    )
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.a") == F.col("e1.a"))
+        & (
+            (F.col("e1.db_") < F.col("e2.db_"))
+            | ((F.col("e1.db_") == F.col("e2.db_")) & (F.col("e1.b") < F.col("e2.b")))
+        ),
+    ).select(
+        F.col("e1.a").alias("c"), F.col("e1.b").alias("a"), F.col("e2.b").alias("b")
+    )
+    closed = wedges.join(oe.select("a", "b"), ["a", "b"], "semi")
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("c", "a").alias("x"), F.greatest("c", "a").alias("y")
+                ),
+                F.struct(
+                    F.least("c", "b").alias("x"), F.greatest("c", "b").alias("y")
+                ),
+                F.struct(
+                    F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+                ),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    return tri_edges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+
+
+def k_truss(
+    db: GraphDB,
+    k: int,
+    rounds: int | None = None,
+    etype: int | None = None,
+) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph whose every edge sits in
+    ≥ k-2 triangles *within the subgraph* — the community-core notion one
+    step stronger than k-core (cohesion via triangles, not raw degree).
+    DF(x, y) of surviving canonical undirected edges.
+
+    Iterative support peel: each round recomputes per-edge support on the
+    surviving edges (degree-ordered triangle enumeration — see
+    :func:`edge_support`) and drops edges below k-2. ``rounds=None`` runs
+    to fixpoint (the true k-truss; converges in O(E) rounds, in practice a
+    handful — the cheap count-based convergence check costs one extra
+    action per round). A fixed ``rounds=r`` runs exactly r peel rounds —
+    deterministic from above (every true k-truss edge survives any number
+    of rounds), which is what the bounded-unroll SQL oracle mirrors.
+
+    Scale: each round is the triangle pipeline (two shuffles) plus one
+    filter; no collect, no per-edge loop. Reference analogue: the induced
+    subgraph + triangle machinery (SURVEY §2.5, §2.8) composed iteratively.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    e = db._typed(etype).select("src", "dst")
+    cur = _canonical_undirected(e)
+    r = 0
+    while rounds is None or r < rounds:
+        sup = edge_support(cur)
+        nxt = cut_lineage(
+            sup.filter(F.col("sup") >= F.lit(k - 2)).select("x", "y")
+        )
+        if rounds is None:
+            before, after = cur.count(), nxt.count()
+            cur = nxt
+            if after == before:
+                break
+        else:
+            cur = nxt
+        r += 1
+    return cur
+
+
+def betweenness_bounded(
+    db: GraphDB,
+    seeds: Sequence[int],
+    max_depth: int = 3,
+    etype: int | None = None,
+) -> DataFrame:
+    """Depth-bounded Brandes betweenness from a seed sample — exact
+    source-dependency accumulation for the given sources, truncated at
+    ``max_depth`` (the standard sampled/bounded approximation of full
+    betweenness, whose exact form needs all-pairs BFS). DF(id, betweenness)
+    over vertices reachable within the bound (seeds excluded, per Brandes),
+    rounded to 4dp.
+
+    Forward phase: level-synchronous multi-source BFS carrying shortest-path
+    counts sigma — all seeds advance in ONE edge join per hop (the MultiBFS
+    shape, MultiBFS.scala:51), anti-join against the visited set keeps
+    first-reach depths only. Backward phase: dependencies flow one level at
+    a time, delta(v) = Σ_{w∈succ(v)} sigma_v/sigma_w · (1+delta_w), joining
+    only adjacent levels — no DAG materialization, no per-source loop.
+
+    Scale: 2·max_depth joins total regardless of seed count; frontier rows
+    are (seed, vertex) pairs, parallel in both. Truncation bias is the
+    documented trade: paths longer than max_depth contribute nothing."""
+    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
+    spark = e.sparkSession
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "seed bigint")
+    lvl0 = seed_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(1).cast("bigint").alias("sigma")
+    )
+    levels = [cut_lineage(lvl0)]
+    visited = levels[0].select("seed", "id")
+    for _ in range(max_depth):
+        cur = levels[-1]
+        msgs = cur.join(e, cur["id"] == e["src"]).select(
+            "seed", F.col("dst").alias("id"), "sigma"
+        )
+        nxt = cut_lineage(
+            msgs.join(visited, ["seed", "id"], "left_anti")
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        levels.append(nxt)
+        visited = cut_lineage(visited.unionAll(nxt.select("seed", "id")))
+    deltas: dict[int, DataFrame] = {
+        max_depth: levels[max_depth].select(
+            "seed", "id", F.lit(0.0).alias("delta")
+        )
+    }
+    for d in range(max_depth - 1, 0, -1):
+        succ = (
+            levels[d + 1]
+            .join(deltas[d + 1], ["seed", "id"])
+            .select(
+                "seed",
+                F.col("id").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                "delta",
+            )
+        )
+        cur = levels[d]
+        contrib = (
+            cur.join(e, cur["id"] == e["src"])
+            .join(
+                succ,
+                (cur["seed"] == succ["seed"]) & (e["dst"] == succ["w"]),
+            )
+            .select(
+                cur["seed"],
+                cur["id"],
+                (
+                    F.col("sigma").cast("double")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("seed", "id")
+            .agg(F.sum("c").alias("c"))
+        )
+        deltas[d] = cut_lineage(
+            cur.select("seed", "id")
+            .join(contrib, ["seed", "id"], "left")
+            .select(
+                "seed", "id", F.coalesce(F.col("c"), F.lit(0.0)).alias("delta")
+            )
+        )
+    acc = deltas[max_depth].select("id", "delta")
+    for d in range(1, max_depth):
+        acc = acc.unionAll(deltas[d].select("id", "delta"))
+    return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))

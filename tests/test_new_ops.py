@@ -231,3 +231,135 @@ def test_scd2_intervals_tile(spark):
     assert out[0]["valid_to_us"] == out[1]["valid_from_us"]
     assert out[1]["valid_to_us"] == out[2]["valid_from_us"]
     assert out[2]["valid_to_us"] is None and out[2]["is_current"]
+
+
+# -------------------------------------------------- k-truss / edge support
+
+
+def _python_ktruss(pairs, k):
+    """Reference peel-to-fixpoint k-truss over canonical undirected edges."""
+    edges = {tuple(sorted((a, b))) for a, b in pairs if a != b}
+    while True:
+        nbrs: dict[int, set[int]] = {}
+        for x, y in edges:
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        drop = {
+            (x, y)
+            for x, y in edges
+            if len(nbrs[x] & nbrs[y]) < k - 2
+        }
+        if not drop:
+            return edges
+        edges = edges - drop
+
+
+TRUSS_GRAPHS = [
+    # K4 (a 4-truss) + a dangling triangle + a chain
+    [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7), (7, 8)],
+    # two triangles sharing an edge (3-truss but not 4-truss)
+    [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3)],
+    # triangle-free graph (empty truss)
+    [(1, 2), (2, 3), (3, 4), (4, 1)],
+    # K5 minus one edge: the 4-truss survives, cascading peel needed for 5
+    [(a, b) for a in range(5) for b in range(a + 1, 5) if (a, b) != (0, 1)],
+]
+
+
+@pytest.mark.parametrize("pairs", TRUSS_GRAPHS)
+@pytest.mark.parametrize("k", [3, 4])
+def test_k_truss_matches_bruteforce(spark, pairs, k):
+    got = {(r["x"], r["y"]) for r in gq.k_truss(_db(spark, pairs), k).collect()}
+    assert got == _python_ktruss(pairs, k)
+
+
+def test_k_truss_bounded_rounds_from_above(spark):
+    pairs = TRUSS_GRAPHS[0]
+    exact = _python_ktruss(pairs, 4)
+    one = {(r["x"], r["y"]) for r in gq.k_truss(_db(spark, pairs), 4, rounds=1).collect()}
+    four = {(r["x"], r["y"]) for r in gq.k_truss(_db(spark, pairs), 4, rounds=4).collect()}
+    assert exact <= one  # bounded peel converges from above
+    assert four == exact  # and has converged within 4 rounds here
+
+
+def test_edge_support_counts(spark):
+    # K4: every edge closes exactly 2 triangles
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    ce = gq._canonical_undirected(_db(spark, pairs)._typed(None))
+    sup = {(r["x"], r["y"]): r["sup"] for r in gq.edge_support(ce).collect()}
+    assert sup == {(x, y): 2 for x, y in {tuple(sorted(p)) for p in pairs}}
+
+
+# -------------------------------------------- bounded Brandes betweenness
+
+
+def _python_betweenness_bounded(pairs, seeds, max_depth):
+    """Reference: per-seed BFS (directed, depth-capped) with sigma counts,
+    then Brandes dependency accumulation over the level DAG."""
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in set(pairs):
+        adj[a].append(b)
+    bc: dict[int, float] = defaultdict(float)
+    for s in seeds:
+        depth = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        levels = [[s]]
+        for d in range(1, max_depth + 1):
+            nxt: dict[int, int] = {}
+            for v in frontier:
+                for w in adj[v]:
+                    if w in depth and depth[w] <= d - 1:
+                        continue
+                    nxt[w] = nxt.get(w, 0) + sigma[v]
+            for w, sg in nxt.items():
+                depth[w] = d
+                sigma[w] = sg
+            frontier = list(nxt)
+            levels.append(frontier)
+        delta = {v: 0.0 for v in depth}
+        for d in range(max_depth - 1, 0, -1):
+            for v in levels[d]:
+                for w in adj[v]:
+                    if depth.get(w) == d + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        for v, dv in delta.items():
+            if depth[v] >= 1:
+                bc[v] += dv
+    return {v: round(x, 4) for v, x in bc.items()}
+
+
+BETWEENNESS_GRAPHS = [
+    # diamond: all s-t paths run through b or c equally
+    [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)],
+    # chain with a shortcut (path multiplicity differs)
+    [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (2, 5)],
+    # directed cycle + branch
+    [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (5, 6)],
+]
+
+
+@pytest.mark.parametrize("pairs", BETWEENNESS_GRAPHS)
+def test_betweenness_matches_bruteforce(spark, pairs):
+    seeds = sorted({a for a, _ in pairs})[:3]
+    got = {
+        r["id"]: r["betweenness"]
+        for r in gq.betweenness_bounded(_db(spark, pairs), seeds, max_depth=3).collect()
+    }
+    assert got == _python_betweenness_bounded(pairs, seeds, 3)
+
+
+def test_betweenness_social_spot(spark, social_db):
+    seeds = [1, 2, 3, 4]
+    got = {
+        r["id"]: r["betweenness"]
+        for r in gq.betweenness_bounded(social_db, seeds, max_depth=2).collect()
+    }
+    pairs = [
+        (r["src"], r["dst"])
+        for r in social_db.edges.select("src", "dst").distinct().collect()
+    ]
+    want = _python_betweenness_bounded(pairs, seeds, 2)
+    assert got == want
