@@ -357,7 +357,51 @@ CHECKS = {
         ),
         ["Project", "!Exchange", "!Join"],
     ),
+    # corpus MinHash signature: all mins are ONE map-side-combined agg —
+    # no distinct, no sort, no join anywhere in the signature
+    "set_signature_partial_min": (
+        lambda g, docs, emb: _set_signature_plan(docs),
+        ["partial_min", "!Join", "!Sort"],
+    ),
+    # Bloom probe: the bits side (≤ m rows) is broadcast — the 100 TB probe
+    # corpus is never shuffled for membership
+    "bloom_probe_broadcast_bits": (
+        lambda g, docs, emb: _bloom_probe_plan(docs),
+        ["BroadcastHashJoin", "!SortMergeJoin"],
+    ),
+    # per-edge truss support: oriented wedge join is an equi hash join on
+    # the wedge center + map-side-combined per-edge count — no nested loop
+    "edge_support_equi_wedges": (
+        lambda g, docs, emb: gq.edge_support(
+            gq._canonical_undirected(g._typed(None))
+        ),
+        ["partial_count", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # betweenness forward hop: frontier-edge equi join + sigma sum with
+    # map-side combine; anti join against visited is hash, not nested loop
+    "betweenness_forward_hop": (
+        lambda g, docs, emb: gq.betweenness_bounded(g, [1, 2, 3], max_depth=1),
+        ["partial_sum", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
 }
+
+
+def _set_signature_plan(docs):
+    from graphchidb_scala_spark.functions import sketches
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    )
+    return sketches.set_signature(toks, "tok", num_hashes=16)
+
+
+def _bloom_probe_plan(docs):
+    from graphchidb_scala_spark.functions import sketches
+
+    ref = docs.limit(10).select(F.col("text").alias("v"))
+    bits = sketches.bloom_build(ref, "v", m=1 << 14, k=3)
+    probe = docs.select("doc_id", F.col("text").alias("v"))
+    return sketches.bloom_probe(probe, ["doc_id"], "v", bits, m=1 << 14, k=3)
 
 
 def _hll_plan(g):
