@@ -1590,6 +1590,105 @@ def _label_prop_sql(iters: int = 4) -> str:
     )
 
 
+# --------------------------- round-5b: weighted/attenuated centrality, diameter
+
+
+def _q_pagerank_weighted(spark, sf):
+    """Edge-value-weighted PageRank (3 iters): mass follows the weight
+    column (order totalprice / lineitem quantities), the property-graph
+    variant the reference's edge-value columns exist for."""
+    pr = pregel.pagerank_weighted(_g(spark, sf), iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_weighted3_sql() -> str:
+    iters = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        iters.append(
+            f"""r{k} AS (
+  SELECT r.id, 0.15 + 0.85 * COALESCE(m.acc, 0) AS rank
+  FROM {prev} r LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.rank * e.weight / d.wout) AS acc
+    FROM we e JOIN {prev} rp ON rp.id = e.src JOIN wdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = r.id
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + "we AS (SELECT src, dst, weight FROM edges "
+        + "WHERE weight IS NOT NULL AND weight <> 0),\n"
+        + "wdeg AS (SELECT src, sum(weight) AS wout FROM we GROUP BY src),\n"
+        + "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM vertices),\n"
+        + ",\n".join(iters)
+        + "\nSELECT id, round(rank, 6) AS rank FROM r3"
+    )
+
+
+def _q_katz(spark, sf):
+    """Katz centrality, truncated at 3 hops (α=0.1): attenuated path-count
+    influence over the c→o→p→s layers."""
+    kz = pregel.katz_centrality(_g(spark, sf), iterations=3, alpha=0.1)
+    return kz.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _katz3_sql(alpha: float = 0.1) -> str:
+    iters = []
+    prev = "k0"
+    for k in (1, 2, 3):
+        iters.append(
+            f"""k{k} AS (
+  SELECT r.id, {alpha!r} * COALESCE(m.acc, 0) AS katz
+  FROM k0 r LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.katz + 1.0) AS acc
+    FROM edges e JOIN {prev} rp ON rp.id = e.src
+    GROUP BY e.dst
+  ) m ON m.id = r.id
+)"""
+        )
+        prev = f"k{k}"
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        + "k0 AS (SELECT id, CAST(0.0 AS DOUBLE) AS katz FROM vertices),\n"
+        + ",\n".join(iters)
+        + "\nSELECT id, round(katz, 6) AS katz FROM k3"
+    )
+
+
+def _q_pseudo_diameter(spark, sf):
+    return gq.pseudo_diameter(_g(spark, sf), start=1, max_depth=8)
+
+
+def _pseudo_diameter_sql(start: int = 1, max_depth: int = 8) -> str:
+    return (
+        "WITH RECURSIVE\n" + GRAPH_SQL_CTES + f""",
+w1(node, depth) AS (
+  SELECT CAST({start} AS BIGINT), 0
+  UNION
+  SELECT u.b, w.depth + 1 FROM w1 w JOIN und u ON u.a = w.node
+  WHERE w.depth < {max_depth}
+),
+l1 AS (SELECT node AS id, min(depth) AS level FROM w1 GROUP BY node),
+fa AS (SELECT id AS far_a, level AS ecc_a FROM l1
+       ORDER BY level DESC, id LIMIT 1),
+w2(node, depth) AS (
+  SELECT far_a, 0 FROM fa
+  UNION
+  SELECT u.b, w.depth + 1 FROM w2 w JOIN und u ON u.a = w.node
+  WHERE w.depth < {max_depth}
+),
+l2 AS (SELECT node AS id, min(depth) AS level FROM w2 GROUP BY node),
+fb AS (SELECT id AS far_b, level AS diameter_lb FROM l2
+       ORDER BY level DESC, id LIMIT 1)
+SELECT CAST({start} AS BIGINT) AS start, fa.far_a,
+       CAST(fa.ecc_a AS BIGINT) AS ecc_a, fb.far_b,
+       CAST(fb.diameter_lb AS BIGINT) AS diameter_lb
+FROM fa, fb"""
+    )
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1743,6 +1842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss4_copurchase": _q_ktruss,
         "betweenness_d3": _q_betweenness,
         "label_prop4": _q_label_prop,
+        # weighted/attenuated centrality + double-sweep diameter bound
+        "pagerank_weighted3": _q_pagerank_weighted,
+        "katz3": _q_katz,
+        "pseudo_diameter": _q_pseudo_diameter,
     }
 
 
@@ -2923,6 +3026,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "ktruss4_copurchase": _ktruss_sql(),
         "betweenness_d3": _betweenness_sql(),
         "label_prop4": _label_prop_sql(),
+        "pagerank_weighted3": _pagerank_weighted3_sql(),
+        "katz3": _katz3_sql(),
+        "pseudo_diameter": _pseudo_diameter_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

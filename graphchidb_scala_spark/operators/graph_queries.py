@@ -1349,3 +1349,37 @@ def betweenness_bounded(
     for d in range(1, max_depth):
         acc = acc.unionAll(deltas[d].select("id", "delta"))
     return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))
+
+
+def pseudo_diameter(
+    db: GraphDB,
+    start: int,
+    max_depth: int = 8,
+    etype: int | None = None,
+) -> DataFrame:
+    """Double-sweep pseudo-diameter (undirected): BFS from ``start``, hop to
+    the farthest vertex (max level, min id on ties), BFS again — the second
+    eccentricity is the classic tight diameter lower bound at the cost of
+    TWO BFS traversals instead of all-pairs. 1-row DF(start, far_a, ecc_a,
+    far_b, diameter_lb).
+
+    Both sweeps are the frontier-join BFS of :func:`bfs_levels` over the
+    symmetric closure; the only driver-side data is the two 1-row pivot
+    collects. Truncation: sweeps cap at ``max_depth``, so on graphs of
+    larger eccentricity the result is still a valid lower bound."""
+    sym = db.undirected_edges(etype).select(
+        F.lit(0).alias("etype"), F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    udb = GraphDB(sym)
+
+    def _farthest(levels: DataFrame):
+        row = levels.orderBy(F.desc("level"), F.asc("id")).limit(1).collect()[0]
+        return int(row["id"]), int(row["level"])
+
+    far_a, ecc_a = _farthest(bfs_levels(udb, start, max_depth))
+    far_b, diameter_lb = _farthest(bfs_levels(udb, far_a, max_depth))
+    spark = db.spark
+    return spark.createDataFrame(
+        [(int(start), far_a, ecc_a, far_b, diameter_lb)],
+        "start bigint, far_a bigint, ecc_a bigint, far_b bigint, diameter_lb bigint",
+    )

@@ -433,3 +433,83 @@ def propagate_labels(
     if restrict_to_initial:
         labels = labels.join(init.select("id"), "id", "semi")
     return labels
+
+
+def pagerank_weighted(
+    db: GraphDB,
+    iterations: int = 10,
+    damping: float = 0.85,
+    etype: int | None = None,
+    weight_col: str = "weight",
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Edge-value-weighted PageRank: rank = 0.15 + 0.85 · Σ_in rank(u) ·
+    w(u→v)/W_out(u) — the GraphChi-idiomatic variant where the propagated
+    mass follows the edge VALUE column, not the uniform 1/outdeg
+    (Pagerank.scala:34-61 reads edge values through the same update; the
+    reference's whole point is computation over property edges,
+    GraphChiDatabase.scala columns). DF(id, rank).
+
+    Identical shuffle structure to :func:`pagerank` — the weight-sum table
+    replaces the out-degree table, computed once (one map-side-combined
+    agg) and checkpointed with the edges; ONE exchange per iteration via
+    the zero-union formulation; final semi-join restricts the universe to
+    the vertex table. NULL/zero-weight edges are dropped up front (they
+    carry no mass; keeping them would divide by their W_out share of 0)."""
+    e = db._typed(etype).select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).filter(F.col("w").isNotNull() & (F.col("w") != 0.0))
+    wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges_w = _checkpoint(e.join(wout, "src").repartition("src"))
+    vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
+    ranks = vstatic.withColumn("rank", F.lit(1.0))
+    zeros = vstatic.select("id", F.lit(0.0).alias("c"))
+    for i in range(1, iterations + 1):
+        msgs = (
+            edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("c"),
+            )
+            .unionAll(zeros)
+        )
+        ranks = msgs.groupBy("id").agg(
+            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+        if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
+            ranks = _checkpoint(ranks)
+    return ranks.join(vstatic, "id", "semi")
+
+
+def katz_centrality(
+    db: GraphDB,
+    iterations: int = 5,
+    alpha: float = 0.1,
+    etype: int | None = None,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Katz centrality, truncated series: after T iterations
+    x(v) = Σ_{k=1..T} α^k · (#paths of length k ending at v) — attenuated
+    path-count influence, the centrality that sees beyond direct in-degree
+    without PageRank's degree normalization. Iteration:
+    x ← α · Σ_{u→v} (x(u) + 1), x₀ = 0. DF(id, katz).
+
+    Same one-exchange-per-iteration zero-union shape as :func:`pagerank`;
+    α must be below 1/λ_max for the untruncated series to converge — with
+    a truncated run any α works, the bound is only a quality note."""
+    e = _checkpoint(db._typed(etype).select("src", "dst").repartition("src"))
+    vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
+    x = vstatic.withColumn("katz", F.lit(0.0))
+    zeros = vstatic.select("id", F.lit(0.0).alias("c"))
+    for i in range(1, iterations + 1):
+        msgs = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("katz") + F.lit(1.0)).alias("c"))
+            .unionAll(zeros)
+        )
+        x = msgs.groupBy("id").agg(
+            (F.lit(alpha) * F.sum("c")).alias("katz")
+        )
+        if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
+            x = _checkpoint(x)
+    return x.join(vstatic, "id", "semi")

@@ -363,3 +363,19 @@ def test_betweenness_social_spot(spark, social_db):
     ]
     want = _python_betweenness_bounded(pairs, seeds, 2)
     assert got == want
+
+
+def test_pseudo_diameter_path_graph(spark):
+    # path 1-2-3-4-5 (directed edges one way; sweep is undirected):
+    # from 3, farthest is 1 (ecc 2, min-id tie over 5); from 1, diameter 4
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    row = gq.pseudo_diameter(_db(spark, pairs), start=3, max_depth=8).collect()[0]
+    assert (row["far_a"], row["ecc_a"]) == (1, 2)
+    assert (row["far_b"], row["diameter_lb"]) == (5, 4)
+
+
+def test_pseudo_diameter_truncated_is_lower_bound(spark):
+    pairs = [(i, i + 1) for i in range(1, 12)]  # path of 11 edges
+    row = gq.pseudo_diameter(_db(spark, pairs), start=1, max_depth=3).collect()[0]
+    assert row["diameter_lb"] <= 11
+    assert row["ecc_a"] == 3  # capped sweep
