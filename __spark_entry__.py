@@ -1689,6 +1689,62 @@ FROM fa, fb"""
     )
 
 
+# ------------------------------- round-5b: sampled quantiles + A/B readout
+
+
+def _q_events_quantiles_sampled(spark, sf):
+    """Per-event-type value percentiles over a deterministic 1/8 hash
+    sample of event ids — the bounded-shuffle percentile path (exact
+    percentiles sort the full column; the sample filter prunes at scan)."""
+    from graphchidb_scala_spark.functions import sketches
+
+    return sketches.sampled_quantiles(
+        _events(spark, sf),
+        "value",
+        "event_id",
+        probs=[0.25, 0.5, 0.9, 0.99],
+        rate=1.0 / 8,
+        group_cols=["event_type"],
+    )
+
+
+def _events_quantiles_sampled_sql() -> str:
+    from graphchidb_scala_spark.functions import sketches
+
+    return sketches.sampled_quantiles_sql(
+        "events",
+        "value",
+        "event_id",
+        probs=[0.25, 0.5, 0.9, 0.99],
+        rate=1.0 / 8,
+        group_cols=["event_type"],
+    )
+
+
+def _q_events_ab(spark, sf):
+    """A/B readout: deterministic user-parity variant, one conditional
+    aggregation for both arms' n/mean/variance + Welch t of the diff."""
+    ev = _events(spark, sf)
+    return events.ab_metrics(ev, F.col("user_id") % 2 == 0)
+
+
+_EVENTS_AB_SQL = """
+WITH agg AS (
+  SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN value END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN user_id % 2 <> 0 THEN value END) AS BIGINT) AS n_b,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+         avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+         var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+         var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
+  FROM events
+)
+SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+       round(ma - mb, 4) AS diff,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
+FROM agg
+""".strip()
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1846,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted3": _q_pagerank_weighted,
         "katz3": _q_katz,
         "pseudo_diameter": _q_pseudo_diameter,
+        # bounded-shuffle percentiles + one-pass experiment readout
+        "events_quantiles_sampled": _q_events_quantiles_sampled,
+        "events_ab_ttest": _q_events_ab,
     }
 
 
@@ -3029,6 +3088,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "pagerank_weighted3": _pagerank_weighted3_sql(),
         "katz3": _katz3_sql(),
         "pseudo_diameter": _pseudo_diameter_sql(),
+        "events_quantiles_sampled": _events_quantiles_sampled_sql(),
+        "events_ab_ttest": _EVENTS_AB_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

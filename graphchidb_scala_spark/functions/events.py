@@ -470,3 +470,40 @@ def scd2_state(
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def ab_metrics(
+    df: DataFrame,
+    variant_col: Column,
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample A/B experiment readout in ONE pass: per-variant n / mean /
+    sample variance plus the Welch t statistic of the A−B difference —
+    1-row DF(n_a, n_b, mean_a, mean_b, diff, t_stat), rounded to 4dp.
+
+    Shape: a single conditional aggregation (map-side combined, one
+    exchange of six partials) — no per-variant scans, no join of the two
+    arms. Variant assignment is whatever expression the caller passes
+    (deterministic user-hash buckets being the honest choice); at 100 TB
+    the whole readout is the cost of one groupless agg."""
+    is_a = variant_col
+    va = F.when(is_a, F.col(value_col))
+    vb = F.when(~is_a, F.col(value_col))
+    agg = df.agg(
+        F.count(va).cast("bigint").alias("n_a"),
+        F.count(vb).cast("bigint").alias("n_b"),
+        F.avg(va).alias("_ma"),
+        F.avg(vb).alias("_mb"),
+        F.var_samp(va).alias("_va"),
+        F.var_samp(vb).alias("_vb"),
+    )
+    diff = F.col("_ma") - F.col("_mb")
+    se = F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("_ma", 4).alias("mean_a"),
+        F.round("_mb", 4).alias("mean_b"),
+        F.round(diff, 4).alias("diff"),
+        F.round(diff / se, 4).alias("t_stat"),
+    )

@@ -371,3 +371,68 @@ def bloom_positions_sql(expr: str, m: int, k: int) -> str:
         f"(({seeded_hash60_sql(expr, j)}) % {m} + {m}) % {m}" for j in range(k)
     )
     return f"list_distinct([{arms}])"
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    probs: Sequence[float],
+    rate: float = 1.0 / 16,
+    seed: int = 7,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic hash-sampled quantiles: keep rows whose
+    ``seeded_hash60(key) < rate·2^60`` (a pure pushed-down filter — the
+    repo's seeded-sampling idiom, no rand(), reproducible across engines
+    and runs), then EXACT interpolated percentiles over the sample.
+    DF(*group_cols, p<prob>..., n_sampled).
+
+    The scale story: exact percentiles over 100 TB shuffle/sort the full
+    value column; the hash filter bounds the aggregation input to
+    ``rate·N`` rows at scan time, with sampling error ~1/sqrt(rate·N) —
+    at any realistic N the sample is still millions of rows and the
+    quantile error is negligible, but the shuffle is 1/rate smaller.
+    Keyed (not row-random) sampling also keeps all rows of one key
+    together, so per-entity re-aggregation before the quantile remains
+    valid."""
+    thr = int(rate * (1 << 60))
+    s = df.filter(seeded_hash60(F.col(key_col), seed) < F.lit(thr))
+    gb = [F.col(c) for c in group_cols]
+
+    def _name(p: float) -> str:
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 4).alias(_name(p))
+        for p in probs
+    ] + [F.count(F.lit(1)).cast("bigint").alias("n_sampled")]
+    return s.groupBy(*gb).agg(*aggs)
+
+
+def sampled_quantiles_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    probs: Sequence[float],
+    rate: float = 1.0 / 16,
+    seed: int = 7,
+    group_cols: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`sampled_quantiles` (quantile_cont matches
+    Spark's interpolated percentile)."""
+    thr = int(rate * (1 << 60))
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+
+    def _name(p: float) -> str:
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
+    cols = ", ".join(
+        f"round(quantile_cont({value_col}, {p!r}), 4) AS {_name(p)}" for p in probs
+    )
+    return (
+        f"SELECT {gpre}{cols}, CAST(count(*) AS BIGINT) AS n_sampled FROM {table} "
+        f"WHERE {seeded_hash60_sql(key_col, seed)} < {thr} {gby}"
+    )

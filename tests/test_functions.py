@@ -1131,3 +1131,51 @@ def test_bloom_probe_restores_zero_match_rows(spark):
     out = sketches.bloom_probe(probe, ["key"], "v", bits, m=1 << 14, k=3)
     assert out.count() == 2
     assert out.filter(F.col("maybe_member")).count() == 0
+
+
+def test_sampled_quantiles_full_rate_is_exact(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k bigint, v double"
+    )
+    row = sketches.sampled_quantiles(
+        df, "v", "k", probs=[0.5, 0.9], rate=1.0
+    ).collect()[0]
+    assert row["n_sampled"] == 100
+    assert row["p50"] == 50.5 and row["p90"] == 90.1
+
+
+def test_sampled_quantiles_sample_rate_and_determinism(spark):
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [(i, float(i % 997)) for i in range(20_000)], "k bigint, v double"
+    )
+    r1 = sketches.sampled_quantiles(df, "v", "k", probs=[0.5], rate=1.0 / 8).collect()[0]
+    r2 = sketches.sampled_quantiles(
+        df.repartition(11), "v", "k", probs=[0.5], rate=1.0 / 8
+    ).collect()[0]
+    assert r1 == r2  # hash sample: deterministic, partitioning-invariant
+    assert abs(r1["n_sampled"] - 2500) < 300  # ~rate·N
+    assert abs(r1["p50"] - 498.0) < 40  # tracks the true median
+
+
+def test_ab_metrics_welch_t(spark):
+    from graphchidb_scala_spark.functions import events as ev
+    import statistics
+
+    rows = [(i, 10.0 + (i % 7)) for i in range(100)] + [
+        (i, 12.0 + (i % 5)) for i in range(100, 220)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    got = ev.ab_metrics(df, F.col("user_id") < 100).collect()[0]
+    a = [v for u, v in rows if u < 100]
+    b = [v for u, v in rows if u >= 100]
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    t = (ma - mb) / (va / len(a) + vb / len(b)) ** 0.5
+    assert got["n_a"] == 100 and got["n_b"] == 120
+    assert abs(got["mean_a"] - round(ma, 4)) < 1e-9
+    assert abs(got["diff"] - round(ma - mb, 4)) < 1e-9
+    assert abs(got["t_stat"] - round(t, 4)) < 1e-3
