@@ -1745,6 +1745,37 @@ FROM agg
 """.strip()
 
 
+# ---------------------------- round-5b: graph diagnostics (skew, time delta)
+
+
+def _q_powerlaw(spark, sf):
+    return gq.powerlaw_alpha(_g(spark, sf))
+
+
+_POWERLAW_SQL_BODY = (
+    "  SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+    "round(1.0 + count(*) / sum(ln(CAST(d AS DOUBLE))), 4) AS alpha "
+    "FROM (SELECT id, count(*) AS d FROM "
+    "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) t "
+    "GROUP BY id) deg"
+)
+
+
+def _q_graph_diff(spark, sf):
+    """Snapshot delta 1994-12-31 → 1995-06-30: per-etype edges the window
+    added (anti-join on the edge key; both cutoffs are pushed predicates)."""
+    return gq.graph_diff(_g(spark, sf), "1994-12-31", "1995-06-30")
+
+
+_GRAPH_DIFF_SQL_BODY = (
+    "  SELECT etype, CAST(count(*) AS BIGINT) AS n_added FROM (\n"
+    "    SELECT DISTINCT etype, src, dst FROM edges WHERE ts <= DATE '1995-06-30'\n"
+    "    EXCEPT\n"
+    "    SELECT DISTINCT etype, src, dst FROM edges WHERE ts <= DATE '1994-12-31'\n"
+    "  ) d GROUP BY etype"
+)
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1905,6 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded-shuffle percentiles + one-pass experiment readout
         "events_quantiles_sampled": _q_events_quantiles_sampled,
         "events_ab_ttest": _q_events_ab,
+        # degree-skew diagnostic + temporal snapshot delta
+        "powerlaw_alpha": _q_powerlaw,
+        "graph_diff_window": _q_graph_diff,
     }
 
 
@@ -3090,6 +3124,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "pseudo_diameter": _pseudo_diameter_sql(),
         "events_quantiles_sampled": _events_quantiles_sampled_sql(),
         "events_ab_ttest": _EVENTS_AB_SQL,
+        "powerlaw_alpha": _gsql(_POWERLAW_SQL_BODY),
+        "graph_diff_window": _gsql(_GRAPH_DIFF_SQL_BODY),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

@@ -1383,3 +1383,54 @@ def pseudo_diameter(
         [(int(start), far_a, ecc_a, far_b, diameter_lb)],
         "start bigint, far_a bigint, ecc_a bigint, far_b bigint, diameter_lb bigint",
     )
+
+
+def powerlaw_alpha(db: GraphDB, etype: int | None = None) -> DataFrame:
+    """Degree-distribution power-law exponent, continuous MLE at xmin=1:
+    alpha = 1 + n / Σ ln(d_i) over vertices with degree ≥ 1 (total degree,
+    undirected view). 1-row DF(n_vertices, alpha) rounded to 4dp — the
+    skew diagnostic that tells you whether hub mitigation (salting, the
+    degree-ordered orientation) is load-bearing on this graph before you
+    pay for it.
+
+    One degree aggregation + one scalar aggregation — two map-side-combined
+    shuffles total, no collect."""
+    e = db._typed(etype)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.round(
+            F.lit(1.0) + F.count(F.lit(1)) / F.sum(F.log(F.col("d").cast("double"))),
+            4,
+        ).alias("alpha"),
+    )
+
+
+def graph_diff(
+    db: GraphDB,
+    t1,
+    t2,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Snapshot delta between two time-travel cutoffs (t1 < t2): per edge
+    type, how many edges the window added — DF(etype, n_added). With an
+    append-only edge log (this engine's EdgeStore ingest model) removal is
+    expressed as tombstones, so the t2-minus-t1 anti-join IS the delta; the
+    ts predicate is a pushed scan filter (partition pruning under a
+    ts-partitioned layout), and the anti-join keys on (etype, src, dst) —
+    one shuffle on the edge key.
+
+    Complements :meth:`GraphDB.as_of` (query the past) with "what changed
+    between these points" — the audit/debug query of a temporal graph."""
+    key = ["etype", "src", "dst"]
+    e1 = db.edges.filter(F.col(ts_col) <= t1).select(*key).distinct()
+    e2 = db.edges.filter(F.col(ts_col) <= t2).select(*key).distinct()
+    added = e2.join(e1, key, "left_anti")
+    return added.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added")
+    )

@@ -379,3 +379,35 @@ def test_pseudo_diameter_truncated_is_lower_bound(spark):
     row = gq.pseudo_diameter(_db(spark, pairs), start=1, max_depth=3).collect()[0]
     assert row["diameter_lb"] <= 11
     assert row["ecc_a"] == 3  # capped sweep
+
+
+def test_powerlaw_alpha_star_graph(spark):
+    import math
+
+    # star: hub degree n, leaves degree 1 → alpha = 1 + (n+1)/ln(n)
+    n = 20
+    pairs = [(0, i) for i in range(1, n + 1)]
+    row = gq.powerlaw_alpha(_db(spark, pairs)).collect()[0]
+    assert row["n_vertices"] == n + 1
+    assert abs(row["alpha"] - round(1.0 + (n + 1) / math.log(n), 4)) < 1e-9
+
+
+def test_graph_diff_counts_window_additions(spark):
+    from graphchidb_scala_spark.db import GraphDB
+
+    rows = [
+        (0, 1, 2, "2020-01-01"),
+        (0, 1, 3, "2020-06-01"),  # added in window
+        (1, 2, 3, "2020-05-01"),  # added in window
+        (0, 4, 5, "2021-01-01"),  # after t2
+    ]
+    db = GraphDB(
+        spark.createDataFrame(
+            rows, "etype int, src bigint, dst bigint, ts string"
+        ).withColumn("ts", F.to_date("ts"))
+    )
+    got = {
+        r["etype"]: r["n_added"]
+        for r in gq.graph_diff(db, "2020-02-01", "2020-12-31").collect()
+    }
+    assert got == {0: 1, 1: 1}
