@@ -383,7 +383,45 @@ CHECKS = {
         lambda g, docs, emb: gq.betweenness_bounded(g, [1, 2, 3], max_depth=1),
         ["partial_sum", "!BroadcastNestedLoop", "!CartesianProduct"],
     ),
+    # degree-skew diagnostic: two map-side-combined aggs, no join/collect
+    "powerlaw_two_aggs_no_join": (
+        lambda g, docs, emb: gq.powerlaw_alpha(g),
+        ["partial_count", "!Join"],
+    ),
+    # snapshot delta: both ts cutoffs reach the scan as pushed predicates;
+    # the delta is one hash anti-join on the edge key
+    "graph_diff_pushed_cutoffs": (
+        lambda g, docs, emb: gq.graph_diff(g, "1994-12-31", "1995-06-30"),
+        ["PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate",
+         "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # sampled quantiles: the hash-sample predicate is a scan-side Filter
+    # (agg input bounded to rate*N); single aggregation, no join
+    "sampled_quantiles_filter_before_agg": (
+        lambda g, docs, emb: _sampled_quantiles_plan(g),
+        ["Filter", "partial_percentile", "!Join"],
+    ),
+    # A/B readout: ONE conditional aggregation for both arms — no per-arm
+    # scans, no join, partials combined map-side
+    "ab_metrics_single_agg": (
+        lambda g, docs, emb: _ab_metrics_plan(g),
+        ["partial_avg", "!Join"],
+    ),
 }
+
+
+def _sampled_quantiles_plan(g):
+    from graphchidb_scala_spark.functions import sketches
+
+    deg = g.degrees()
+    return sketches.sampled_quantiles(deg, "out_deg", "id", probs=[0.5], rate=0.125)
+
+
+def _ab_metrics_plan(g):
+    from graphchidb_scala_spark.functions import events as ev
+
+    deg = g.degrees()
+    return ev.ab_metrics(deg, F.col("id") % 2 == 0, "out_deg")
 
 
 def _set_signature_plan(docs):
