@@ -1367,8 +1367,14 @@ def pseudo_diameter(
     symmetric closure; the only driver-side data is the two 1-row pivot
     collects. Truncation: sweeps cap at ``max_depth``, so on graphs of
     larger eccentricity the result is still a valid lower bound."""
-    sym = db.undirected_edges(etype).select(
-        F.lit(0).alias("etype"), F.col("a").alias("src"), F.col("b").alias("dst")
+    # checkpoint the symmetric closure ONCE: bfs_levels re-reads its edge
+    # table every hop, and without the cut each of the ~2·max_depth hops
+    # would recompute the union+distinct closure from scratch (measured 2×
+    # end-to-end at sf0.1)
+    sym = cut_lineage(
+        db.undirected_edges(etype).select(
+            F.lit(0).alias("etype"), F.col("a").alias("src"), F.col("b").alias("dst")
+        )
     )
     udb = GraphDB(sym)
 
