@@ -259,3 +259,100 @@ def stream_hll_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _set_sig_fn(num_hashes: int, group_col: str) -> Callable[..., Iterable[pd.DataFrame]]:
+    def fn(key: tuple[Any, ...], pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            sig_list, n = state.get
+            sig = np.asarray(sig_list, dtype=np.int64)
+        else:
+            sig, n = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64), 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for i in range(num_hashes):
+                col = pdf[f"_h{i}"].to_numpy(dtype=np.int64)
+                if len(col):
+                    sig[i] = min(sig[i], int(col.min()))
+        state.update(([int(v) for v in sig], int(n)))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "sig": [[int(v) for v in sig]],
+                "n_rows": [int(n)],
+            }
+        )
+
+    return fn
+
+
+def stream_set_signature(
+    stream: DataFrame,
+    value_col: str,
+    group_col: str,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Streaming corpus MinHash signature: per-row the ``num_hashes`` seeded
+    md5-60 hashes run in codegen on each micro-batch; group state holds the
+    running elementwise MINIMUM — the associative/commutative merge that
+    makes the signature a sketch (state is ``num_hashes`` longs per group
+    forever). Emits the refreshed signature each batch (update mode); the
+    final signature equals the batch
+    :func:`~graphchidb_scala_spark.functions.sketches.set_signature` over
+    the union of all batches EXACTLY, so a continuously-ingested corpus can
+    be overlap-compared against a static reference at any moment without
+    rescanning history."""
+    from graphchidb_scala_spark.functions.sketches import seeded_hash60
+
+    v = F.col(value_col)
+    rows = stream.select(
+        F.col(group_col),
+        *[seeded_hash60(v, i).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    return rows.groupBy(group_col).applyInPandasWithState(
+        _set_sig_fn(num_hashes, group_col),
+        outputStructType=f"{group_col} string, sig array<bigint>, n_rows bigint",
+        stateStructType="sig array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_bloom_flag(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    bits: DataFrame,
+    m: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Stream-static Bloom screen: each micro-batch's (key, value) rows are
+    checked against a STATIC Bloom position table (from
+    :func:`~graphchidb_scala_spark.functions.sketches.bloom_build`) —
+    positions explode in codegen, the stream-static join broadcasts the
+    ≤ m-row bits side, and a running aggregation per key counts matched
+    positions (update mode). ``maybe_member`` = all positions hit; zero
+    false negatives, so a False row is provably clean as it streams past.
+    Keys whose positions match NOTHING never reach the inner join and emit
+    no row at all — absence is also "provably clean" (the batch
+    :func:`~graphchidb_scala_spark.functions.sketches.bloom_probe` restores
+    them; a streaming restore would need the full key universe as state,
+    which defeats the screen). The decontamination gate that keeps up with
+    ingestion instead of re-scanning the corpus."""
+    from graphchidb_scala_spark.functions.sketches import bloom_positions
+
+    pos = bloom_positions(F.col(value_col), m, k)
+    probes = stream.select(
+        F.col(key_col),
+        F.size(pos).alias("_need"),
+        F.explode(pos).alias("pos"),
+    )
+    bits_side = F.broadcast(bits) if m <= (1 << 24) else bits
+    return (
+        probes.join(bits_side, "pos")
+        .groupBy(key_col, "_need")
+        .agg(F.count(F.lit(1)).alias("_got"))
+        .select(key_col, (F.col("_got") >= F.col("_need")).alias("maybe_member"))
+    )

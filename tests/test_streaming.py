@@ -414,3 +414,80 @@ def test_stream_hll_matches_batch_sketch_across_batches(spark, tmp_path):
     for r in rows:  # last update per group wins (rows arrive in batch order)
         final[r["event_type"]] = r["approx_distinct"]
     assert final == want
+
+
+def test_stream_set_signature_matches_batch_across_batches(spark, tmp_path):
+    """Elementwise-min merge across micro-batches: the final streaming
+    signature equals the batch set_signature over the union — same hash
+    family, same mins."""
+    from graphchidb_scala_spark.functions.sketches import set_signature
+    from graphchidb_scala_spark.streaming.stateful import stream_set_signature
+
+    src = tmp_path / "sig_in"
+    src.mkdir()
+    parts = []
+    for b in range(3):
+        df = spark.createDataFrame(
+            [("g%d" % (i % 2), "tok%d" % ((b * 37 + i) % 500)) for i in range(300)],
+            "grp string, tok string",
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{b}"))
+        parts.append(df)
+    union = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    want = {}
+    for r in set_signature(union, "tok", ["grp"], num_hashes=16).collect():
+        want.setdefault(r["grp"], {})[r["i"]] = r["minh"]
+
+    stream = (
+        spark.readStream.schema("grp string, tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stream_set_signature(stream, "tok", "grp", num_hashes=16)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sig_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sig_out").collect()
+    assert len(rows) > 2
+    final = {}
+    for r in rows:  # last update per group wins
+        final[r["grp"]] = {i: v for i, v in enumerate(r["sig"])}
+    assert final == want
+
+
+def test_stream_bloom_flag_stream_static(spark, tmp_path):
+    from graphchidb_scala_spark.functions.sketches import bloom_build
+    from graphchidb_scala_spark.streaming.stateful import stream_bloom_flag
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "v string")
+    bits = bloom_build(members, "v", m=1 << 14, k=3)
+
+    src = tmp_path / "bloom_in"
+    src.mkdir()
+    rows = [(f"k{i}", f"m{i}" if i % 2 == 0 else f"zz{i}") for i in range(100)]
+    spark.createDataFrame(rows, "key string, v string").coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema("key string, v string").parquet(str(src / "b*"))
+    out = stream_bloom_flag(stream, "key", "v", bits, m=1 << 14, k=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["maybe_member"] for r in spark.table("bloom_out").collect()}
+    # every member row flagged (no false negatives)
+    for i in range(0, 100, 2):
+        assert got[f"k{i}"] is True
+    # non-members overwhelmingly clean at this fill rate
+    clean = sum(1 for i in range(1, 100, 2) if not got.get(f"k{i}", False))
+    assert clean >= 45
