@@ -358,3 +358,82 @@ def test_semantic_dedup_idempotent(spark):
     survivors = df.join(s1.select("vec_id"), "vec_id", "semi")
     s2 = similarity.semantic_dedup(survivors, threshold=0.98, codebook=cb)
     assert {r["vec_id"] for r in s1.collect()} == {r["vec_id"] for r in s2.collect()}
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_bloom_never_false_negative_random_sets(spark, seed):
+    """Bloom screens random member/non-member splits: members are ALWAYS
+    flagged regardless of set contents, fill rate, or hash collisions."""
+    from graphchidb_scala_spark.functions import sketches
+
+    rng = random.Random(seed)
+    universe = [f"w{rng.randrange(10_000)}" for _ in range(80)]
+    members = sorted(set(universe[:40]))
+    df_m = spark.createDataFrame([(v,) for v in members], "v string")
+    bits = sketches.bloom_build(df_m, "v", m=1 << 12, k=3)
+    probe = spark.createDataFrame([(v, v) for v in members], "key string, v string")
+    out = sketches.bloom_probe(probe, ["key"], "v", bits, m=1 << 12, k=3)
+    assert out.filter(~F.col("maybe_member")).count() == 0
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_corpus_overlap_matches_exact_minhash_model(spark, seed):
+    """j_est equals the pure-Python MinHash estimator over the same hash
+    family (not just 'close to true J') — the estimator itself is the
+    deterministic contract the oracle hashes."""
+    import hashlib
+
+    from graphchidb_scala_spark.functions import sketches
+
+    rng = random.Random(seed)
+    a = sorted({f"t{rng.randrange(60)}" for _ in range(40)})
+    b = sorted({f"t{rng.randrange(60)}" for _ in range(40)})
+    nh = 16
+
+    def h(i, v):
+        return int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16)
+
+    matches = sum(
+        1 for i in range(nh) if min(h(i, v) for v in a) == min(h(i, v) for v in b)
+    )
+    want = round(matches / nh, 4)
+    da = spark.createDataFrame([(v,) for v in a], "v string")
+    db_ = spark.createDataFrame([(v,) for v in b], "v string")
+    row = sketches.corpus_overlap(da, db_, "v", num_hashes=nh, p=12).collect()[0]
+    assert row["j_est"] == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_ktruss_subset_of_kcore_edges_and_nested(spark, seed):
+    """Structural invariants on random graphs: (k+1)-truss ⊆ k-truss, and
+    every k-truss edge endpoint has ≥ k-1 neighbors within the truss."""
+    from graphchidb_scala_spark.operators import graph_queries as gq
+
+    rng = random.Random(seed)
+    n = 14
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(50)
+            for a, b in [sorted((rng.randrange(n), rng.randrange(n)))]
+            if a != b
+        }
+    )
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b) for a, b in pairs], "etype int, src bigint, dst bigint"
+        )
+    )
+    t3 = {(r["x"], r["y"]) for r in gq.k_truss(db, 3).collect()}
+    t4 = {(r["x"], r["y"]) for r in gq.k_truss(db, 4).collect()}
+    assert t4 <= t3
+    for k, truss in ((3, t3), (4, t4)):
+        nbrs = {}
+        for x, y in truss:
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        for v, ns in nbrs.items():
+            assert len(ns) >= k - 1
