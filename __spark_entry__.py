@@ -1512,7 +1512,40 @@ def _q_betweenness(spark, sf):
     return gq.betweenness_bounded(_g(spark, sf), _BETWEENNESS_SEEDS, max_depth=3)
 
 
-def _betweenness_sql(depth: int = 3) -> str:
+def _q_edge_betweenness(spark, sf):
+    """Depth-3 bounded EDGE betweenness from the same 6 seeds: Brandes
+    dependency per shortest-path-DAG edge (the Girvan-Newman removal
+    signal) — same forward/backward joins as betweenness_d3, grouped by
+    edge instead of vertex."""
+    return gq.edge_betweenness_bounded(
+        _g(spark, sf), _BETWEENNESS_SEEDS, max_depth=3
+    )
+
+
+def _edge_betweenness_sql(depth: int = 3) -> str:
+    base = _brandes_ctes(depth)
+    ecs = []
+    for d in range(0, depth):
+        ecs.append(
+            f"""ec{d} AS (
+  SELECT f.seed, f.id AS src, w.id AS dst,
+         CAST(f.sigma AS DOUBLE) / w.sigma * (1.0 + dw.delta) AS c
+  FROM f{d} f
+  JOIN de e ON e.src = f.id
+  JOIN f{d + 1} w ON w.seed = f.seed AND w.id = e.dst
+  JOIN d{d + 1} dw ON dw.seed = w.seed AND dw.id = w.id
+)"""
+        )
+    allc = " UNION ALL ".join(f"SELECT src, dst, c FROM ec{i}" for i in range(depth))
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n" + ",\n".join(base + ecs)
+        + f"\nSELECT src, dst, round(sum(c), 4) AS betweenness FROM ({allc}) GROUP BY src, dst"
+    )
+
+
+def _brandes_ctes(depth: int) -> list[str]:
+    """Shared forward-sigma + backward-delta CTEs for the betweenness
+    oracles (vertex and edge forms differ only in the final grouping)."""
     seeds = ", ".join(str(s) for s in _BETWEENNESS_SEEDS)
     ctes = [
         f"sd AS (SELECT unnest([{seeds}]) AS seed)",
@@ -1549,6 +1582,11 @@ def _betweenness_sql(depth: int = 3) -> str:
   FROM f{d} f
 )"""
         )
+    return ctes
+
+
+def _betweenness_sql(depth: int = 3) -> str:
+    ctes = _brandes_ctes(depth)
     allc = " UNION ALL ".join(
         f"SELECT id, delta FROM d{i}" for i in range(1, depth + 1)
     )
@@ -1776,6 +1814,33 @@ _GRAPH_DIFF_SQL_BODY = (
 )
 
 
+def _q_build_vocab(spark, sf):
+    """Coverage-truncated tokenizer vocabulary: the smallest (count DESC,
+    token ASC) prefix of the frequency table covering 99.9% of corpus
+    mass, min_count 2 — the vocab-truncation step before tokenizer
+    training. The ordered window runs over the POST-AGGREGATION table
+    (vocab-sized, not corpus-sized)."""
+    return text.build_vocab(_docs(spark, sf), coverage=0.999, min_count=2)
+
+
+_BUILD_VOCAB_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+t AS (SELECT sum(cnt) AS tot FROM c),
+r AS (
+  SELECT tok, cnt,
+         sum(cnt) OVER (ORDER BY cnt DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         tot
+  FROM c, t
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt, round(cum / tot, 6) AS cum_frac
+FROM r WHERE (cum - cnt) < 0.999 * tot AND cnt >= 2
+""".strip()
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1939,6 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree-skew diagnostic + temporal snapshot delta
         "powerlaw_alpha": _q_powerlaw,
         "graph_diff_window": _q_graph_diff,
+        # Girvan-Newman edge signal + tokenizer vocab truncation
+        "edge_betweenness_d3": _q_edge_betweenness,
+        "doc_build_vocab": _q_build_vocab,
     }
 
 
@@ -3126,6 +3194,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "events_ab_ttest": _EVENTS_AB_SQL,
         "powerlaw_alpha": _gsql(_POWERLAW_SQL_BODY),
         "graph_diff_window": _gsql(_GRAPH_DIFF_SQL_BODY),
+        "edge_betweenness_d3": _edge_betweenness_sql(),
+        "doc_build_vocab": _BUILD_VOCAB_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

@@ -484,3 +484,53 @@ def dedup_chunks(
             F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage: float = 0.999,
+    min_count: int = 2,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: whitespace tokens ordered by (count DESC,
+    token ASC), kept while the RUNNING coverage before the token is still
+    under ``coverage`` and the token clears ``min_count`` — i.e. the
+    smallest prefix of the frequency table covering the target mass, the
+    standard vocab-truncation rule before training a tokenizer.
+    DF(tok, cnt, cum_frac) with cum_frac = cumulative corpus fraction
+    through this token, rounded to 6dp.
+
+    Scale shape: the token count is one explode + map-side-combined
+    groupBy (the token_histogram shuffle); the cumulative window then runs
+    over the POST-AGGREGATION table — vocab-sized (distinct tokens, not
+    corpus tokens), so the single-partition ordered window is bounded by
+    vocabulary size (≤ a few million rows at web scale), not by the 100 TB
+    corpus. The deterministic (cnt DESC, tok ASC) order makes the cut
+    reproducible across engines and runs."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.col("_tot"),
+    )
+    return (
+        ranked.filter(
+            ((F.col("_cum") - F.col("cnt")) < F.lit(coverage) * F.col("_tot"))
+            & (F.col("cnt") >= F.lit(int(min_count)))
+        )
+        .select(
+            "tok",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_frac"),
+        )
+    )

@@ -1303,11 +1303,25 @@ def betweenness_bounded(
         )
         levels.append(nxt)
         visited = cut_lineage(visited.unionAll(nxt.select("seed", "id")))
+    deltas, edge_contribs = _brandes_backward(e, levels, max_depth)
+    acc = deltas[max_depth].select("id", "delta")
+    for d in range(1, max_depth):
+        acc = acc.unionAll(deltas[d].select("id", "delta"))
+    return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))
+
+
+def _brandes_backward(e: DataFrame, levels: list, max_depth: int):
+    """Backward dependency phase shared by vertex and edge betweenness:
+    returns (deltas by level, per-level edge contribution DFs). An edge
+    contribution row (seed, id=v, w, c) carries c = sigma_v/sigma_w ·
+    (1+delta_w) for the DAG edge v→w between adjacent levels; the vertex
+    delta is its per-v sum."""
     deltas: dict[int, DataFrame] = {
         max_depth: levels[max_depth].select(
             "seed", "id", F.lit(0.0).alias("delta")
         )
     }
+    edge_contribs: list[DataFrame] = []
     for d in range(max_depth - 1, 0, -1):
         succ = (
             levels[d + 1]
@@ -1320,7 +1334,7 @@ def betweenness_bounded(
             )
         )
         cur = levels[d]
-        contrib = (
+        pairs = cut_lineage(
             cur.join(e, cur["id"] == e["src"])
             .join(
                 succ,
@@ -1329,15 +1343,16 @@ def betweenness_bounded(
             .select(
                 cur["seed"],
                 cur["id"],
+                F.col("w"),
                 (
                     F.col("sigma").cast("double")
                     / F.col("sigma_w")
                     * (F.lit(1.0) + F.col("delta"))
                 ).alias("c"),
             )
-            .groupBy("seed", "id")
-            .agg(F.sum("c").alias("c"))
         )
+        edge_contribs.append(pairs)
+        contrib = pairs.groupBy("seed", "id").agg(F.sum("c").alias("c"))
         deltas[d] = cut_lineage(
             cur.select("seed", "id")
             .join(contrib, ["seed", "id"], "left")
@@ -1345,10 +1360,74 @@ def betweenness_bounded(
                 "seed", "id", F.coalesce(F.col("c"), F.lit(0.0)).alias("delta")
             )
         )
-    acc = deltas[max_depth].select("id", "delta")
-    for d in range(1, max_depth):
-        acc = acc.unionAll(deltas[d].select("id", "delta"))
-    return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))
+    return deltas, edge_contribs
+
+
+def edge_betweenness_bounded(
+    db: GraphDB,
+    seeds: Sequence[int],
+    max_depth: int = 3,
+    etype: int | None = None,
+) -> DataFrame:
+    """Depth-bounded EDGE betweenness from a seed sample: for each directed
+    edge on a shortest-path DAG, the summed Brandes dependency flowing
+    through it — Σ_seeds sigma_v/sigma_w · (1+delta_w) over DAG edges
+    v→w. DF(src, dst, betweenness) rounded to 4dp; the
+    community-boundary signal (Girvan-Newman's removal criterion) at
+    two·max_depth joins total.
+
+    Same forward sigma BFS and backward level joins as
+    :func:`betweenness_bounded` — the per-edge contributions are exactly
+    the rows the vertex delta aggregates, grouped by (v, w) instead. Also
+    includes depth-0 edges (seed→level-1), which the vertex form's delta
+    at the seed would capture; every shortest-path DAG edge within the
+    bound is scored."""
+    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
+    spark = e.sparkSession
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "seed bigint")
+    lvl0 = seed_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(1).cast("bigint").alias("sigma")
+    )
+    levels = [cut_lineage(lvl0)]
+    visited = levels[0].select("seed", "id")
+    for _ in range(max_depth):
+        cur = levels[-1]
+        msgs = cur.join(e, cur["id"] == e["src"]).select(
+            "seed", F.col("dst").alias("id"), "sigma"
+        )
+        nxt = cut_lineage(
+            msgs.join(visited, ["seed", "id"], "left_anti")
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        levels.append(nxt)
+        visited = cut_lineage(visited.unionAll(nxt.select("seed", "id")))
+    deltas, edge_contribs = _brandes_backward(e, levels, max_depth)
+    # depth-0 DAG edges: seed → level-1 vertices (v = seed, sigma_v = 1)
+    succ0 = (
+        levels[1]
+        .join(deltas.get(1, levels[1].select("seed", "id", F.lit(0.0).alias("delta"))), ["seed", "id"])
+        .select("seed", F.col("id").alias("w"), F.col("sigma").alias("sigma_w"), "delta")
+    )
+    l0 = levels[0]
+    pairs0 = (
+        l0.join(e, l0["id"] == e["src"])
+        .join(succ0, (l0["seed"] == succ0["seed"]) & (e["dst"] == succ0["w"]))
+        .select(
+            l0["seed"],
+            l0["id"],
+            F.col("w"),
+            (
+                F.lit(1.0) / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))
+            ).alias("c"),
+        )
+    )
+    allc = pairs0
+    for pc in edge_contribs:
+        allc = allc.unionAll(pc)
+    return allc.groupBy(
+        F.col("id").alias("src"), F.col("w").alias("dst")
+    ).agg(F.round(F.sum("c"), 4).alias("betweenness"))
 
 
 def pseudo_diameter(

@@ -1179,3 +1179,32 @@ def test_ab_metrics_welch_t(spark):
     assert abs(got["mean_a"] - round(ma, 4)) < 1e-9
     assert abs(got["diff"] - round(ma - mb, 4)) < 1e-9
     assert abs(got["t_stat"] - round(t, 4)) < 1e-3
+
+
+def test_build_vocab_coverage_prefix_rule(spark):
+    from graphchidb_scala_spark.functions import text as tx
+
+    # corpus mass: a=6, b=3, c=2, d=1 (total 12)
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a a b c d")], "doc_id bigint, text string"
+    )
+    got = {
+        r["tok"]: (r["cnt"], r["cum_frac"])
+        for r in tx.build_vocab(docs, coverage=0.9, min_count=1).collect()
+    }
+    # prefix rule: keep while running coverage BEFORE the token < 0.9
+    # a (cum 6/12=0.5), b (9/12=0.75), c (11/12≈0.917 — prior 0.75 < 0.9 keep),
+    # d (prior 0.917 >= 0.9 drop)
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == (6, 0.5) and got["b"] == (3, 0.75)
+    assert got["c"][0] == 2 and abs(got["c"][1] - round(11 / 12, 6)) < 1e-9
+
+
+def test_build_vocab_min_count_gate(spark):
+    from graphchidb_scala_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "x x y z")], "doc_id bigint, text string"
+    )
+    got = {r["tok"] for r in tx.build_vocab(docs, coverage=1.0, min_count=2).collect()}
+    assert got == {"x"}

@@ -411,3 +411,57 @@ def test_graph_diff_counts_window_additions(spark):
         for r in gq.graph_diff(db, "2020-02-01", "2020-12-31").collect()
     }
     assert got == {0: 1, 1: 1}
+
+
+def _python_edge_betweenness_bounded(pairs, seeds, max_depth):
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in set(pairs):
+        adj[a].append(b)
+    eb = defaultdict(float)
+    for s in seeds:
+        depth, sigma = {s: 0}, {s: 1}
+        frontier, levels = [s], [[s]]
+        for d in range(1, max_depth + 1):
+            nxt = {}
+            for v in frontier:
+                for w in adj[v]:
+                    if w in depth and depth[w] <= d - 1:
+                        continue
+                    nxt[w] = nxt.get(w, 0) + sigma[v]
+            for w, sg in nxt.items():
+                depth[w], sigma[w] = d, sg
+            frontier = list(nxt)
+            levels.append(frontier)
+        delta = {v: 0.0 for v in depth}
+        for d in range(max_depth - 1, -1, -1):
+            for v in levels[d]:
+                for w in adj[v]:
+                    if depth.get(w) == d + 1:
+                        c = sigma[v] / sigma[w] * (1 + delta[w])
+                        eb[(v, w)] += c
+                        if d >= 1:
+                            delta[v] += c
+    return {k: round(v, 4) for k, v in eb.items()}
+
+
+@pytest.mark.parametrize("pairs", BETWEENNESS_GRAPHS)
+def test_edge_betweenness_matches_bruteforce(spark, pairs):
+    seeds = sorted({a for a, _ in pairs})[:3]
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in gq.edge_betweenness_bounded(
+            _db(spark, pairs), seeds, max_depth=3
+        ).collect()
+    }
+    assert got == _python_edge_betweenness_bounded(pairs, seeds, 3)
+
+
+def test_edge_betweenness_diamond_values(spark):
+    pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in gq.edge_betweenness_bounded(_db(spark, pairs), [1], max_depth=3).collect()
+    }
+    assert got == {(1, 2): 2.0, (1, 3): 2.0, (2, 4): 1.0, (3, 4): 1.0, (4, 5): 1.0}
