@@ -1841,6 +1841,68 @@ FROM r WHERE (cum - cnt) < 0.999 * tot AND cnt >= 2
 """.strip()
 
 
+def _labels_vtype(spark, sf):
+    return _g(spark, sf).vertices.select("id", F.col("vtype").alias("lbl"))
+
+
+def _q_modularity(spark, sf):
+    """Newman modularity of the vertex-type partition (customer/order/
+    part/supplier) — the score every community detector optimizes; the
+    layered graph's type partition cuts every edge, so Q < 0 is the
+    expected diagnostic."""
+    g = _g(spark, sf)
+    return gq.modularity(g, _labels_vtype(spark, sf))
+
+
+_COMMUNITY_CTES = """
+ce AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM und WHERE a <> b),
+lab AS (SELECT id, vtype AS lbl FROM vertices),
+ej AS (SELECT lx.lbl AS lx, ly.lbl AS ly
+       FROM ce JOIN lab lx ON lx.id = ce.x JOIN lab ly ON ly.id = ce.y),
+deg AS (SELECT id, count(*) AS d FROM
+        (SELECT x AS id FROM ce UNION ALL SELECT y FROM ce) t GROUP BY id),
+vol AS (SELECT lab.lbl, sum(d) AS vol FROM deg JOIN lab ON lab.id = deg.id
+        GROUP BY lab.lbl)
+""".strip()
+
+
+_MODULARITY_SQL = (
+    "WITH\n" + GRAPH_SQL_CTES + ",\n" + _COMMUNITY_CTES + """,
+intra AS (SELECT lx AS lbl, count(*) AS mc FROM ej WHERE lx = ly GROUP BY lx),
+m AS (SELECT count(*) AS m FROM ce),
+per_c AS (SELECT vol.lbl, vol.vol, coalesce(intra.mc, 0) AS mc
+          FROM vol LEFT JOIN intra ON intra.lbl = vol.lbl)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       round(sum(mc / m - power(vol / (2.0 * m), 2)), 6) AS modularity
+FROM per_c, m"""
+)
+
+
+def _q_conductance(spark, sf):
+    """Per-type conductance: boundary leakage of each vertex-type block
+    (cut / min side volume) — all near 1.0 on the layered graph, the
+    complementary diagnostic to modularity."""
+    g = _g(spark, sf)
+    return gq.conductance(g, _labels_vtype(spark, sf), k=20)
+
+
+_CONDUCTANCE_SQL = (
+    "WITH\n" + GRAPH_SQL_CTES + ",\n" + _COMMUNITY_CTES + """,
+cross_e AS (SELECT lx, ly FROM ej WHERE lx <> ly),
+cut AS (SELECT lbl, count(*) AS cut FROM
+        (SELECT lx AS lbl FROM cross_e UNION ALL SELECT ly FROM cross_e) t
+        GROUP BY lbl),
+tot AS (SELECT sum(vol) AS tv FROM vol)
+SELECT vol.lbl, CAST(vol.vol AS BIGINT) AS vol,
+       CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+       round(coalesce(cut.cut, 0) /
+             greatest(least(CAST(vol.vol AS DOUBLE), CAST(tv - vol.vol AS DOUBLE)), 1.0),
+             6) AS phi
+FROM vol LEFT JOIN cut ON cut.lbl = vol.lbl, tot
+ORDER BY vol.vol DESC, vol.lbl LIMIT 20"""
+)
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2007,6 +2069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Girvan-Newman edge signal + tokenizer vocab truncation
         "edge_betweenness_d3": _q_edge_betweenness,
         "doc_build_vocab": _q_build_vocab,
+        # partition-quality metrics (community scoring)
+        "modularity_vtype": _q_modularity,
+        "conductance_vtype": _q_conductance,
     }
 
 
@@ -3196,6 +3261,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "graph_diff_window": _gsql(_GRAPH_DIFF_SQL_BODY),
         "edge_betweenness_d3": _edge_betweenness_sql(),
         "doc_build_vocab": _BUILD_VOCAB_SQL,
+        "modularity_vtype": _MODULARITY_SQL,
+        "conductance_vtype": _CONDUCTANCE_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

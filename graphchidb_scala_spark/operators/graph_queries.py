@@ -1519,3 +1519,114 @@ def graph_diff(
     return added.groupBy("etype").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_added")
     )
+
+
+def modularity(
+    db: GraphDB,
+    labels: DataFrame,
+    etype: int | None = None,
+) -> DataFrame:
+    """Newman modularity of a vertex partition over the undirected simple
+    graph: Q = Σ_c [ m_c/m − (vol_c / 2m)² ] where m_c = intra-community
+    edges, vol_c = summed degree of community c — the objective every
+    community detector (label propagation, Louvain) is scored by. 1-row
+    DF(n_communities, modularity) rounded to 6dp. ``labels`` is DF(id,
+    lbl); unlabeled endpoints drop out (document the partition you score).
+
+    Shape: canonical edges join labels twice (endpoint equi-joins), then
+    two map-side-combined aggregations — per-community partials, then the
+    scalar. No per-community scans, no collect."""
+    ce = _canonical_undirected(db._typed(etype))
+    lx = labels.select(F.col("id").alias("x"), F.col("lbl").alias("lx"))
+    ly = labels.select(F.col("id").alias("y"), F.col("lbl").alias("ly"))
+    ej = ce.join(lx, "x").join(ly, "y")
+    deg = (
+        ce.select(F.col("x").alias("id"))
+        .unionAll(ce.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    vol = (
+        deg.join(labels.select("id", "lbl"), "id")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("vol"))
+    )
+    intra = (
+        ej.filter(F.col("lx") == F.col("ly"))
+        .groupBy(F.col("lx").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("mc"))
+    )
+    m = ce.agg(F.count(F.lit(1)).alias("m"))
+    per_c = vol.join(intra, "lbl", "left").select(
+        "lbl", "vol", F.coalesce(F.col("mc"), F.lit(0)).alias("mc")
+    )
+    return per_c.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("mc") / F.col("m")
+                - F.pow(F.col("vol") / (F.lit(2.0) * F.col("m")), F.lit(2.0))
+            ),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def conductance(
+    db: GraphDB,
+    labels: DataFrame,
+    k: int = 20,
+    etype: int | None = None,
+) -> DataFrame:
+    """Per-community conductance φ(c) = cut_c / min(vol_c, vol_rest) — the
+    boundary-leakage score (low = well-separated community). DF(lbl, vol,
+    cut, phi) for the k largest-volume communities, phi rounded to 6dp.
+
+    Same two endpoint label joins as :func:`modularity`; the cut is the
+    cross-label edge count per side (each boundary edge charges both its
+    communities), aggregated map-side."""
+    ce = _canonical_undirected(db._typed(etype))
+    lx = labels.select(F.col("id").alias("x"), F.col("lbl").alias("lx"))
+    ly = labels.select(F.col("id").alias("y"), F.col("lbl").alias("ly"))
+    ej = ce.join(lx, "x").join(ly, "y")
+    deg = (
+        ce.select(F.col("x").alias("id"))
+        .unionAll(ce.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    vol = (
+        deg.join(labels.select("id", "lbl"), "id")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("vol"))
+    )
+    cross = ej.filter(F.col("lx") != F.col("ly"))
+    cut = (
+        cross.select(F.col("lx").alias("lbl"))
+        .unionAll(cross.select(F.col("ly").alias("lbl")))
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    tot = vol.agg(F.sum("vol").alias("tv"))
+    out = (
+        vol.join(cut, "lbl", "left")
+        .select("lbl", "vol", F.coalesce(F.col("cut"), F.lit(0)).alias("cut"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lbl",
+            F.col("vol").cast("bigint").alias("vol"),
+            F.col("cut").cast("bigint").alias("cut"),
+            F.round(
+                F.col("cut")
+                / F.greatest(
+                    F.least(
+                        F.col("vol").cast("double"),
+                        (F.col("tv") - F.col("vol")).cast("double"),
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )
+    return out.orderBy(F.desc("vol"), F.asc("lbl")).limit(int(k))

@@ -465,3 +465,34 @@ def test_edge_betweenness_diamond_values(spark):
         for r in gq.edge_betweenness_bounded(_db(spark, pairs), [1], max_depth=3).collect()
     }
     assert got == {(1, 2): 2.0, (1, 3): 2.0, (2, 4): 1.0, (3, 4): 1.0, (4, 5): 1.0}
+
+
+def _mod_db(spark):
+    # two triangles joined by one bridge edge: communities {1,2,3}, {4,5,6}
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    return _db(spark, pairs)
+
+
+def test_modularity_two_triangles(spark):
+    db = _mod_db(spark)
+    labels = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 7)], "id bigint, lbl string"
+    )
+    row = gq.modularity(db, labels).collect()[0]
+    # m=7, intra a=3, b=3; vol a=7, vol b=7
+    want = round((3 / 7 - (7 / 14) ** 2) * 2, 6)
+    assert row["n_communities"] == 2
+    assert abs(row["modularity"] - want) < 1e-9
+    # the all-one-community partition scores 0 by definition
+    one = spark.createDataFrame([(i, "x") for i in range(1, 7)], "id bigint, lbl string")
+    assert gq.modularity(db, one).collect()[0]["modularity"] == 0.0
+
+
+def test_conductance_two_triangles(spark):
+    db = _mod_db(spark)
+    labels = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 7)], "id bigint, lbl string"
+    )
+    got = {r["lbl"]: (r["vol"], r["cut"], r["phi"]) for r in gq.conductance(db, labels).collect()}
+    # each side: vol 7, cut 1, phi = 1/7
+    assert got == {"a": (7, 1, round(1 / 7, 6)), "b": (7, 1, round(1 / 7, 6))}
