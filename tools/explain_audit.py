@@ -407,6 +407,23 @@ CHECKS = {
         lambda g, docs, emb: _ab_metrics_plan(g),
         ["partial_avg", "!Join"],
     ),
+    # modularity: endpoint label joins are equi hash joins with map-side
+    # partials; the only nested-loop is the deliberate 1-row scalar (m)
+    # broadcast cross join — constant-size by construction
+    "modularity_equi_joins": (
+        lambda g, docs, emb: gq.modularity(
+            g, g.vertices.selectExpr("id", "vtype AS lbl")
+        ),
+        ["partial_sum", "BroadcastHashJoin", "!CartesianProduct"],
+    ),
+    # vocab truncation: ONE token-count shuffle; the ordered window runs on
+    # the post-aggregation vocab-sized table (a single Window, no join)
+    "build_vocab_window_after_agg": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.text", fromlist=["text"]
+        ).build_vocab(docs),
+        ["partial_count", "Window", "!SortMergeJoin"],
+    ),
 }
 
 
