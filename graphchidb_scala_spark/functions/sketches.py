@@ -336,10 +336,11 @@ def bloom_probe(
     counted against the deduplicated position array so intra-key position
     collisions can't produce false negatives.
 
-    The ``bits`` side is broadcast when ``m`` is broadcast-sized (≤ 2^24):
-    the probe is then a map-side hash join — no shuffle of the probe corpus
-    at all, the shape that lets a 100 TB train scan screen against a test
-    set in one pass."""
+    The ``bits`` side is broadcast when ``m`` is broadcast-sized (≤ 2^24)
+    and joined LEFT, so every probe row survives in ONE pass — zero-match
+    rows come out False from the same aggregation, with no second scan of
+    ``df`` and no distinct/shuffle over the probe key universe (the shape
+    that lets a 100 TB train scan screen against a test set in one pass)."""
     pos = bloom_positions(F.col(value_col), m, k)
     probes = df.select(
         *[F.col(c) for c in key_cols],
@@ -347,21 +348,16 @@ def bloom_probe(
         F.explode(pos).alias("pos"),
     )
     bits_side = F.broadcast(bits) if m <= (1 << 24) else bits
-    hits = probes.join(bits_side, "pos").groupBy(
-        *[F.col(c) for c in key_cols], F.col("_need")
-    ).agg(F.count(F.lit(1)).alias("_got"))
-    flagged = hits.select(
-        *key_cols, (F.col("_got") == F.col("_need")).alias(out_col)
+    joined = probes.join(
+        bits_side.select("pos", F.lit(1).alias("_hit")), "pos", "left"
     )
-    # rows with zero matched positions never reach the inner join — restore
-    # them as definite non-members
     return (
-        df.select(*key_cols)
-        .distinct()
-        .join(flagged, list(key_cols), "left")
-        .select(
-            *key_cols, F.coalesce(F.col(out_col), F.lit(False)).alias(out_col)
+        joined.groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.max("_need").alias("_need"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_got"),
         )
+        .select(*key_cols, (F.col("_got") == F.col("_need")).alias(out_col))
     )
 
 

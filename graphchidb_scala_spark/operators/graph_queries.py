@@ -1243,6 +1243,8 @@ def k_truss(
         raise ValueError("k-truss requires k >= 3")
     e = db._typed(etype).select("src", "dst")
     cur = _canonical_undirected(e)
+    # carry the previous round's count forward: one count action per round
+    before = cur.count() if rounds is None else None
     r = 0
     while rounds is None or r < rounds:
         sup = edge_support(cur)
@@ -1250,10 +1252,11 @@ def k_truss(
             sup.filter(F.col("sup") >= F.lit(k - 2)).select("x", "y")
         )
         if rounds is None:
-            before, after = cur.count(), nxt.count()
+            after = nxt.count()
             cur = nxt
             if after == before:
                 break
+            before = after
         else:
             cur = nxt
         r += 1
@@ -1283,6 +1286,21 @@ def betweenness_bounded(
     Scale: 2·max_depth joins total regardless of seed count; frontier rows
     are (seed, vertex) pairs, parallel in both. Truncation bias is the
     documented trade: paths longer than max_depth contribute nothing."""
+    e, levels = _brandes_forward(db, seeds, max_depth, etype)
+    deltas, edge_contribs = _brandes_backward(e, levels, max_depth)
+    acc = deltas[max_depth].select("id", "delta")
+    for d in range(1, max_depth):
+        acc = acc.unionAll(deltas[d].select("id", "delta"))
+    return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))
+
+
+def _brandes_forward(
+    db: GraphDB, seeds: Sequence[int], max_depth: int, etype: int | None
+):
+    """Forward sigma phase shared by vertex and edge betweenness: level-
+    synchronous multi-source BFS carrying shortest-path counts — all seeds
+    advance in ONE edge join per hop, anti-joined against the visited set.
+    Returns (distinct edge set, levels list of DF(seed, id, sigma))."""
     e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
     spark = e.sparkSession
     seed_df = spark.createDataFrame([(int(s),) for s in seeds], "seed bigint")
@@ -1303,11 +1321,7 @@ def betweenness_bounded(
         )
         levels.append(nxt)
         visited = cut_lineage(visited.unionAll(nxt.select("seed", "id")))
-    deltas, edge_contribs = _brandes_backward(e, levels, max_depth)
-    acc = deltas[max_depth].select("id", "delta")
-    for d in range(1, max_depth):
-        acc = acc.unionAll(deltas[d].select("id", "delta"))
-    return acc.groupBy("id").agg(F.round(F.sum("delta"), 4).alias("betweenness"))
+    return e, levels
 
 
 def _brandes_backward(e: DataFrame, levels: list, max_depth: int):
@@ -1382,31 +1396,13 @@ def edge_betweenness_bounded(
     includes depth-0 edges (seed→level-1), which the vertex form's delta
     at the seed would capture; every shortest-path DAG edge within the
     bound is scored."""
-    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
-    spark = e.sparkSession
-    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "seed bigint")
-    lvl0 = seed_df.select(
-        "seed", F.col("seed").alias("id"), F.lit(1).cast("bigint").alias("sigma")
-    )
-    levels = [cut_lineage(lvl0)]
-    visited = levels[0].select("seed", "id")
-    for _ in range(max_depth):
-        cur = levels[-1]
-        msgs = cur.join(e, cur["id"] == e["src"]).select(
-            "seed", F.col("dst").alias("id"), "sigma"
-        )
-        nxt = cut_lineage(
-            msgs.join(visited, ["seed", "id"], "left_anti")
-            .groupBy("seed", "id")
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        levels.append(nxt)
-        visited = cut_lineage(visited.unionAll(nxt.select("seed", "id")))
+    e, levels = _brandes_forward(db, seeds, max_depth, etype)
     deltas, edge_contribs = _brandes_backward(e, levels, max_depth)
-    # depth-0 DAG edges: seed → level-1 vertices (v = seed, sigma_v = 1)
+    # depth-0 DAG edges: seed → level-1 vertices (v = seed, sigma_v = 1);
+    # _brandes_backward guarantees deltas[1] exists for max_depth >= 1
     succ0 = (
         levels[1]
-        .join(deltas.get(1, levels[1].select("seed", "id", F.lit(0.0).alias("delta"))), ["seed", "id"])
+        .join(deltas[1], ["seed", "id"])
         .select("seed", F.col("id").alias("w"), F.col("sigma").alias("sigma_w"), "delta")
     )
     l0 = levels[0]
@@ -1521,21 +1517,12 @@ def graph_diff(
     )
 
 
-def modularity(
-    db: GraphDB,
-    labels: DataFrame,
-    etype: int | None = None,
-) -> DataFrame:
-    """Newman modularity of a vertex partition over the undirected simple
-    graph: Q = Σ_c [ m_c/m − (vol_c / 2m)² ] where m_c = intra-community
-    edges, vol_c = summed degree of community c — the objective every
-    community detector (label propagation, Louvain) is scored by. 1-row
-    DF(n_communities, modularity) rounded to 6dp. ``labels`` is DF(id,
-    lbl); unlabeled endpoints drop out (document the partition you score).
-
-    Shape: canonical edges join labels twice (endpoint equi-joins), then
-    two map-side-combined aggregations — per-community partials, then the
-    scalar. No per-community scans, no collect."""
+def _partition_tables(db: GraphDB, labels: DataFrame, etype: int | None):
+    """Shared tables for the partition-quality metrics: canonical
+    undirected edges, the edge set with both endpoint labels attached
+    (lx, ly — endpoint equi-joins), and per-community degree volume.
+    Unlabeled endpoints drop out of both ej and vol, so modularity and
+    conductance always score the SAME labeled subgraph."""
     ce = _canonical_undirected(db._typed(etype))
     lx = labels.select(F.col("id").alias("x"), F.col("lbl").alias("lx"))
     ly = labels.select(F.col("id").alias("y"), F.col("lbl").alias("ly"))
@@ -1551,6 +1538,25 @@ def modularity(
         .groupBy("lbl")
         .agg(F.sum("d").alias("vol"))
     )
+    return ce, ej, vol
+
+
+def modularity(
+    db: GraphDB,
+    labels: DataFrame,
+    etype: int | None = None,
+) -> DataFrame:
+    """Newman modularity of a vertex partition over the undirected simple
+    graph: Q = Σ_c [ m_c/m − (vol_c / 2m)² ] where m_c = intra-community
+    edges, vol_c = summed degree of community c — the objective every
+    community detector (label propagation, Louvain) is scored by. 1-row
+    DF(n_communities, modularity) rounded to 6dp. ``labels`` is DF(id,
+    lbl); unlabeled endpoints drop out (document the partition you score).
+
+    Shape: canonical edges join labels twice (endpoint equi-joins), then
+    two map-side-combined aggregations — per-community partials, then the
+    scalar. No per-community scans, no collect."""
+    ce, ej, vol = _partition_tables(db, labels, etype)
     intra = (
         ej.filter(F.col("lx") == F.col("ly"))
         .groupBy(F.col("lx").alias("lbl"))
@@ -1585,21 +1591,7 @@ def conductance(
     Same two endpoint label joins as :func:`modularity`; the cut is the
     cross-label edge count per side (each boundary edge charges both its
     communities), aggregated map-side."""
-    ce = _canonical_undirected(db._typed(etype))
-    lx = labels.select(F.col("id").alias("x"), F.col("lbl").alias("lx"))
-    ly = labels.select(F.col("id").alias("y"), F.col("lbl").alias("ly"))
-    ej = ce.join(lx, "x").join(ly, "y")
-    deg = (
-        ce.select(F.col("x").alias("id"))
-        .unionAll(ce.select(F.col("y").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    vol = (
-        deg.join(labels.select("id", "lbl"), "id")
-        .groupBy("lbl")
-        .agg(F.sum("d").alias("vol"))
-    )
+    ce, ej, vol = _partition_tables(db, labels, etype)
     cross = ej.filter(F.col("lx") != F.col("ly"))
     cut = (
         cross.select(F.col("lx").alias("lbl"))

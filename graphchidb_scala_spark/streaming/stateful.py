@@ -307,7 +307,10 @@ def stream_set_signature(
     from graphchidb_scala_spark.functions.sketches import seeded_hash60
 
     v = F.col(value_col)
-    rows = stream.select(
+    # NULL values hash to NULL and would reach pandas as NaN floats (the
+    # batch set_signature's F.min skips them silently) — drop them up front
+    # so the streaming signature stays the exact batch equal
+    rows = stream.filter(v.isNotNull()).select(
         F.col(group_col),
         *[seeded_hash60(v, i).alias(f"_h{i}") for i in range(num_hashes)],
     )
@@ -339,7 +342,15 @@ def stream_bloom_flag(
     no row at all — absence is also "provably clean" (the batch
     :func:`~graphchidb_scala_spark.functions.sketches.bloom_probe` restores
     them; a streaming restore would need the full key universe as state,
-    which defeats the screen). The decontamination gate that keeps up with
+    which defeats the screen).
+
+    Each key must carry ONE value (e.g. doc_id#gram): the per-key state
+    would pool positions across values otherwise. Duplicate rows and
+    cross-batch re-sends are made exactly-once by aggregating the DISTINCT
+    matched positions (``collect_set``, state ≤ k ints per key) rather
+    than a running count — a raw count would let a 2-of-3-position
+    non-member seen twice accumulate 4 ≥ 3 and flag a false positive
+    beyond the Bloom bound. The decontamination gate that keeps up with
     ingestion instead of re-scanning the corpus."""
     from graphchidb_scala_spark.functions.sketches import bloom_positions
 
@@ -353,6 +364,6 @@ def stream_bloom_flag(
     return (
         probes.join(bits_side, "pos")
         .groupBy(key_col, "_need")
-        .agg(F.count(F.lit(1)).alias("_got"))
-        .select(key_col, (F.col("_got") >= F.col("_need")).alias("maybe_member"))
+        .agg(F.size(F.collect_set("pos")).alias("_got"))
+        .select(key_col, (F.col("_got") == F.col("_need")).alias("maybe_member"))
     )

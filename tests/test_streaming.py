@@ -491,3 +491,46 @@ def test_stream_bloom_flag_stream_static(spark, tmp_path):
     # non-members overwhelmingly clean at this fill rate
     clean = sum(1 for i in range(1, 100, 2) if not got.get(f"k{i}", False))
     assert clean >= 45
+
+
+def test_stream_bloom_flag_duplicates_do_not_pool(spark, tmp_path):
+    """A partial-match non-member seen in TWO batches must stay unflagged:
+    the distinct-position state (collect_set) cannot accumulate a
+    duplicate into a spurious all-positions hit."""
+    from graphchidb_scala_spark.functions.sketches import bloom_positions
+    from graphchidb_scala_spark.streaming.stateful import stream_bloom_flag
+
+    m, k = 1 << 14, 3
+    # positions of the probe value, computed by the same expression
+    probe_pos = (
+        spark.range(1)
+        .select(bloom_positions(F.lit("victim"), m, k).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert len(probe_pos) == 3
+    # bits contain only 2 of the 3 positions → definitively not a member
+    bits = spark.createDataFrame([(int(p),) for p in probe_pos[:2]], "pos bigint")
+
+    src = tmp_path / "dup_in"
+    src.mkdir()
+    for b in range(2):  # the same row arrives in two micro-batches
+        spark.createDataFrame(
+            [("kv", "victim")], "key string, v string"
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("key string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stream_bloom_flag(stream, "key", "v", bits, m=m, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dup_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dup_out").collect()
+    assert rows, "partial match must emit (2 of 3 positions hit)"
+    assert all(r["maybe_member"] is False for r in rows)
