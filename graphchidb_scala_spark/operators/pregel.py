@@ -39,6 +39,7 @@ def pagerank(
     etype: int | None = None,
     tol: float | None = None,
     checkpoint_every: int | None = 5,
+    initial: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank, non-normalized accumulator formulation of the reference
     (Pagerank.scala:34-61): rank = 0.15 + 0.85 * Σ_in rank(u)/outdeg(u),
@@ -69,7 +70,20 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
     vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
-    ranks = vstatic.withColumn("rank", F.lit(1.0))
+    if initial is not None:
+        # warm start — the reference's continuous-computation story
+        # (SURVEY §2.12: recompute after online appends without starting
+        # over): seed from the previous converged ranks; vertices new to
+        # the graph (appended edges) enter at the cold-start 1.0. The
+        # fixpoint is the same (the iteration is a contraction for
+        # damping < 1); a warm start just arrives in a few iterations.
+        ranks = _checkpoint(
+            vstatic.join(initial.select("id", "rank"), "id", "left").select(
+                "id", F.coalesce(F.col("rank"), F.lit(1.0)).alias("rank")
+            )
+        )
+    else:
+        ranks = vstatic.withColumn("rank", F.lit(1.0))
     zeros = vstatic.select("id", F.lit(0.0).alias("c"))
 
     for i in range(1, iterations + 1):
