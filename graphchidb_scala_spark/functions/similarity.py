@@ -992,3 +992,38 @@ def ann_topk_ivfpq(
         F.col("_cell").isin([int(p) for p in probes])
     )
     return pq_topk(codes, pq_books, query_vec, k=k, id_col=id_col)
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ANN quality harness: recall@k of an approximate top-k result against
+    the exact one — |approx ∩ exact| / |exact|, per group (e.g. per query
+    id for batch evaluation) or overall. 1-row-per-group
+    DF(*group_cols, n_exact, n_hit, recall) with recall rounded to 4dp.
+
+    The acceptance gate every index build (IVF/LSH/PQ nprobe, bands,
+    codebook sizes) should be tuned against before a 100 TB deployment:
+    semi-join + two counts, so evaluating recall over a million queries is
+    one co-partitioned join, not a collect."""
+    gb = [F.col(c) for c in group_cols]
+    keys = [*group_cols, id_col]
+    hits = approx.select(*keys).join(exact.select(*keys), keys, "semi")
+    n_exact = exact.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_hit"))
+    joined = (
+        n_exact.join(n_hit, list(group_cols), "left")
+        if group_cols
+        else n_exact.crossJoin(n_hit)
+    )
+    return joined.select(
+        *gb,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
+    )

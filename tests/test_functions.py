@@ -1208,3 +1208,30 @@ def test_build_vocab_min_count_gate(spark):
     )
     got = {r["tok"] for r in tx.build_vocab(docs, coverage=1.0, min_count=2).collect()}
     assert got == {"x"}
+
+
+def test_recall_at_k_ann_harness(spark):
+    from graphchidb_scala_spark.functions import similarity
+
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id bigint")
+    # approx recovers 7 of 10 plus 3 strays
+    approx = spark.createDataFrame(
+        [(i,) for i in range(7)] + [(100,), (101,), (102,)], "vec_id bigint"
+    )
+    row = similarity.recall_at_k(approx, exact).collect()[0]
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 7, 0.7)
+
+
+def test_recall_at_k_on_real_index(spark):
+    """IVF ANN vs brute force on the sf0.001 embeddings: the harness wired
+    to a real index path; recall must be positive and ≤ 1."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float((i * 7) % 13 - 6) / 13.0 for i in range(64)]
+    exact = similarity.cosine_topk(emb, q, k=10)
+    cb = similarity.ivf_codebook(emb)
+    approx = similarity.ann_topk_ivf(emb, q, codebook=cb, k=10, nprobe=2)
+    row = similarity.recall_at_k(approx, exact).collect()[0]
+    assert row["n_exact"] == 10
+    assert 0.0 < row["recall"] <= 1.0
