@@ -94,7 +94,9 @@ class EdgeStore:
         not the whole of it. The base is never shuffled."""
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
-        batch = edges.withColumn("_v", F.lit(version).cast("long"))
+        batch = edges.withColumn("_v", F.lit(version).cast("long")).withColumn(
+            "_del", F.lit(False)
+        )
         if self.maintain_degrees:
             batch = cut_lineage(batch)
         batch.write.mode("append").parquet(self.appends_dir)
@@ -105,6 +107,45 @@ class EdgeStore:
                 return
             new_keys = bkeys.join(F.broadcast(existing.distinct()), list(EDGE_KEY), "left_anti")
             delta = GraphDB(new_keys).degrees()
+            delta.write.mode("append").parquet(self.deg_appends_dir)
+
+    def delete_batch(self, keys: DataFrame) -> None:
+        """Delete edges by (etype, src, dst) key — tombstone append, the LSM
+        delete of the reference (GraphChiDatabase.scala deleteEdge path:
+        mark in the buffer, purge at merge). The tombstone is just an
+        append row with ``_del = true``: newest-version-wins makes it shadow
+        every older version of the key on read (base rows are masked by the
+        same anti-join that handles upserts, appended rows lose the window
+        to the newer tombstone), and :meth:`compact` writes the post-delete
+        edge set, purging tombstones physically. Deleting then re-adding a
+        key behaves correctly — the re-add's higher version wins back.
+
+        Immediately visible, never shuffles the base — identical write
+        shape to :meth:`add_batch`. With ``maintain_degrees``, keys that
+        currently exist contribute a NEGATIVE degree delta (probed with the
+        same pruned base read as add_batch)."""
+        self._batch_seq += 1
+        version = int(time.time() * 1000) * 1000 + self._batch_seq
+        tomb = (
+            keys.select(*EDGE_KEY)
+            .distinct()
+            .withColumn("_v", F.lit(version).cast("long"))
+            .withColumn("_del", F.lit(True))
+        )
+        if self.maintain_degrees:
+            tomb = cut_lineage(tomb)
+        tomb.write.mode("append").parquet(self.appends_dir)
+        if self.maintain_degrees:
+            bkeys = tomb.select(*EDGE_KEY)
+            existing = self._existing_key_probe(bkeys, version)
+            if existing is None:
+                return
+            dead = bkeys.join(F.broadcast(existing.distinct()), list(EDGE_KEY), "semi")
+            delta = GraphDB(dead).degrees().select(
+                "id",
+                (-F.col("in_deg")).alias("in_deg"),
+                (-F.col("out_deg")).alias("out_deg"),
+            )
             delta.write.mode("append").parquet(self.deg_appends_dir)
 
     def _existing_key_probe(self, bkeys: DataFrame, version: int) -> DataFrame | None:
@@ -131,6 +172,16 @@ class EdgeStore:
             # planner/AQE pick the join shape (runtime bloom filter / shuffle)
             # — the only probe that scales to an unbounded batch.
             pre = pre.join(bkeys.select("src").distinct(), "src", "semi")
+        # a key "exists" iff its NEWEST pre-version row is not a tombstone —
+        # without the newest-wins resolve, a delete→re-add (or double
+        # delete) miscounts the degree deltas. The window runs over the
+        # pruned slice only (batch srcs), never the whole base.
+        if "_del" in pre.columns:
+            w = Window.partitionBy(*EDGE_KEY).orderBy(F.desc("_v"))
+            pre = (
+                pre.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & ~F.coalesce(F.col("_del"), F.lit(False)))
+            )
         return pre.select(*EDGE_KEY).join(F.broadcast(bkeys), list(EDGE_KEY), "semi")
 
     # ------------------------------------------------------------------- reads
@@ -140,7 +191,11 @@ class EdgeStore:
         dfs = []
         for d in (self.base_dir, self.appends_dir):
             if self._exists(d):
-                dfs.append(self.spark.read.parquet(d))
+                # mergeSchema: tombstone files carry only the key columns,
+                # edge files the full property set — the merged schema
+                # null-fills both ways (appends stay small, so the extra
+                # footer reads are bounded)
+                dfs.append(self.spark.read.option("mergeSchema", "true").parquet(d))
         if not dfs:
             raise ValueError(f"empty EdgeStore at {self.path}")
         out = dfs[0]
@@ -202,15 +257,21 @@ class EdgeStore:
         if not has_appends:
             return base
         w = Window.partitionBy(*EDGE_KEY).orderBy(F.desc("_v"))
-        appends = (
-            self.spark.read.parquet(self.appends_dir)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_v")
+        raw = self.spark.read.option("mergeSchema", "true").parquet(self.appends_dir)
+        appends = raw.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
         )
+        if "_del" in appends.columns:
+            # a winning tombstone removes the key: it is excluded here AND
+            # still masks the base row below (its key is in the anti-join set)
+            mask_keys = appends.select(*EDGE_KEY)
+            appends = appends.filter(~F.coalesce(F.col("_del"), F.lit(False)))
+        else:
+            mask_keys = appends.select(*EDGE_KEY)
+        appends = appends.drop("_rn", "_v", "_del")
         if base is None:
             return appends
-        masked = base.join(appends.select(*EDGE_KEY), on=list(EDGE_KEY), how="left_anti")
+        masked = base.join(mask_keys, on=list(EDGE_KEY), how="left_anti")
         return masked.unionByName(appends, allowMissingColumns=True)
 
     def graph(self, vertices: DataFrame | None = None) -> GraphDB:

@@ -534,3 +534,71 @@ def test_stream_bloom_flag_duplicates_do_not_pool(spark, tmp_path):
     rows = spark.table("dup_out").collect()
     assert rows, "partial match must emit (2 of 3 positions hit)"
     assert all(r["maybe_member"] is False for r in rows)
+
+
+def test_delete_batch_tombstones(store, spark):
+    keys = spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint")
+    store.delete_batch(keys)
+    g = store.graph()
+    assert not g.edge_exists(0, 1, 2)
+    assert g.num_edges() == 2  # base had 3
+    # delete of an appended (not yet compacted) edge
+    store.add_batch(
+        spark.createDataFrame([(0, 9, 9, 5.0)], "etype int, src bigint, dst bigint, weight double")
+    )
+    assert store.graph().edge_exists(0, 9, 9)
+    store.delete_batch(spark.createDataFrame([(0, 9, 9)], "etype int, src bigint, dst bigint"))
+    assert not store.graph().edge_exists(0, 9, 9)
+    assert store.graph().num_edges() == 2
+
+
+def test_delete_then_readd_wins_back(store, spark):
+    store.delete_batch(
+        spark.createDataFrame([(0, 1, 3)], "etype int, src bigint, dst bigint")
+    )
+    assert not store.graph().edge_exists(0, 1, 3)
+    store.add_batch(
+        spark.createDataFrame([(0, 1, 3, 42.0)], "etype int, src bigint, dst bigint, weight double")
+    )
+    g = store.graph()
+    assert g.edge_exists(0, 1, 3)
+    assert g.get_edge_value(0, 1, 3, "weight").collect()[0][0] == 42.0
+
+
+def test_compaction_purges_tombstones(store, spark):
+    store.delete_batch(
+        spark.createDataFrame([(0, 2, 3)], "etype int, src bigint, dst bigint")
+    )
+    before = sorted((r["etype"], r["src"], r["dst"]) for r in store.edges().collect())
+    store.compact()
+    after = sorted((r["etype"], r["src"], r["dst"]) for r in store.edges().collect())
+    assert before == after == [(0, 1, 2), (0, 1, 3)]
+    assert not EdgeStore._exists(store.appends_dir)
+
+
+def test_delete_maintains_degrees(spark, tmp_path):
+    st = EdgeStore(spark, str(tmp_path / "deg_del"), num_buckets=2, maintain_degrees=True)
+    st.init_base(
+        spark.createDataFrame(
+            [(0, 1, 2, 1.0), (0, 1, 3, 1.0), (0, 2, 3, 1.0)],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    st.delete_batch(spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint"))
+    got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
+    want = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # double delete of the same key must not decrement twice
+    st.delete_batch(spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint"))
+    got2 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
+    for k, v in want.items():
+        assert got2[k] == v
+    # re-add after delete increments again and matches recompute
+    st.add_batch(
+        spark.createDataFrame([(0, 1, 2, 7.0)], "etype int, src bigint, dst bigint, weight double")
+    )
+    got3 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
+    want3 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
+    for k, v in want3.items():
+        assert got3[k] == v
