@@ -1903,6 +1903,15 @@ ORDER BY vol.vol DESC, vol.lbl LIMIT 20"""
 )
 
 
+def _q_msf(spark, sf):
+    """Borůvka minimum spanning forest over the weighted undirected graph
+    — rows-only by policy: the MSF needs iterated contraction (union-find),
+    which is not SQL-practical; the operator is pytest-gated against
+    Kruskal with the identical (w, x, y) total order (ties, parallel
+    edges, random graphs — tests/test_new_ops.py::test_minimum_spanning_*)."""
+    return gq.minimum_spanning_forest(_g(spark, sf))
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2072,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition-quality metrics (community scoring)
         "modularity_vtype": _q_modularity,
         "conductance_vtype": _q_conductance,
+        # rows-only: Boruvka MSF (union-find not SQL-practical; Kruskal-gated)
+        "msf_weighted": _q_msf,
     }
 
 

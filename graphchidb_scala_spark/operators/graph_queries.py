@@ -1622,3 +1622,96 @@ def conductance(
         )
     )
     return out.orderBy(F.desc("vol"), F.asc("lbl")).limit(int(k))
+
+
+def minimum_spanning_forest(
+    db: GraphDB,
+    weight_col: str = "weight",
+    etype: int | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Borůvka minimum spanning forest over the undirected weighted graph:
+    DF(x, y, w) of chosen canonical edges (one MSF per connected
+    component). Deterministic under ties via the total order
+    (w, x, y) — equivalent to Kruskal on perturbed-unique weights.
+
+    The distributed-classic formulation: each round every component picks
+    its minimum outgoing edge (min_by over ONE map-side-combined groupBy —
+    no sort), the chosen edges contract components via the same
+    large-star/small-star hash-min machinery as connected components, and
+    edges are relabeled by the new component ids. Components at least
+    halve per round ⇒ ≤ log₂V rounds; every round's shuffles are on the
+    shrinking live edge set. Selected edges accumulate — the invariant
+    (cut property) guarantees each round's per-component minimum outgoing
+    edge is MSF-safe, so no undo pass exists.
+
+    Reference analogue: the iterative computeForInterval machinery
+    (VertexCentricComputation.scala) applied to the canonical textbook
+    distributed-MST; complements connected_components (which this uses for
+    contraction)."""
+    from graphchidb_scala_spark.operators.pregel import connected_components_star
+
+    e = db._typed(etype)
+    ce = cut_lineage(
+        e.select(
+            F.least("src", "dst").alias("x"),
+            F.greatest("src", "dst").alias("y"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter((F.col("x") != F.col("y")) & F.col("w").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+    )
+    spark = ce.sparkSession
+    # component labels start as self
+    comp = cut_lineage(
+        ce.select(F.col("x").alias("id"))
+        .unionAll(ce.select(F.col("y").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("c"))
+    )
+    chosen = spark.createDataFrame([], "x bigint, y bigint, w double")
+    live = ce
+    for _ in range(max_rounds):
+        cx = comp.select(F.col("id").alias("x"), F.col("c").alias("cx"))
+        cy = comp.select(F.col("id").alias("y"), F.col("c").alias("cy"))
+        lab = live.join(cx, "x").join(cy, "y").filter(F.col("cx") != F.col("cy"))
+        n_live = lab.count()
+        if n_live == 0:
+            break
+        # each component's minimum outgoing edge, deterministic tie-break
+        key = F.struct(F.col("w"), F.col("x"), F.col("y"))
+        picks = (
+            lab.select(F.col("cx").alias("c"), "x", "y", "w", key.alias("k"))
+            .unionAll(
+                lab.select(F.col("cy").alias("c"), "x", "y", "w", key.alias("k"))
+            )
+            .groupBy("c")
+            .agg(F.min_by(F.struct("x", "y", "w"), F.col("k")).alias("e"))
+            .select("e.x", "e.y", "e.w")
+            .distinct()  # both endpoints' components may pick the same edge
+        )
+        picks = cut_lineage(picks)
+        chosen = cut_lineage(chosen.unionAll(picks))
+        # contract: components linked by the chosen edges merge — run the
+        # star-contraction CC over the component graph (≤ one edge per
+        # component, so this inner instance is small and halves fast)
+        comp_edges = (
+            picks.join(cx, "x").join(cy, "y")
+            .select(F.lit(0).alias("etype"), F.col("cx").alias("src"), F.col("cy").alias("dst"))
+        )
+        merged = connected_components_star(GraphDB(comp_edges))
+        comp = cut_lineage(
+            comp.join(
+                merged.select(F.col("id").alias("c"), F.col("cc").alias("c_new")),
+                "c",
+                "left",
+            ).select("id", F.coalesce(F.col("c_new"), F.col("c")).alias("c"))
+        )
+        live = cut_lineage(
+            live.join(comp.select(F.col("id").alias("x"), F.col("c").alias("cx")), "x")
+            .join(comp.select(F.col("id").alias("y"), F.col("c").alias("cy")), "y")
+            .filter(F.col("cx") != F.col("cy"))
+            .select("x", "y", "w")
+        )
+    return chosen

@@ -496,3 +496,82 @@ def test_conductance_two_triangles(spark):
     got = {r["lbl"]: (r["vol"], r["cut"], r["phi"]) for r in gq.conductance(db, labels).collect()}
     # each side: vol 7, cut 1, phi = 1/7
     assert got == {"a": (7, 1, round(1 / 7, 6)), "b": (7, 1, round(1 / 7, 6))}
+
+
+# ------------------------------------------------------- Boruvka MSF
+
+
+def _python_mst(pairs_w):
+    """Kruskal with the same (w, x, y) total order."""
+    parent = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    chosen = []
+    # canonicalize + parallel-edge min, then Kruskal order
+    best = {}
+    for a, b, w in pairs_w:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        if k not in best or w < best[k]:
+            best[k] = w
+    for (x, y), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(x), find(y)
+        if ra != rb:
+            parent[ra] = rb
+            chosen.append((x, y, w))
+    return chosen
+
+
+MST_GRAPHS = [
+    # triangle + pendant: unique weights
+    [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 3.0), (3, 4, 4.0)],
+    # two components
+    [(1, 2, 5.0), (2, 3, 1.0), (10, 11, 2.0), (11, 12, 3.0), (10, 12, 1.0)],
+    # heavy ties: weights all equal — tie-break must pick deterministically
+    [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0), (1, 3, 1.0)],
+    # parallel edges in both directions with different weights
+    [(1, 2, 9.0), (2, 1, 2.0), (2, 3, 4.0), (3, 2, 8.0), (1, 3, 5.0)],
+]
+
+
+@pytest.mark.parametrize("pw", MST_GRAPHS)
+def test_minimum_spanning_forest_matches_kruskal(spark, pw):
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    got = sorted(
+        (r["x"], r["y"], r["w"])
+        for r in gq.minimum_spanning_forest(db).collect()
+    )
+    want = sorted(_python_mst(pw))
+    # total weight always matches; edge sets match because the (w,x,y)
+    # total order makes the MSF unique
+    assert got == want
+
+
+def test_minimum_spanning_forest_random(spark):
+    import random
+
+    rng = random.Random(7)
+    pw = [
+        (rng.randrange(20), rng.randrange(20), round(rng.random() * 10, 3))
+        for _ in range(60)
+    ]
+    pw = [(a, b, w) for a, b, w in pw if a != b]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    got = sorted((r["x"], r["y"], r["w"]) for r in gq.minimum_spanning_forest(db).collect())
+    assert got == sorted(_python_mst(pw))
