@@ -1903,6 +1903,30 @@ ORDER BY vol.vol DESC, vol.lbl LIMIT 20"""
 )
 
 
+def _q_dag_layers(spark, sf):
+    """Topological layering of the c→o→p→s DAG: layer = longest-path depth
+    (customers 0, suppliers 3) — the dependency-level / scheduling query."""
+    return pregel.dag_layers(_g(spark, sf), iterations=4)
+
+
+def _dag_layers_sql(iters: int = 4) -> str:
+    ctes = ["t0 AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM vertices)"]
+    for i in range(1, iters + 1):
+        p = f"t{i - 1}"
+        ctes.append(
+            f"""t{i} AS (
+  SELECT id, max(layer) AS layer FROM (
+    SELECT e.dst AS id, p.layer + 1 AS layer FROM {p} p JOIN edges e ON e.src = p.id
+    UNION ALL SELECT id, layer FROM {p}
+  ) GROUP BY id
+)"""
+        )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT v.id, t{iters}.layer FROM vertices v JOIN t{iters} ON t{iters}.id = v.id"
+    )
+
+
 def _q_msf(spark, sf):
     """Borůvka minimum spanning forest over the weighted undirected graph
     — rows-only by policy: the MSF needs iterated contraction (union-find),
@@ -2083,6 +2107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_vtype": _q_conductance,
         # rows-only: Boruvka MSF (union-find not SQL-practical; Kruskal-gated)
         "msf_weighted": _q_msf,
+        # dependency-depth layering of the typed DAG
+        "dag_layers": _q_dag_layers,
     }
 
 
@@ -3274,6 +3300,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_build_vocab": _BUILD_VOCAB_SQL,
         "modularity_vtype": _MODULARITY_SQL,
         "conductance_vtype": _CONDUCTANCE_SQL,
+        "dag_layers": _dag_layers_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

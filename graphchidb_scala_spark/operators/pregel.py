@@ -527,3 +527,35 @@ def katz_centrality(
         if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
             x = _checkpoint(x)
     return x.join(vstatic, "id", "semi")
+
+
+def dag_layers(
+    db: GraphDB,
+    iterations: int,
+    etype: int | None = None,
+) -> DataFrame:
+    """Topological layering of a DAG: layer(v) = length of the longest path
+    ending at v (sources at 0) — the dependency-depth / scheduling-level
+    query (Kahn's algorithm's level sets, computed by fixpoint instead of
+    queue). DF(id, layer). Converges in longest-path-length rounds; run
+    with ``iterations`` ≥ that bound (on the layered c→o→p→s graph, 3).
+    On a graph WITH cycles the bounded run returns the capped partial
+    layering (a diagnostic: any vertex still rising at the bound sits on
+    or downstream of a cycle).
+
+    Iteration shape: the pagerank zero-union pattern with max instead of
+    sum — one map-side-combined exchange per round, no per-round state
+    join."""
+    e = _checkpoint(db._typed(etype).select("src", "dst").repartition("src"))
+    vstatic = _checkpoint(db.vertices.select("id").repartition("id"))
+    layers = vstatic.withColumn("layer", F.lit(0).cast("bigint"))
+    for i in range(1, iterations + 1):
+        msgs = (
+            e.join(layers.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("layer") + F.lit(1)).alias("layer"))
+            .unionAll(layers)
+        )
+        layers = msgs.groupBy("id").agg(F.max("layer").alias("layer"))
+        if i % 5 == 0 or i == iterations:
+            layers = _checkpoint(layers)
+    return layers.join(vstatic, "id", "semi")

@@ -128,3 +128,32 @@ def test_pagerank_warm_start_new_vertices_enter_cold(spark):
     assert set(got) == {1, 2, 3}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_dag_layers_longest_path(spark):
+    from graphchidb_scala_spark.db import GraphDB
+    from graphchidb_scala_spark.operators import pregel
+
+    # diamond with a long arm: longest path to 5 is 1→2→3→4→5 (layer 4)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b) for a, b in pairs], "etype int, src bigint, dst bigint"
+        )
+    )
+    got = {r["id"]: r["layer"] for r in pregel.dag_layers(db, iterations=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_dag_layers_cycle_caps_at_iterations(spark):
+    from graphchidb_scala_spark.db import GraphDB
+    from graphchidb_scala_spark.operators import pregel
+
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, 1, 2), (0, 2, 1)], "etype int, src bigint, dst bigint"
+        )
+    )
+    got = {r["id"]: r["layer"] for r in pregel.dag_layers(db, iterations=3).collect()}
+    # on a 2-cycle the layering keeps rising — bounded run caps at iterations
+    assert max(got.values()) == 3
