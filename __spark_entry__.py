@@ -1936,6 +1936,55 @@ def _q_msf(spark, sf):
     return gq.minimum_spanning_forest(_g(spark, sf))
 
 
+def _q_reciprocity(spark, sf):
+    return gq.reciprocity(_g(spark, sf))
+
+
+_RECIPROCITY_SQL_BODY = (
+    "  SELECT CAST((SELECT count(*) FROM de) AS BIGINT) AS n_edges,\n"
+    "         CAST((SELECT count(*) FROM de WHERE EXISTS\n"
+    "               (SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src))\n"
+    "              AS BIGINT) AS n_reciprocal,\n"
+    "         round((SELECT count(*) FROM de WHERE EXISTS\n"
+    "               (SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src))\n"
+    "               / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity"
+)
+
+
+def _q_token_zipf(spark, sf):
+    return text.zipf_alpha(_docs(spark, sf), min_count=2)
+
+
+_TOKEN_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(1.0 + count(*) / sum(ln(cnt / 1.5)), 4) AS alpha
+FROM c WHERE cnt >= 2
+""".strip()
+
+
+def _q_events_interarrival(spark, sf):
+    return events.interarrival_stats(_events(spark, sf))
+
+
+_EVENTS_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              AS DOUBLE) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(max(gap), 4) AS max_gap_s,
+       round(quantile_cont(gap, 0.5), 4) AS p50_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+""".strip()
+
+
 # ----------------------------------------------------------------- registries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2109,6 +2158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_weighted": _q_msf,
         # dependency-depth layering of the typed DAG
         "dag_layers": _q_dag_layers,
+        # mutuality / corpus-health / cadence diagnostics
+        "reciprocity": _q_reciprocity,
+        "token_zipf_alpha": _q_token_zipf,
+        "events_interarrival": _q_events_interarrival,
     }
 
 
@@ -3301,6 +3354,13 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "modularity_vtype": _MODULARITY_SQL,
         "conductance_vtype": _CONDUCTANCE_SQL,
         "dag_layers": _dag_layers_sql(),
+        "reciprocity": (
+            "WITH\n" + GRAPH_SQL_CTES
+            + ",\nde AS (SELECT DISTINCT src, dst FROM edges)\n"
+            + _RECIPROCITY_SQL_BODY
+        ),
+        "token_zipf_alpha": _TOKEN_ZIPF_SQL,
+        "events_interarrival": _EVENTS_INTERARRIVAL_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

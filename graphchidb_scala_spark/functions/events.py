@@ -507,3 +507,34 @@ def ab_metrics(
         F.round(diff, 4).alias("diff"),
         F.round(diff / se, 4).alias("t_stat"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user inter-arrival gap statistics: DF(user, n_gaps, mean_gap_s,
+    max_gap_s, p50_gap_s) with seconds rounded to 4dp — the activity-cadence
+    profile behind sessionization-gap tuning (pick the session gap where
+    the inter-arrival distribution's knee sits, instead of guessing 30
+    minutes). ONE lag window + one aggregation, both on the same user-key
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # timestamp→double keeps the sub-second fraction (unix_timestamp
+    # truncates to whole seconds and would not match a microsecond log)
+    gap = (
+        F.col(ts_col).cast("double")
+        - F.lag(F.col(ts_col).cast("double")).over(w)
+    )
+    gaps = df.select(F.col(user_col), gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+        F.round(F.max("gap"), 4).alias("max_gap_s"),
+        F.round(F.percentile(F.col("gap"), F.lit(0.5)), 4).alias("p50_gap_s"),
+    )

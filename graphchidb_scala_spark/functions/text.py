@@ -534,3 +534,31 @@ def build_vocab(
             F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_frac"),
         )
     )
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf exponent of the token frequency distribution, continuous MLE
+    over counts ≥ min_count: alpha = 1 + n / Σ ln(cnt/(min_count - 0.5))
+    — the corpus-health twin of the graph's power-law diagnostic (natural
+    corpora sit near alpha ≈ 2 on this estimator; heavily templated or
+    deduplicated-to-death corpora drift). 1-row DF(n_types, alpha)
+    rounded to 4dp. One token-count shuffle + one scalar agg."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= F.lit(int(min_count))
+    )
+    xmin = float(min_count) - 0.5
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("cnt") / F.lit(xmin))),
+            4,
+        ).alias("alpha"),
+    )

@@ -1715,3 +1715,21 @@ def minimum_spanning_forest(
             .select("x", "y", "w")
         )
     return chosen
+
+
+def reciprocity(db: GraphDB, etype: int | None = None) -> DataFrame:
+    """Directed-graph reciprocity: fraction of directed edges whose reverse
+    also exists — 1-row DF(n_edges, n_reciprocal, reciprocity) rounded to
+    6dp. The mutuality diagnostic (social graphs high, citation/DAG graphs
+    0). One distinct + one self semi-join on the reversed key + two
+    counts; no collect."""
+    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "semi")
+    n = e.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    r = recip.agg(F.count(F.lit(1)).alias("r")).collect()[0]["r"]
+    spark = db.spark
+    return spark.createDataFrame(
+        [(int(n), int(r), round(r / n, 6) if n else 0.0)],
+        "n_edges bigint, n_reciprocal bigint, reciprocity double",
+    )

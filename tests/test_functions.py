@@ -1235,3 +1235,36 @@ def test_recall_at_k_on_real_index(spark):
     row = similarity.recall_at_k(approx, exact).collect()[0]
     assert row["n_exact"] == 10
     assert 0.0 < row["recall"] <= 1.0
+
+
+def test_zipf_alpha_uniform_counts(spark):
+    import math
+
+    from graphchidb_scala_spark.functions import text as tx
+
+    # every token appears exactly 3 times → alpha = 1 + 1/ln(3/1.5) = 1 + 1/ln 2
+    docs = spark.createDataFrame(
+        [(i, "a b c a b c a b c") for i in range(1)], "doc_id bigint, text string"
+    )
+    row = tx.zipf_alpha(docs, min_count=2).collect()[0]
+    assert row["n_types"] == 3
+    assert abs(row["alpha"] - round(1.0 + 1.0 / math.log(2.0), 4)) < 1e-9
+
+
+def test_interarrival_stats_hand_computed(spark):
+    from graphchidb_scala_spark.functions import events as ev
+
+    rows = [
+        (1, "2020-01-01 00:00:00"),
+        (1, "2020-01-01 00:00:10"),
+        (1, "2020-01-01 00:01:10"),
+        (2, "2020-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["user_id"]: r for r in ev.interarrival_stats(df).collect()}
+    assert 2 not in got  # single event → no gaps
+    r = got[1]
+    assert r["n_gaps"] == 2 and r["max_gap_s"] == 60.0
+    assert r["mean_gap_s"] == 35.0 and r["p50_gap_s"] == 35.0

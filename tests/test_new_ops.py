@@ -575,3 +575,13 @@ def test_minimum_spanning_forest_random(spark):
     )
     got = sorted((r["x"], r["y"], r["w"]) for r in gq.minimum_spanning_forest(db).collect())
     assert got == sorted(_python_mst(pw))
+
+
+def test_reciprocity_closed_forms(spark):
+    # fully mutual pair + one-way edge: 2 of 3 edges reciprocal
+    row = gq.reciprocity(_db(spark, [(1, 2), (2, 1), (2, 3)])).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert abs(row["reciprocity"] - round(2 / 3, 6)) < 1e-9
+    # pure DAG: zero
+    dag = gq.reciprocity(_db(spark, [(1, 2), (2, 3), (1, 3)])).collect()[0]
+    assert dag["reciprocity"] == 0.0
