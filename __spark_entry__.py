@@ -335,6 +335,39 @@ def _weighted_sssp_sql(iterations: int = 4, source: int = 1) -> str:
     )
 
 
+def _q_weighted_sssp_parents(spark, sf):
+    """Weighted SSSP + min-id predecessor tree (4 Bellman-Ford rounds) —
+    the route-reconstruction substrate for cheapest paths."""
+    return gq.weighted_sssp_parents(_g(spark, sf), source=1, iterations=4)
+
+
+def _weighted_sssp_parents_sql(iterations: int = 4, source: int = 1) -> str:
+    rounds = []
+    prev = "w0"
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""a{k} AS (
+    SELECT id, d, parent FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, p.d + e.weight AS d, e.src AS parent
+    FROM {prev} p JOIN edges e ON e.src = p.id
+  ),
+  b{k} AS (SELECT id, min(d) AS d FROM a{k} GROUP BY id),
+  w{k} AS (
+    SELECT b.id, b.d, min(a.parent) AS parent
+    FROM b{k} b JOIN a{k} a ON a.id = b.id AND a.d = b.d
+    GROUP BY b.id, b.d
+  )"""
+        )
+        prev = f"w{k}"
+    return _gsql(
+        f"  WITH w0 AS (SELECT CAST({source} AS BIGINT) AS id, "
+        "CAST(0.0 AS DOUBLE) AS d, CAST(NULL AS BIGINT) AS parent),\n"
+        + ",\n".join(rounds)
+        + f"\n  SELECT id, round(d, 4) AS dist, parent FROM {prev}"
+    )
+
+
 def _q_mis(spark, sf):
     """Luby-style maximal independent set (seeded md5 priorities —
     deterministic). Rows-only by policy: the parallel local-min rounds
@@ -2162,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "token_zipf_alpha": _q_token_zipf,
         "events_interarrival": _q_events_interarrival,
+        # cheapest-path predecessor tree (weighted route substrate)
+        "weighted_sssp_parents4": _q_weighted_sssp_parents,
     }
 
 
@@ -3361,6 +3396,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         ),
         "token_zipf_alpha": _TOKEN_ZIPF_SQL,
         "events_interarrival": _EVENTS_INTERARRIVAL_SQL,
+        "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

@@ -585,3 +585,60 @@ def test_reciprocity_closed_forms(spark):
     # pure DAG: zero
     dag = gq.reciprocity(_db(spark, [(1, 2), (2, 3), (1, 3)])).collect()[0]
     assert dag["reciprocity"] == 0.0
+
+
+# ----------------------------------------------- weighted parents / route
+
+
+def _python_weighted_parents(pw, source, rounds):
+    """Bellman-Ford with the same min-id-at-winning-distance parent rule."""
+    state = {source: (0.0, None)}
+    for _ in range(rounds):
+        cand = {v: [(d, p)] for v, (d, p) in state.items()}
+        for a, b, w in pw:
+            if a in state:
+                cand.setdefault(b, []).append((state[a][0] + w, a))
+        nxt = {}
+        for v, opts in cand.items():
+            best = min(d for d, _ in opts)
+            parents = [p for d, p in opts if d == best and p is not None]
+            keep_p = min(parents) if parents else (
+                None if any(d == best and p is None for d, p in opts) else None
+            )
+            # None (source self-row) only wins when present at best
+            has_none = any(d == best and p is None for d, p in opts)
+            nxt[v] = (best, None if (has_none and not parents) else
+                      (min(parents) if parents else None))
+        state = nxt
+    return {v: (round(d, 4), p) for v, (d, p) in state.items()}
+
+
+def test_weighted_sssp_parents_matches_python(spark):
+    pw = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0), (1, 4, 2.5), (2, 4, 1.5)]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    got = {
+        r["id"]: (r["dist"], r["parent"])
+        for r in gq.weighted_sssp_parents(db, 1, iterations=4).collect()
+    }
+    assert got == _python_weighted_parents(pw, 1, 4)
+    # dist agrees with the parent chain: walking parents sums to dist
+    assert got[4][0] == 2.5 and got[4][1] == 1  # direct 2.5 beats 1→2→4 (2.5 ties? 1+1.5=2.5 tie → min parent 1)
+
+
+def test_weighted_route_walkback(spark):
+    pw = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 10.0)]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    route = [(r["step"], r["id"], r["dist"]) for r in gq.weighted_route(db, 1, 4).collect()]
+    assert route == [(0, 1, 0.0), (1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0)]
+    # unreachable target → empty
+    assert gq.weighted_route(db, 1, 99).count() == 0
