@@ -279,6 +279,33 @@ class EdgeStore:
 
     # -------------------------------------------------------------- compaction
 
+    def maybe_compact(self, threshold: float = 0.25) -> bool:
+        """Compact iff the appends volume exceeds ``threshold`` of the base
+        — the reference's reconstruct policy (GraphChiDatabase.scala:842-845:
+        rebuild when buffered edges pass a fraction of the shard) as a
+        one-call micro-batch hook. Returns True if a compaction ran.
+
+        The trigger uses FILE SIZES (os.walk over the two directories), not
+        row counts — a metadata-only check costing no Spark job, so calling
+        it after every micro-batch is free until the threshold actually
+        trips."""
+        if not self._exists(self.appends_dir) or not self._exists(self.base_dir):
+            return False
+
+        def _bytes(d: str) -> int:
+            total = 0
+            for root, _, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        base_b = _bytes(self.base_dir)
+        if base_b == 0 or _bytes(self.appends_dir) <= threshold * base_b:
+            return False
+        self.compact()
+        return True
+
     def compact(self) -> None:
         """Merge appends into the base: shuffle once on src buckets, sort
         within partitions — the entire LSM merge cascade of the reference in

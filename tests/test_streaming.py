@@ -602,3 +602,24 @@ def test_delete_maintains_degrees(spark, tmp_path):
     want3 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
     for k, v in want3.items():
         assert got3[k] == v
+
+
+def test_maybe_compact_threshold(store, spark):
+    # tiny appends below the threshold: no compaction
+    small = spark.createDataFrame(
+        [(0, 50, 51, 1.0)], "etype int, src bigint, dst bigint, weight double"
+    )
+    store.add_batch(small)
+    assert store.maybe_compact(threshold=10.0) is False  # appends << 10x base
+    assert EdgeStore._exists(store.appends_dir)
+    # push appends volume past a tiny threshold: compaction fires
+    big = spark.createDataFrame(
+        [(0, 1000 + i, 2000 + i, 1.0) for i in range(500)],
+        "etype int, src bigint, dst bigint, weight double",
+    )
+    store.add_batch(big)
+    before = sorted((r["etype"], r["src"], r["dst"]) for r in store.edges().collect())
+    assert store.maybe_compact(threshold=0.01) is True
+    assert not EdgeStore._exists(store.appends_dir)
+    after = sorted((r["etype"], r["src"], r["dst"]) for r in store.edges().collect())
+    assert before == after
