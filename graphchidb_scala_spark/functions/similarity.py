@@ -1011,7 +1011,9 @@ def recall_at_k(
     one co-partitioned join, not a collect."""
     gb = [F.col(c) for c in group_cols]
     keys = [*group_cols, id_col]
-    hits = approx.select(*keys).join(exact.select(*keys), keys, "semi")
+    # distinct first: a duplicated approx row (e.g. an LSH path emitting a
+    # candidate twice) must not inflate n_hit past n_exact
+    hits = approx.select(*keys).distinct().join(exact.select(*keys), keys, "semi")
     n_exact = exact.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = hits.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_hit"))
     joined = (

@@ -1671,34 +1671,39 @@ def minimum_spanning_forest(
         .select("id", F.col("id").alias("c"))
     )
     chosen = spark.createDataFrame([], "x bigint, y bigint, w double")
-    live = ce
+    # live edges carry their endpoints' CURRENT component labels (cx, cy):
+    # initial components are the vertices themselves, and each round's
+    # end-of-round relabel doubles as the next round's label join — two
+    # comp joins per round, not four
+    live = ce.select(
+        "x", "y", "w", F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
     for _ in range(max_rounds):
-        cx = comp.select(F.col("id").alias("x"), F.col("c").alias("cx"))
-        cy = comp.select(F.col("id").alias("y"), F.col("c").alias("cy"))
-        lab = live.join(cx, "x").join(cy, "y").filter(F.col("cx") != F.col("cy"))
+        lab = live
         n_live = lab.count()
         if n_live == 0:
             break
-        # each component's minimum outgoing edge, deterministic tie-break
+        # each component's minimum outgoing edge, deterministic tie-break;
+        # the pick keeps its endpoints' component pair, so the contraction
+        # below needs no re-join
         key = F.struct(F.col("w"), F.col("x"), F.col("y"))
         picks = (
-            lab.select(F.col("cx").alias("c"), "x", "y", "w", key.alias("k"))
+            lab.select(F.col("cx").alias("c"), "x", "y", "w", "cx", "cy", key.alias("k"))
             .unionAll(
-                lab.select(F.col("cy").alias("c"), "x", "y", "w", key.alias("k"))
+                lab.select(F.col("cy").alias("c"), "x", "y", "w", "cx", "cy", key.alias("k"))
             )
             .groupBy("c")
-            .agg(F.min_by(F.struct("x", "y", "w"), F.col("k")).alias("e"))
-            .select("e.x", "e.y", "e.w")
+            .agg(F.min_by(F.struct("x", "y", "w", "cx", "cy"), F.col("k")).alias("e"))
+            .select("e.x", "e.y", "e.w", "e.cx", "e.cy")
             .distinct()  # both endpoints' components may pick the same edge
         )
         picks = cut_lineage(picks)
-        chosen = cut_lineage(chosen.unionAll(picks))
+        chosen = cut_lineage(chosen.unionAll(picks.select("x", "y", "w")))
         # contract: components linked by the chosen edges merge — run the
         # star-contraction CC over the component graph (≤ one edge per
         # component, so this inner instance is small and halves fast)
-        comp_edges = (
-            picks.join(cx, "x").join(cy, "y")
-            .select(F.lit(0).alias("etype"), F.col("cx").alias("src"), F.col("cy").alias("dst"))
+        comp_edges = picks.select(
+            F.lit(0).alias("etype"), F.col("cx").alias("src"), F.col("cy").alias("dst")
         )
         merged = connected_components_star(GraphDB(comp_edges))
         comp = cut_lineage(
@@ -1709,10 +1714,10 @@ def minimum_spanning_forest(
             ).select("id", F.coalesce(F.col("c_new"), F.col("c")).alias("c"))
         )
         live = cut_lineage(
-            live.join(comp.select(F.col("id").alias("x"), F.col("c").alias("cx")), "x")
+            live.select("x", "y", "w")
+            .join(comp.select(F.col("id").alias("x"), F.col("c").alias("cx")), "x")
             .join(comp.select(F.col("id").alias("y"), F.col("c").alias("cy")), "y")
             .filter(F.col("cx") != F.col("cy"))
-            .select("x", "y", "w")
         )
     return chosen
 
@@ -1721,17 +1726,18 @@ def reciprocity(db: GraphDB, etype: int | None = None) -> DataFrame:
     """Directed-graph reciprocity: fraction of directed edges whose reverse
     also exists — 1-row DF(n_edges, n_reciprocal, reciprocity) rounded to
     6dp. The mutuality diagnostic (social graphs high, citation/DAG graphs
-    0). One distinct + one self semi-join on the reversed key + two
-    counts; no collect."""
-    e = cut_lineage(db._typed(etype).select("src", "dst").distinct())
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    recip = e.join(rev, ["src", "dst"], "semi")
-    n = e.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-    r = recip.agg(F.count(F.lit(1)).alias("r")).collect()[0]["r"]
-    spark = db.spark
-    return spark.createDataFrame(
-        [(int(n), int(r), round(r / n, 6) if n else 0.0)],
-        "n_edges bigint, n_reciprocal bigint, reciprocity double",
+    0). One distinct + one reversed-key left join + ONE aggregation — a
+    single lazy plan, no collect (the reversed side is distinct too, so
+    the left join cannot duplicate edges)."""
+    e = db._typed(etype).select("src", "dst").distinct()
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_m")
+    )
+    flagged = e.join(rev, ["src", "dst"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.count("_m").cast("bigint").alias("n_reciprocal"),
+        F.round(F.count("_m") / F.count(F.lit(1)), 6).alias("reciprocity"),
     )
 
 
@@ -1803,6 +1809,7 @@ def weighted_route(
     spark = db.spark
     rows = []
     cur = int(target)
+    reached_source = False
     for _ in range(int(iterations) + 1):
         hit = parents.filter(F.col("id") == cur).limit(1).collect()
         if not hit:
@@ -1810,8 +1817,14 @@ def weighted_route(
         rows.append((cur, float(hit[0]["dist"])))
         p = hit[0]["parent"]
         if p is None:
+            reached_source = True
             break
         cur = int(p)
+    if not reached_source:
+        # the parent chain did not terminate within the hop bound (e.g. a
+        # zero-weight tie cycle): a partial route not anchored at the
+        # source would be indistinguishable from a complete one — refuse it
+        return spark.createDataFrame([], "step bigint, id bigint, dist double")
     rows.reverse()
     return spark.createDataFrame(
         [(i, v, d) for i, (v, d) in enumerate(rows)],

@@ -189,13 +189,18 @@ class EdgeStore:
     def _union_raw(self) -> DataFrame:
         """base ∪ appends with the ``_v`` version column intact (no dedupe)."""
         dfs = []
-        for d in (self.base_dir, self.appends_dir):
-            if self._exists(d):
-                # mergeSchema: tombstone files carry only the key columns,
-                # edge files the full property set — the merged schema
-                # null-fills both ways (appends stay small, so the extra
-                # footer reads are bounded)
-                dfs.append(self.spark.read.option("mergeSchema", "true").parquet(d))
+        if self._exists(self.base_dir):
+            # the base is schema-uniform — no mergeSchema, or every probe
+            # would pay a footer-merge pass over the whole (100 TB) base
+            dfs.append(self.spark.read.parquet(self.base_dir))
+        if self._exists(self.appends_dir):
+            # mergeSchema ONLY here: tombstone files carry just the key
+            # columns, edge files the full property set — the merged schema
+            # null-fills both ways, and appends stay small by the
+            # compaction discipline, so the extra footer reads are bounded
+            dfs.append(
+                self.spark.read.option("mergeSchema", "true").parquet(self.appends_dir)
+            )
         if not dfs:
             raise ValueError(f"empty EdgeStore at {self.path}")
         out = dfs[0]
@@ -235,7 +240,13 @@ class EdgeStore:
             F.col("d_in").cast("bigint").alias("in_deg"),
             F.col("d_out").cast("bigint").alias("out_deg"),
         )
-        return merged.unionByName(new_part)
+        # vertices whose every edge was deleted net to (0, 0) — drop them so
+        # the view stays row-identical to graph().degrees(), which never
+        # emits a row for an edgeless vertex (and so compact() cannot bake
+        # zero rows into the degree base)
+        return merged.unionByName(new_part).filter(
+            (F.col("in_deg") != 0) | (F.col("out_deg") != 0)
+        )
 
     def edges(self) -> DataFrame:
         """Current edge set: base ∪ appends with newest-version-wins per

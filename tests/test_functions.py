@@ -1222,6 +1222,10 @@ def test_recall_at_k_ann_harness(spark):
     assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 7, 0.7)
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001/embeddings.parquet"),
+    reason="driver-generated testdata not present on this machine",
+)
 def test_recall_at_k_on_real_index(spark):
     """IVF ANN vs brute force on the sf0.001 embeddings: the harness wired
     to a real index path; recall must be positive and ≤ 1."""
@@ -1268,3 +1272,12 @@ def test_interarrival_stats_hand_computed(spark):
     r = got[1]
     assert r["n_gaps"] == 2 and r["max_gap_s"] == 60.0
     assert r["mean_gap_s"] == 35.0 and r["p50_gap_s"] == 35.0
+
+
+def test_recall_at_k_duplicate_approx_rows_do_not_inflate(spark):
+    from graphchidb_scala_spark.functions import similarity
+
+    exact = spark.createDataFrame([(1,), (2,)], "vec_id bigint")
+    approx = spark.createDataFrame([(1,), (1,), (1,)], "vec_id bigint")
+    row = similarity.recall_at_k(approx, exact).collect()[0]
+    assert (row["n_hit"], row["recall"]) == (1, 0.5)

@@ -642,3 +642,19 @@ def test_weighted_route_walkback(spark):
     assert route == [(0, 1, 0.0), (1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0)]
     # unreachable target → empty
     assert gq.weighted_route(db, 1, 99).count() == 0
+
+
+def test_weighted_route_refuses_unanchored_partial(spark):
+    # 0-weight 2-cycle reachable from 1: the min-id parent chain 2↔3 ties at
+    # the winning distance and can exceed the hop bound — the route must be
+    # empty rather than a partial not anchored at the source
+    pw = [(1, 2, 0.0), (2, 3, 0.0), (3, 2, 0.0)]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    r = gq.weighted_route(db, 1, 3, iterations=2)
+    rows = [(x["step"], x["id"]) for x in r.collect()]
+    assert rows == [] or rows[0] == (0, 1)  # never a partial missing the source

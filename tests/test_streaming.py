@@ -587,21 +587,18 @@ def test_delete_maintains_degrees(spark, tmp_path):
     st.delete_batch(spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint"))
     got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
     want = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
-    for k, v in want.items():
-        assert got[k] == v, (k, got[k], v)
+    assert got == want  # row-identical BOTH ways: no lingering zero rows
     # double delete of the same key must not decrement twice
     st.delete_batch(spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint"))
     got2 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
-    for k, v in want.items():
-        assert got2[k] == v
+    assert got2 == want
     # re-add after delete increments again and matches recompute
     st.add_batch(
         spark.createDataFrame([(0, 1, 2, 7.0)], "etype int, src bigint, dst bigint, weight double")
     )
     got3 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
     want3 = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
-    for k, v in want3.items():
-        assert got3[k] == v
+    assert got3 == want3
 
 
 def test_maybe_compact_threshold(store, spark):
@@ -623,3 +620,21 @@ def test_maybe_compact_threshold(store, spark):
     assert not EdgeStore._exists(store.appends_dir)
     after = sorted((r["etype"], r["src"], r["dst"]) for r in store.edges().collect())
     assert before == after
+
+
+def test_degrees_view_drops_fully_deleted_vertices(spark, tmp_path):
+    st = EdgeStore(spark, str(tmp_path / "deg_zero"), num_buckets=2, maintain_degrees=True)
+    st.init_base(
+        spark.createDataFrame(
+            [(0, 1, 2, 1.0), (0, 3, 4, 1.0)],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    # vertex 3/4's only edge deleted → both must VANISH from the view
+    st.delete_batch(spark.createDataFrame([(0, 3, 4)], "etype int, src bigint, dst bigint"))
+    ids = {r["id"] for r in st.degrees_view().collect()}
+    assert ids == {1, 2}
+    # and compaction must not bake zero rows into the degree base
+    st.compact()
+    ids2 = {r["id"] for r in st.degrees_view().collect()}
+    assert ids2 == {1, 2}
