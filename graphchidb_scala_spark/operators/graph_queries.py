@@ -1748,6 +1748,7 @@ def weighted_sssp_parents(
     etype: int | None = None,
     weight_col: str = "weight",
     round_dp: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Weighted SSSP with predecessor tracking: DF(id, dist, parent) where
     parent = the minimum-id predecessor on a cheapest ≤-k-hop path (the
@@ -1777,12 +1778,15 @@ def weighted_sssp_parents(
         allc = dist.unionAll(relax)
         best = allc.groupBy("id").agg(F.min("d").alias("d"))
         # min-id predecessor among rows achieving the winning distance
-        dist = cut_lineage(
+        dist = (
             best.join(allc.withColumnRenamed("d", "d2"), "id")
             .filter(F.col("d2") == F.col("d"))
             .groupBy("id", "d")
             .agg(F.min("parent").alias("parent"))
         )
+        # checkpoint=False keeps the plan un-collapsed (plan audits)
+        if checkpoint:
+            dist = cut_lineage(dist)
     return dist.select(
         "id", F.round("d", round_dp).alias("dist"), "parent"
     )

@@ -533,6 +533,7 @@ def dag_layers(
     db: GraphDB,
     iterations: int,
     etype: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Topological layering of a DAG: layer(v) = length of the longest path
     ending at v (sources at 0) — the dependency-depth / scheduling-level
@@ -556,6 +557,7 @@ def dag_layers(
             .unionAll(layers)
         )
         layers = msgs.groupBy("id").agg(F.max("layer").alias("layer"))
-        if i % 5 == 0 or i == iterations:
+        # checkpoint=False keeps the plan un-collapsed (plan audits)
+        if checkpoint and (i % 5 == 0 or i == iterations):
             layers = _checkpoint(layers)
     return layers.join(vstatic, "id", "semi")

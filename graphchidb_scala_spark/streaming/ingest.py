@@ -248,9 +248,29 @@ class EdgeStore:
             (F.col("in_deg") != 0) | (F.col("out_deg") != 0)
         )
 
-    def edges(self) -> DataFrame:
+    def current_version(self) -> int:
+        """Highest batch version in the appends (0 if none) — the handle to
+        pass back to ``edges(as_of=...)`` for a repeatable snapshot read."""
+        if not self._exists(self.appends_dir):
+            return 0
+        row = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.appends_dir)
+            .agg(F.max("_v"))
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
+    def edges(self, as_of: int | None = None) -> DataFrame:
         """Current edge set: base ∪ appends with newest-version-wins per
-        (etype, src, dst).
+        (etype, src, dst). ``as_of`` reads the store AS OF a batch version
+        (from :meth:`current_version`): appends newer than it are invisible
+        — the durable-log replay point (the reference recovers a consistent
+        state by replaying the transaction log to an offset;
+        GraphChiDatabase.scala durable-buffer flush), here a pushed ``_v``
+        predicate, so a snapshot read costs the same as a current read.
+        Note base rows predate every append version, so ``as_of`` only
+        filters the appends side.
 
         Scale contract: the base (the 100 TB side) is NEVER shuffled on read.
         Newest-wins is resolved with a window over the *appends only* (the
@@ -269,6 +289,10 @@ class EdgeStore:
             return base
         w = Window.partitionBy(*EDGE_KEY).orderBy(F.desc("_v"))
         raw = self.spark.read.option("mergeSchema", "true").parquet(self.appends_dir)
+        if as_of is not None:
+            raw = raw.filter(F.col("_v") <= int(as_of))
+            if not raw.limit(1).collect():
+                return base if base is not None else raw.drop("_v", "_del")
         appends = raw.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         )

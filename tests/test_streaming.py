@@ -638,3 +638,32 @@ def test_degrees_view_drops_fully_deleted_vertices(spark, tmp_path):
     st.compact()
     ids2 = {r["id"] for r in st.degrees_view().collect()}
     assert ids2 == {1, 2}
+
+
+def test_edges_as_of_version_snapshot(store, spark):
+    v0 = store.current_version()
+    assert v0 == 0
+    b1 = spark.createDataFrame(
+        [(0, 100, 101, 1.0)], "etype int, src bigint, dst bigint, weight double"
+    )
+    store.add_batch(b1)
+    v1 = store.current_version()
+    store.delete_batch(spark.createDataFrame([(0, 1, 2)], "etype int, src bigint, dst bigint"))
+    v2 = store.current_version()
+    store.add_batch(
+        spark.createDataFrame(
+            [(0, 200, 201, 1.0)], "etype int, src bigint, dst bigint, weight double"
+        )
+    )
+    assert v1 < v2 < store.current_version()
+
+    def keys(as_of=None):
+        return sorted(
+            (r["etype"], r["src"], r["dst"]) for r in store.edges(as_of=as_of).collect()
+        )
+
+    base_keys = [(0, 1, 2), (0, 1, 3), (0, 2, 3)]
+    assert keys(as_of=0) == base_keys                    # pre-append snapshot
+    assert keys(as_of=v1) == base_keys + [(0, 100, 101)]  # after batch 1
+    assert keys(as_of=v2) == [(0, 1, 3), (0, 2, 3), (0, 100, 101)]  # delete seen
+    assert keys() == [(0, 1, 3), (0, 2, 3), (0, 100, 101), (0, 200, 201)]

@@ -424,6 +424,36 @@ CHECKS = {
         ).build_vocab(docs),
         ["partial_count", "Window", "!SortMergeJoin"],
     ),
+    # reciprocity: ONE reversed-key equi left join + one agg, lazy end to end
+    "reciprocity_single_pass": (
+        lambda g, docs, emb: gq.reciprocity(g),
+        ["partial_count", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # weighted-parents relax round: equi joins + min aggregates, no nested loop
+    "weighted_parents_relax_round": (
+        lambda g, docs, emb: gq.weighted_sssp_parents(g, 1, iterations=1, checkpoint=False),
+        ["partial_min", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # DAG layering round: the pagerank zero-union shape with max — one
+    # map-side-combined exchange per round
+    "dag_layers_partial_max": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.operators.pregel", fromlist=["pregel"]
+        ).dag_layers(g, iterations=1, checkpoint=False),
+        ["partial_max", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ),
+    # inter-arrival: one lag window + one agg on the same user-key shuffle
+    "interarrival_single_window": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.events", fromlist=["events"]
+        ).interarrival_stats(
+            docs.selectExpr(
+                "doc_id % 7 AS user_id",
+                "timestamp_seconds(1600000000 + doc_id) AS ts",
+            )
+        ),
+        ["Window", "partial_count", "!Join"],
+    ),
 }
 
 
