@@ -1847,6 +1847,37 @@ _GRAPH_DIFF_SQL_BODY = (
 )
 
 
+def _q_crosscorpus_neardup(spark, sf):
+    """Incremental-crawl dedup: new half (src0-9) screened against the
+    existing half (src10-19) — A-banded × B-banded LSH, exact Jaccard on
+    cross-candidates only; never a self-join of the union."""
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    return dedup.cross_corpus_neardup_pairs(
+        docs.filter(cond), docs.filter(~cond), threshold=0.5
+    )
+
+
+_CROSSCORPUS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, regexp_matches(source, '^src[0-9]$') AS is_a,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, CAST(i AS INT), 5))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.is_a AND NOT b.is_a
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
+""".strip()
+
+
 def _q_build_vocab(spark, sf):
     """Coverage-truncated tokenizer vocabulary: the smallest (count DESC,
     token ASC) prefix of the frequency table covering 99.9% of corpus
@@ -2197,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": _q_events_interarrival,
         # cheapest-path predecessor tree (weighted route substrate)
         "weighted_sssp_parents4": _q_weighted_sssp_parents,
+        # incremental-crawl dedup: new half vs existing half, cross-only LSH
+        "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
     }
 
 
@@ -3397,6 +3430,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "token_zipf_alpha": _TOKEN_ZIPF_SQL,
         "events_interarrival": _EVENTS_INTERARRIVAL_SQL,
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
+        "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

