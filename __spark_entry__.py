@@ -1878,6 +1878,43 @@ WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
 """.strip()
 
 
+_PPR_MULTI_SEEDS = [1, 2, 3, 4, 5]
+
+
+def _q_ppr_multi(spark, sf):
+    """Batch personalized PageRank (5 seeds × 3 iterations): every seed's
+    neighborhood scored in one job — sparse (seed, id) state over the
+    reachable sets, one edge join per iteration for all seeds."""
+    pr = pregel.personalized_pagerank_multi(
+        _g(spark, sf), _PPR_MULTI_SEEDS, iterations=3
+    )
+    return pr.select("seed", "id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_multi_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    seeds = ", ".join(f"({s})" for s in _PPR_MULTI_SEEDS)
+    ctes = [
+        f"sd AS (SELECT CAST(s AS BIGINT) AS seed FROM (VALUES {seeds}) t(s))",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "p0 AS (SELECT seed, seed AS id, CAST(1.0 AS DOUBLE) AS rank FROM sd)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"p{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+  SELECT seed, id, sum(c) AS rank FROM (
+    SELECT p.seed, e.dst AS id, {damping!r} * p.rank / d.outdeg AS c
+    FROM {prev} p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = e.src
+    UNION ALL SELECT seed, seed AS id, {1.0 - damping!r} AS c FROM sd
+  ) GROUP BY seed, id
+)"""
+        )
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n" + ",\n".join(ctes)
+        + f"\nSELECT seed, id, round(rank, 6) AS rank FROM p{iterations}"
+    )
+
+
 def _q_build_vocab(spark, sf):
     """Coverage-truncated tokenizer vocabulary: the smallest (count DESC,
     token ASC) prefix of the frequency table covering 99.9% of corpus
@@ -2230,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp_parents4": _q_weighted_sssp_parents,
         # incremental-crawl dedup: new half vs existing half, cross-only LSH
         "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
+        # batch personalized PageRank (the multi-BFS shape for PPR)
+        "ppr_multi3": _q_ppr_multi,
     }
 
 
@@ -3431,6 +3470,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "events_interarrival": _EVENTS_INTERARRIVAL_SQL,
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
+        "ppr_multi3": _ppr_multi_sql(),
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

@@ -561,3 +561,50 @@ def dag_layers(
         if checkpoint and (i % 5 == 0 or i == iterations):
             layers = _checkpoint(layers)
     return layers.join(vstatic, "id", "semi")
+
+
+def personalized_pagerank_multi(
+    db: GraphDB,
+    sources,
+    iterations: int = 3,
+    damping: float = 0.85,
+    etype: int | None = None,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Personalized PageRank for MANY seeds at once: DF(seed, id, rank) —
+    the batch-recommendation shape (score every user's neighborhood in one
+    job instead of a per-user loop), the PPR analogue of multi-BFS
+    (MultiBFS.scala:51). All seeds advance in ONE edge join per iteration;
+    rows are (seed, vertex) pairs, parallel in both.
+
+    Sparse state: a vertex holds a row for a seed only if it carries mass
+    (reset row ∪ message recipients) — vertices outside the seed's
+    reachable set never materialize, so state is Σ|reachable≤k|, not
+    |seeds|·|V|. rank = (1−d)·[v=seed] + d·Σ_in rank/outdeg, rank₀ =
+    [v=seed] — identical per-seed values to :func:`personalized_pagerank`
+    over the reachable set."""
+    e = db._typed(etype).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = _checkpoint(e.join(deg, "src").repartition("src"))
+    spark = db.spark
+    seed_df = _checkpoint(
+        spark.createDataFrame([(int(s),) for s in sources], "seed bigint")
+    )
+    reset = seed_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(1.0 - damping).alias("c")
+    )
+    ranks = seed_df.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
+    for i in range(1, iterations + 1):
+        msgs = (
+            edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                "seed",
+                F.col("dst").alias("id"),
+                (F.lit(damping) * F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .unionAll(reset)
+        )
+        ranks = msgs.groupBy("seed", "id").agg(F.sum("c").alias("rank"))
+        if checkpoint_every and (i % checkpoint_every == 0 or i == iterations):
+            ranks = _checkpoint(ranks)
+    return ranks

@@ -157,3 +157,27 @@ def test_dag_layers_cycle_caps_at_iterations(spark):
     got = {r["id"]: r["layer"] for r in pregel.dag_layers(db, iterations=3).collect()}
     # on a 2-cycle the layering keeps rising — bounded run caps at iterations
     assert max(got.values()) == 3
+
+
+def test_ppr_multi_matches_single_seed_on_reachable_set(spark, social_db):
+    from graphchidb_scala_spark.operators import pregel
+
+    multi = {
+        (r["seed"], r["id"]): round(r["rank"], 9)
+        for r in pregel.personalized_pagerank_multi(
+            social_db, [1, 2], iterations=4
+        ).collect()
+    }
+    for s in (1, 2):
+        single = {
+            r["id"]: round(r["rank"], 9)
+            for r in pregel.personalized_pagerank(social_db, s, iterations=4).collect()
+        }
+        mine = {v: x for (sd, v), x in multi.items() if sd == s}
+        # multi is sparse: every materialized row matches the dense single-seed
+        # value, and every nonzero dense value is materialized
+        for v, x in mine.items():
+            assert abs(x - single.get(v, 0.0)) < 1e-9
+        for v, x in single.items():
+            if x > 1e-12:
+                assert v in mine
