@@ -676,6 +676,12 @@ def cross_corpus_neardup_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # spread the verify stage: the candidate list is BYTES-small, so AQE
+        # coalesces it to one partition — but each row costs an
+        # array_intersect over two shingle arrays, and on a shared-vocab
+        # corpus candidates approach all-pairs (measured: a single-core pin
+        # at sf0.1 without this; same fix as minhash_lsh_exact_pairs)
+        .repartition(df_a.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
     va = base_a.select(
         F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na")
