@@ -442,6 +442,18 @@ CHECKS = {
         ).dag_layers(g, iterations=1, checkpoint=False),
         ["partial_max", "!BroadcastNestedLoop", "!CartesianProduct"],
     ),
+    # cross-corpus near-dup: band join is equi (A-banded x B-banded, never
+    # cartesian). The verify-spread repartition (commit 1b52cbd; measured
+    # >400s single-core -> 137s 32-way at sf0.1) is NOT plan-assertable at
+    # audit scale: with sf0.01-sized inputs the planner broadcasts both
+    # verify sides and optimizes the explicit exchange away entirely.
+    "crosscorpus_band_join_equi": (
+        lambda g, docs, emb: dedup.cross_corpus_neardup_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
+        ["!CartesianProduct", "!BroadcastNestedLoop"],
+    ),
     # inter-arrival: one lag window + one agg on the same user-key shuffle
     "interarrival_single_window": (
         lambda g, docs, emb: __import__(
