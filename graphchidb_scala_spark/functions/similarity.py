@@ -221,6 +221,73 @@ def probe_cells(vec_col: Column, codebook: list[tuple[int, list[float]]], nprobe
     )
 
 
+# Codebooks up to this size fold into the codegen expression tree as
+# literals (ivf_cell/probe_cells); past it the Arrow matmul path wins
+# and keeps the plan tree small.
+_LITERAL_CODEBOOK_MAX = 128
+
+
+def default_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> list[tuple[int, list[float]]]:
+    """Scale-safe default coarse quantizer for the IVF family: if the frame
+    carries a ``label_col``, use one centroid per label (the documented
+    oracle-parity path — cheap, deterministic, cross-engine expressible);
+    otherwise train a seeded k-means codebook with K ≈ sqrt(N), so the
+    within-cell candidate term N·(N/K) stays ~N^1.5 instead of collapsing
+    to N²/|labels| when no partitioning column exists. K is clamped to
+    [16, 4096]: below 16 cells blocking buys nothing, above 4096 the
+    driver-resident model and probe cost outgrow their value before
+    sharding the codebook itself becomes the right design."""
+    if label_col in df.columns:
+        return ivf_codebook(df, label_col=label_col, vec_col=vec_col)
+    n = df.count()
+    k = max(16, min(4096, int(n**0.5)))
+    return kmeans_codebook(df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def probe_cells_arrow(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out_col: str = "_probes",
+) -> DataFrame:
+    """``nprobe``-nearest-cell selection via Arrow-batched numpy — the
+    large-K twin of :func:`probe_cells`, same (distance, cell-id) tie-break
+    (books sorted by cell id; stable argsort keeps the lowest id first on
+    equal distance). Map-only like :func:`assign_cells_arrow`: the codebook
+    ships once in the closure, each batch is one |batch|×K distance matrix."""
+    import numpy as np
+    import pandas as pd
+
+    cells = np.asarray([int(c) for c, _ in codebook], dtype=np.int64)
+    cent = np.asarray([v for _, v in codebook], dtype=np.float64)
+    order = np.argsort(cells, kind="stable")
+    cells, cent = cells[order], cent[order]
+    cent_sq = (cent**2).sum(axis=1)
+    npb = min(int(nprobe), len(cells))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(x) == 0:
+                pdf[out_col] = pd.Series([], dtype="object")
+                yield pdf
+                continue
+            d2 = cent_sq[None, :] - 2.0 * (x @ cent.T)
+            top = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+            pdf[out_col] = [cells[row].astype("int32").tolist() for row in top]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def knn_graph_ivf(
     df: DataFrame,
     k: int = 5,
@@ -241,21 +308,43 @@ def knn_graph_ivf(
     pure projections (codebook literals in codegen); the single shuffle is
     the equi-join on the cell id — candidate volume is N·nprobe·(N/K), the
     quadratic term divided by the cell count, with cell skew handled by
-    AQE. Top-k per vector is one Window over the join's own partitioning."""
+    AQE. Top-k per vector is one Window over the join's own partitioning.
+
+    With ``codebook=None`` the quantizer comes from :func:`default_codebook`
+    (label centroids when a label column exists, else k-means K≈sqrt(N) —
+    the scale-safe default); codebooks past ``_LITERAL_CODEBOOK_MAX`` cells
+    assign/probe via the Arrow matmul path instead of codegen literals."""
     from pyspark.sql.window import Window
 
     if codebook is None:
-        codebook = ivf_codebook(df, vec_col=vec_col)
-    q = df.select(
-        F.col(id_col).cast("bigint").alias("qid"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(probe_cells(F.col(vec_col), codebook, nprobe)).alias("_cell"),
-    )
-    cand = df.select(
-        F.col(id_col).cast("bigint").alias("nid"),
-        F.col(vec_col).alias("_nv"),
-        ivf_cell(F.col(vec_col), codebook).alias("_cell"),
-    )
+        codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        q = (
+            probe_cells_arrow(
+                df.select(F.col(id_col).cast("bigint").alias("qid"), F.col(vec_col).alias("_qv")),
+                codebook,
+                nprobe,
+                vec_col="_qv",
+            )
+            .select("qid", "_qv", F.explode("_probes").alias("_cell"))
+        )
+        cand = assign_cells_arrow(
+            df.select(F.col(id_col).cast("bigint").alias("nid"), F.col(vec_col).alias("_nv")),
+            codebook,
+            vec_col="_nv",
+            out_col="_cell",
+        )
+    else:
+        q = df.select(
+            F.col(id_col).cast("bigint").alias("qid"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_cells(F.col(vec_col), codebook, nprobe)).alias("_cell"),
+        )
+        cand = df.select(
+            F.col(id_col).cast("bigint").alias("nid"),
+            F.col(vec_col).alias("_nv"),
+            ivf_cell(F.col(vec_col), codebook).alias("_cell"),
+        )
     pairs = q.join(cand, "_cell").filter(F.col("qid") != F.col("nid"))
     sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 4)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -287,14 +376,27 @@ def semantic_dedup(
     the only quadratic term is the within-cell self-join — N·(N/K) candidate
     pairs, the same equi-join shape as :func:`knn_graph_ivf`, with cell skew
     handled by AQE. The drop set is derived, never collected or broadcast;
-    the final keep is one anti-join on the id."""
+    the final keep is one anti-join on the id.
+
+    With ``codebook=None`` the quantizer comes from :func:`default_codebook`
+    (label centroids when a label column exists, else k-means K≈sqrt(N) —
+    the scale-safe default, killing the N²/|labels| cliff); large codebooks
+    assign via the Arrow matmul path."""
     if codebook is None:
-        codebook = ivf_codebook(df, vec_col=vec_col)
-    cells = df.select(
-        F.col(id_col).cast("bigint").alias("_id"),
-        F.col(vec_col).alias("_v"),
-        ivf_cell(F.col(vec_col), codebook).alias("cell"),
-    )
+        codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        cells = assign_cells_arrow(
+            df.select(F.col(id_col).cast("bigint").alias("_id"), F.col(vec_col).alias("_v")),
+            codebook,
+            vec_col="_v",
+            out_col="cell",
+        )
+    else:
+        cells = df.select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            F.col(vec_col).alias("_v"),
+            ivf_cell(F.col(vec_col), codebook).alias("cell"),
+        )
     nbrs = cells.select(
         F.col("_id").alias("_nid"), F.col("_v").alias("_nv"), F.col("cell").alias("_ncell")
     )
@@ -355,7 +457,9 @@ def kmeans_codebook(
         d_near = np.minimum(d_near, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
     cent = uniq[chosen].copy()
     for _ in range(int(iterations)):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # expanded ||x-c||^2 (||x||^2 constant per row): |sample|×K matmul,
+        # not the (|sample|, K, dim) broadcast — K≈sqrt(N) stays in memory
+        d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
         assign = d2.argmin(axis=1)
         for c in range(kk):
             mask = assign == c
@@ -1011,10 +1115,12 @@ def recall_at_k(
     one co-partitioned join, not a collect."""
     gb = [F.col(c) for c in group_cols]
     keys = [*group_cols, id_col]
-    # distinct first: a duplicated approx row (e.g. an LSH path emitting a
-    # candidate twice) must not inflate n_hit past n_exact
-    hits = approx.select(*keys).distinct().join(exact.select(*keys), keys, "semi")
-    n_exact = exact.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_exact"))
+    # distinct BOTH sides: a duplicated approx row (e.g. an LSH path
+    # emitting a candidate twice) must not inflate n_hit past n_exact, and
+    # a duplicated exact row must not inflate n_exact and deflate recall
+    exact_k = exact.select(*keys).distinct()
+    hits = approx.select(*keys).distinct().join(exact_k, keys, "semi")
+    n_exact = exact_k.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = hits.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_hit"))
     joined = (
         n_exact.join(n_hit, list(group_cols), "left")

@@ -1307,3 +1307,101 @@ def test_cross_corpus_neardup_pairs(spark):
         for r in dedup.cross_corpus_neardup_pairs(a2, b, threshold=0.9).collect()
     }
     assert (1, 3) not in got2 and (3, 10) in got2
+
+
+# ---------------------------------------------- scale-safe default codebook
+
+def _unlabeled_vectors(spark, n, dim=8):
+    rows = [
+        (
+            i,
+            [float(i) / n]
+            + [float((i * p + p * p) % 17 - 8) / 8.0 for p in range(2, dim + 1)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_default_codebook_kmeans_k_grows_with_n(spark):
+    """No label column -> kmeans quantizer with K ~= sqrt(N) (clamped at 16):
+    the within-cell candidate term stays ~N^1.5 instead of N^2/|labels|."""
+    small = similarity.default_codebook(_unlabeled_vectors(spark, 120))
+    big = similarity.default_codebook(_unlabeled_vectors(spark, 1600))
+    assert len(small) == 16          # sqrt(120)≈10 -> clamped to the floor
+    assert len(big) == 40            # sqrt(1600)
+    assert len(big) > len(small)
+
+
+def test_default_codebook_label_path_unchanged(spark):
+    """With a label column the default stays one-centroid-per-label (the
+    oracle-parity path): K == label cardinality, independent of N."""
+    rows = [(i, [float(i % 3), 1.0, 0.0], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = similarity.default_codebook(df)
+    assert [c for c, _ in cb] == [0, 1, 2]
+
+
+def test_semantic_dedup_unlabeled_default_runs_and_dedups(spark):
+    """Default path on an unlabeled frame: near-identical vectors collapse
+    to the lowest id even though no label/codebook is supplied."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ] + [(100 + i, [0.0, 0.0, float(1 + i % 5), float(i)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kept = {r["vec_id"] for r in similarity.semantic_dedup(df, threshold=0.95).collect()}
+    assert 0 in kept and 1 not in kept and 10 in kept
+
+
+def test_probe_cells_arrow_matches_literal_path(spark):
+    """Arrow probe selection (large-K path) agrees with the codegen-literal
+    probe_cells on the same codebook, including the (dist, cell) tie-break."""
+    df = _unlabeled_vectors(spark, 50)
+    cb = similarity.kmeans_codebook(df, k=10, iterations=5)
+    lit = (
+        df.select(
+            "vec_id",
+            similarity.probe_cells(F.col("embedding"), cb, 3).alias("p"),
+        )
+        .collect()
+    )
+    arr = similarity.probe_cells_arrow(df, cb, 3).select("vec_id", "_probes").collect()
+    lit_m = {r["vec_id"]: list(r["p"]) for r in lit}
+    arr_m = {r["vec_id"]: list(r["_probes"]) for r in arr}
+    assert lit_m == arr_m
+
+
+def test_knn_graph_ivf_arrow_path_matches_small_k_semantics(spark):
+    """Force the >128-cell Arrow dispatch with an explicit codebook and
+    check every vector still gets <= k neighbors from its probed cells,
+    and that a tight near-dup pair finds each other."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+    ] + [
+        (10 + i, [float(i) / 200.0] + [float((i * p) % 7 - 3) for p in range(1, 4)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = similarity.kmeans_codebook(df, k=130, iterations=3)
+    assert len(cb) > similarity._LITERAL_CODEBOOK_MAX
+    g = similarity.knn_graph_ivf(df, k=3, nprobe=2, codebook=cb)
+    rows_out = g.collect()
+    per_q = {}
+    for r in rows_out:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())
+    assert any(r["nid"] == 1 for r in per_q.get(0, []))
+
+
+def test_recall_at_k_exact_side_duplicates_do_not_deflate(spark):
+    """Mirror of the approx-dup guard: duplicated (id) rows on the EXACT
+    side must not inflate n_exact."""
+    exact = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(0,), (1,)], "vec_id bigint"
+    )
+    approx = spark.createDataFrame([(i,) for i in range(7)], "vec_id bigint")
+    row = similarity.recall_at_k(approx, exact).collect()[0]
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 7, 0.7)
