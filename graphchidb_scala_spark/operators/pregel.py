@@ -431,8 +431,12 @@ def propagate_labels(
     absent from ``initial`` that receives a label holds it and forwards it
     in later rounds (Pregel-style: the graph defines the universe). That is
     usually what seeded propagation wants (labels reach the rest of the
-    graph). ``restrict_to_initial=True`` semi-joins the OUTPUT back to the
-    initial id set; reached vertices still act as conduits mid-run."""
+    graph). The OUTPUT is always restricted to the graph's vertex universe
+    (one final semi-join against ``db.vertices`` ids, the same pattern as
+    pagerank's universe restore above): edge endpoints outside an explicit
+    vertices table act as conduits mid-run but never gain output rows.
+    ``restrict_to_initial=True`` additionally semi-joins the output back to
+    the initial id set."""
     agg_fn = {"min": F.min, "max": F.max, "sum": F.sum}[agg]
     e = _checkpoint(db._typed(etype).select("src", "dst"))
     init = _checkpoint(initial.select("id", "lbl"))
@@ -444,6 +448,10 @@ def propagate_labels(
         labels = msgs.unionAll(labels).groupBy("id").agg(agg_fn("lbl").alias("lbl"))
         if (i + 1) % 3 == 0:
             labels = _checkpoint(labels)
+    # final (not per-iteration) universe restore, as in pagerank: with no
+    # explicit vertices table db.vertices derives from edge endpoints and
+    # this is a no-op; with one, phantom endpoints are dropped
+    labels = labels.join(db.vertices.select("id"), "id", "semi")
     if restrict_to_initial:
         labels = labels.join(init.select("id"), "id", "semi")
     return labels
