@@ -832,13 +832,11 @@ def _q_incremental_degrees(spark, sf):
     """Maintained degrees table: init from the graph, append a batch with one
     replaced key (degrees unchanged) and one new key (+1/+1); the view must
     equal a full recompute."""
-    import tempfile
-
     from graphchidb_scala_spark.streaming.ingest import EdgeStore
 
     g = _g(spark, sf)
     store = EdgeStore(
-        spark, tempfile.mkdtemp(prefix="incdeg_"), num_buckets=8, maintain_degrees=True
+        spark, _scratch_index_dir("incdeg", sf), num_buckets=8, maintain_degrees=True
     )
     store.init_base(g.edges)
     d = _min_dst(g)
@@ -848,6 +846,27 @@ def _q_incremental_degrees(spark, sf):
     )
     store.add_batch(batch)
     return store.degrees_view()
+
+
+def _q_vertex_delete_online(spark, sf):
+    """Online vertex delete on the LSM store (EdgeStore.delete_vertex,
+    GraphChiDatabase.scala:1307-1337 parity): tombstone every edge incident
+    to vertex 1 in one batch, then read back the surviving edge set per
+    etype — immediately visible, base never rewritten."""
+    from graphchidb_scala_spark.streaming.ingest import EdgeStore
+
+    g = _g(spark, sf)
+    store = EdgeStore(spark, _scratch_index_dir("vdel", sf), num_buckets=8)
+    store.init_base(g.edges)
+    store.delete_vertex(1)
+    return (
+        store.edges()
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.countDistinct("src").cast("bigint").alias("n_src"),
+        )
+    )
 
 
 def _q_drop_near_dups(spark, sf):
@@ -2104,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_get": _q_edge_get,
         "edge_mutations": _q_edge_mutations,
         "vertex_delete": _q_vertex_delete,
+        "vertex_delete_online": _q_vertex_delete_online,
         # §2.6 aggregations
         "degrees": _q_degrees,
         "graph_counts": _q_graph_counts,
@@ -2895,6 +2915,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vertex_delete": _gsql(
             "SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges WHERE src <> 1 AND dst <> 1"
+        ),
+        "vertex_delete_online": _gsql(
+            "SELECT etype, CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(count(DISTINCT src) AS BIGINT) AS n_src "
+            "FROM edges WHERE src <> 1 AND dst <> 1 GROUP BY etype"
         ),
         "degrees": _gsql(
             "SELECT id, CAST(SUM(in_c) AS BIGINT) AS in_deg, CAST(SUM(out_c) AS BIGINT) AS out_deg "

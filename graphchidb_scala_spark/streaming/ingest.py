@@ -148,6 +148,31 @@ class EdgeStore:
             )
             delta.write.mode("append").parquet(self.deg_appends_dir)
 
+    def delete_vertex(self, vertex: int) -> None:
+        """Online vertex delete: tombstone every LIVE edge incident to
+        ``vertex`` — all in- and out-edges across every edge type — in one
+        :meth:`delete_batch`. Parity with the reference's online vertex
+        removal, which walks every shard's in+out pointer lists for the
+        vertex and marks each edge deleted (GraphChiDatabase.scala:1307-1337,
+        QueryShard.java:308-314); here the walk is one read of the deduped
+        edge view filtered to ``src = v OR dst = v``.
+
+        Scale shape: the src side of the disjunction prunes against the
+        src-sorted bucketed base (row-group min/max); the dst side is the
+        price of having no in-edge index — a predicate-pushed column scan
+        of dst, the same cost class as the reference's in-edge index probe
+        amortized over shards. Degree parity, delete→re-add win-back and
+        compaction purge all inherit from delete_batch's tombstone
+        discipline (tombstoning only live keys keeps the degree deltas
+        exact)."""
+        v = int(vertex)
+        keys = (
+            self.edges()
+            .filter((F.col("src") == v) | (F.col("dst") == v))
+            .select(*EDGE_KEY)
+        )
+        self.delete_batch(keys)
+
     def _existing_key_probe(self, bkeys: DataFrame, version: int) -> DataFrame | None:
         """Which of the batch's (etype, src, dst) keys already exist in the
         pre-batch store (rows with ``_v < version``)? The base read is pruned

@@ -667,3 +667,57 @@ def test_edges_as_of_version_snapshot(store, spark):
     assert keys(as_of=v1) == base_keys + [(0, 100, 101)]  # after batch 1
     assert keys(as_of=v2) == [(0, 1, 3), (0, 2, 3), (0, 100, 101)]  # delete seen
     assert keys() == [(0, 1, 3), (0, 2, 3), (0, 100, 101), (0, 200, 201)]
+
+
+def test_delete_vertex_removes_all_incident_edges(spark, tmp_path):
+    """Online vertex delete (GraphChiDatabase.scala:1307-1337 parity): all
+    in+out edges of the vertex across every etype gone immediately; other
+    edges untouched; degree view matches a full recompute; compaction
+    physically purges; re-adding an edge afterwards wins back."""
+    st = EdgeStore(spark, str(tmp_path / "vdel"), num_buckets=2, maintain_degrees=True)
+    st.init_base(
+        spark.createDataFrame(
+            [
+                (0, 1, 2, 1.0),   # out-edge of 2? no: in-edge of 2
+                (0, 2, 3, 1.0),   # out-edge of 2
+                (1, 4, 2, 1.0),   # in-edge of 2, other etype
+                (0, 3, 4, 1.0),   # untouched
+            ],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    # an APPENDED (not yet compacted) incident edge must go too
+    st.add_batch(
+        spark.createDataFrame(
+            [(0, 2, 9, 5.0)], "etype int, src bigint, dst bigint, weight double"
+        )
+    )
+    st.delete_vertex(2)
+    left = sorted((r["etype"], r["src"], r["dst"]) for r in st.edges().collect())
+    assert left == [(0, 3, 4)]
+    # degree parity: incremental view == recompute from surviving edges
+    got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
+    want = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.graph().degrees().collect()}
+    assert got == want
+    # compaction purges the tombstones physically
+    st.compact()
+    after = sorted((r["etype"], r["src"], r["dst"]) for r in st.edges().collect())
+    assert after == [(0, 3, 4)]
+    # win-back: re-adding a formerly-incident edge is visible again
+    st.add_batch(
+        spark.createDataFrame(
+            [(0, 1, 2, 7.0)], "etype int, src bigint, dst bigint, weight double"
+        )
+    )
+    assert st.graph().edge_exists(0, 1, 2)
+
+
+def test_delete_vertex_idempotent_on_absent_vertex(spark, tmp_path):
+    st = EdgeStore(spark, str(tmp_path / "vdel2"), num_buckets=2)
+    st.init_base(
+        spark.createDataFrame(
+            [(0, 1, 2, 1.0)], "etype int, src bigint, dst bigint, weight double"
+        )
+    )
+    st.delete_vertex(99)  # no incident edges: no-op, no error
+    assert st.graph().num_edges() == 1
