@@ -39,6 +39,29 @@ from graphchidb_scala_spark.sources.tpch import SUPP_OFFSET, load_tables, tpch_g
 from graphchidb_scala_spark.streaming.ingest import EdgeStore
 
 
+def aggregate_reps(
+    per_rep: list[dict[str, float | None]],
+) -> tuple[dict[str, float | None], dict[str, list[float]], float]:
+    """(medians, spread, total) over the reps, EXCLUDING failed timings: a
+    query that raised records None for that rep, surfaces with a null
+    median (and no spread entry) when every rep failed, and never folds its
+    time-to-fail into the headline total. Pure so the failure accounting is
+    unit-testable without a SparkSession (tests/test_bench.py)."""
+    names = list(per_rep[0].keys())
+    ok_times = {n: [r[n] for r in per_rep if r.get(n) is not None] for n in names}
+    medians: dict[str, float | None] = {
+        n: (round(statistics.median(ts), 3) if ts else None)
+        for n, ts in ok_times.items()
+    }
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)]
+        for n, ts in ok_times.items()
+        if ts
+    }
+    total = round(sum(v for v in medians.values() if v is not None), 3)
+    return medians, spread, total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -220,18 +243,7 @@ def main() -> None:
             )
             break
 
-    names = list(per_rep[0].keys())
-    ok_times = {n: [r[n] for r in per_rep if r.get(n) is not None] for n in names}
-    medians = {
-        n: (round(statistics.median(ts), 3) if ts else None)
-        for n, ts in ok_times.items()
-    }
-    spread = {
-        n: [round(min(ts), 3), round(max(ts), 3)]
-        for n, ts in ok_times.items()
-        if ts
-    }
-    total = round(sum(v for v in medians.values() if v is not None), 3)
+    medians, spread, total = aggregate_reps(per_rep)
     medians["setup_cache"] = round(setup_sec, 3)
     out = {
         "metric": "headline_queries_total",
