@@ -1405,3 +1405,53 @@ def test_recall_at_k_exact_side_duplicates_do_not_deflate(spark):
     approx = spark.createDataFrame([(i,) for i in range(7)], "vec_id bigint")
     row = similarity.recall_at_k(approx, exact).collect()[0]
     assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 7, 0.7)
+
+
+# ------------------------------------- cross-corpus adversarial bounds
+
+def _tiny_vocab_corpus(spark, n, start_id, word):
+    # every doc shares one tiny vocabulary -> LSH buckets approach all-pairs
+    rows = [(start_id + i, (word + " ") * 40 + f"tail{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_crosscorpus_bucket_cap_bounds_candidates(spark):
+    """On an adversarial shared-vocabulary corpus the per-(band,bucket) cap
+    bounds the band join; with the cap the op still finds a planted true
+    near-dup pair when buckets do not overflow past it."""
+    a = _tiny_vocab_corpus(spark, 30, 0, "alpha beta gamma")
+    b = _tiny_vocab_corpus(spark, 30, 1000, "alpha beta gamma")
+    uncapped = dedup.cross_corpus_neardup_pairs(a, b, threshold=0.2)
+    capped = dedup.cross_corpus_neardup_pairs(a, b, threshold=0.2, bucket_cap=5)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # cap bounds the output (cap^2 per band-bucket vs ~all-pairs)
+    assert n_cap < n_unc
+    assert n_cap <= 32 * 5 * 5  # bands * cap^2 upper bound on pairs
+    # a planted exact dup with a cap large enough to hold both sides is found
+    a2 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog")], "doc_id bigint, text string"
+    )
+    got = dedup.cross_corpus_neardup_pairs(a2, b2, threshold=0.9, bucket_cap=5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+
+def test_crosscorpus_size_ratio_prune_is_lossless(spark):
+    """The always-on size-ratio prefilter never drops a qualifying pair:
+    docs of very different shingle counts cannot reach the threshold, and
+    near-equal-size true pairs still pass."""
+    a = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),   # exact dup
+            (11, "aaaa " * 50 + "bbbb " * 50 + "unrelated " * 200),  # huge doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.cross_corpus_neardup_pairs(a, b, threshold=0.8).collect()}
+    assert got == {(1, 10)}
