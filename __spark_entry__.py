@@ -17,7 +17,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graphchidb_scala_spark.db import GraphDB
+from graphchidb_scala_spark.db import (
+    GraphDB,
+    categorical_dictionary,
+    categorical_encode,
+)
 from graphchidb_scala_spark.functions import (
     dedup,
     events,
@@ -867,6 +871,16 @@ def _q_vertex_delete_online(spark, sf):
             F.countDistinct("src").cast("bigint").alias("n_src"),
         )
     )
+
+
+def _q_categorical_encode(spark, sf):
+    """Categorical name↔index dictionary (Column.scala:228-242
+    createCategoricalColumn parity): deterministic dense codes in value
+    sort order, applied to the vertex-type column via one broadcast join."""
+    g = _g(spark, sf)
+    d = categorical_dictionary(g.vertices, "vtype")
+    enc = categorical_encode(g.vertices.select("id", "vtype"), "vtype", d)
+    return enc.select("id", F.col("vtype_code").cast("int").alias("code"))
 
 
 def _q_drop_near_dups(spark, sf):
@@ -2124,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_mutations": _q_edge_mutations,
         "vertex_delete": _q_vertex_delete,
         "vertex_delete_online": _q_vertex_delete_online,
+        # §2.11 scalar functions: categorical name<->index dictionary
+        "categorical_encode": _q_categorical_encode,
         # §2.6 aggregations
         "degrees": _q_degrees,
         "graph_counts": _q_graph_counts,
@@ -2920,6 +2936,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT etype, CAST(count(*) AS BIGINT) AS n_edges, "
             "CAST(count(DISTINCT src) AS BIGINT) AS n_src "
             "FROM edges WHERE src <> 1 AND dst <> 1 GROUP BY etype"
+        ),
+        "categorical_encode": _gsql(
+            "SELECT v.id, CAST(d.code AS INTEGER) AS code FROM vertices v "
+            "JOIN (SELECT vtype, row_number() OVER (ORDER BY vtype) - 1 AS code "
+            "      FROM (SELECT DISTINCT vtype FROM vertices)) d "
+            "ON d.vtype = v.vtype"
         ),
         "degrees": _gsql(
             "SELECT id, CAST(SUM(in_c) AS BIGINT) AS in_deg, CAST(SUM(out_c) AS BIGINT) AS out_deg "

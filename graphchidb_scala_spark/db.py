@@ -456,3 +456,63 @@ class GraphDB:
             .limit(1)
             .select("id")
         )
+
+
+# ---------------------------------------------------------- categorical codes
+
+def categorical_dictionary(df: DataFrame, col: str) -> DataFrame:
+    """Deterministic (value ↔ code) dictionary for a categorical column —
+    parity helper for the reference's byte-coded categorical vertex columns
+    (Column.scala:228-242 createCategoricalColumn: values indexed by their
+    position in the category list; here the list is the sorted distinct
+    value set, so code assignment is reproducible across runs and engines).
+    Returns DF(value, code) with dense codes 0..K-1 in value sort order.
+
+    Scale shape: one distinct (map-side combined) over the column, then a
+    window over the DISTINCT SET only — categorical means K ≪ N, so the
+    single-partition rank over K values is driver-trivial while the N-row
+    encode stays a broadcast-joined projection. (Parquet already
+    dictionary-codes string pages at rest — this helper exists for users
+    porting explicit byte-coded columns, not for storage efficiency.)"""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("value")
+    return (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .select("value", (F.row_number().over(w) - 1).cast("int").alias("code"))
+    )
+
+
+def categorical_encode(
+    df: DataFrame,
+    col: str,
+    dictionary: DataFrame | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace ``col``'s values with their dictionary codes (keeping every
+    other column). With no dictionary supplied, builds one from the column
+    itself. Values absent from a supplied dictionary encode as NULL (the
+    unseen-category contract a train/serve split needs). One broadcast
+    equi-join — the dictionary is K rows by definition."""
+    out = out_col or f"{col}_code"
+    d = dictionary if dictionary is not None else categorical_dictionary(df, col)
+    mapping = F.broadcast(
+        d.select(F.col("value").alias(col), F.col("code").alias(out))
+    )
+    return df.join(mapping, col, "left").drop(col)
+
+
+def categorical_decode(
+    df: DataFrame,
+    code_col: str,
+    dictionary: DataFrame,
+    out_col: str,
+) -> DataFrame:
+    """Inverse of :func:`categorical_encode`: codes back to values via the
+    same broadcast dictionary; unknown codes decode as NULL."""
+    mapping = F.broadcast(
+        dictionary.select(F.col("code").alias(code_col), F.col("value").alias(out_col))
+    )
+    return df.join(mapping, code_col, "left").drop(code_col)

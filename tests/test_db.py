@@ -164,3 +164,34 @@ def test_add_vertices_autofill_defaults(spark):
     )
     got = {r["id"]: r["name"] for r in g2.vertices.collect()}
     assert got == {1: "a", 2: "b", 3: "v3", 4: "v4"}
+
+
+def test_categorical_dictionary_roundtrip(spark):
+    """Column.scala:228-242 parity: deterministic dense codes in value sort
+    order; encode→decode roundtrips; unseen values/codes map to NULL."""
+    from graphchidb_scala_spark.db import (
+        categorical_decode,
+        categorical_dictionary,
+        categorical_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red"), (4, "green"), (5, None)],
+        "id bigint, color string",
+    )
+    d = categorical_dictionary(df, "color")
+    assert [(r["value"], r["code"]) for r in d.orderBy("code").collect()] == [
+        ("blue", 0), ("green", 1), ("red", 2),
+    ]
+    enc = categorical_encode(df, "color", d)
+    got = {r["id"]: r["color_code"] for r in enc.collect()}
+    assert got == {1: 2, 2: 0, 3: 2, 4: 1, 5: None}
+    dec = categorical_decode(enc, "color_code", d, out_col="color")
+    back = {r["id"]: r["color"] for r in dec.collect()}
+    assert back == {1: "red", 2: "blue", 3: "red", 4: "green", 5: None}
+    # a value outside a supplied dictionary encodes as NULL
+    df2 = spark.createDataFrame([(9, "violet")], "id bigint, color string")
+    assert categorical_encode(df2, "color", d).collect()[0]["color_code"] is None
+    # self-built dictionary path (no dictionary arg)
+    auto = categorical_encode(df, "color")
+    assert {r["id"]: r["color_code"] for r in auto.collect()} == got
