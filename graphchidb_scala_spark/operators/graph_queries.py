@@ -1483,11 +1483,15 @@ def powerlaw_alpha(db: GraphDB, etype: int | None = None) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Σ ln(d) = 0 on a degenerate all-degree-1 graph (perfect matching):
+    # the MLE is undefined there, so return NULL explicitly instead of
+    # inf/NULL-by-division
+    ln_sum = F.sum(F.log(F.col("d").cast("double")))
     return deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
-        F.round(
-            F.lit(1.0) + F.count(F.lit(1)) / F.sum(F.log(F.col("d").cast("double"))),
-            4,
+        F.when(
+            ln_sum > 0,
+            F.round(F.lit(1.0) + F.count(F.lit(1)) / ln_sum, 4),
         ).alias("alpha"),
     )
 
@@ -1518,27 +1522,26 @@ def graph_diff(
 
 
 def _partition_tables(db: GraphDB, labels: DataFrame, etype: int | None):
-    """Shared tables for the partition-quality metrics: canonical
-    undirected edges, the edge set with both endpoint labels attached
-    (lx, ly — endpoint equi-joins), and per-community degree volume.
-    Unlabeled endpoints drop out of both ej and vol, so modularity and
-    conductance always score the SAME labeled subgraph."""
+    """Shared tables for the partition-quality metrics: the edge set with
+    both endpoint labels attached (lx, ly — endpoint equi-joins) and
+    per-community degree volume. EVERY quantity — edge count m, degrees,
+    volumes — is computed over the labeled INDUCED subgraph (edges with
+    both endpoints labeled), so with a partial labels partition modularity
+    stays properly normalized (Σ vol_c = 2m) and conductance scores the
+    same subgraph; with a total labeling this equals the whole graph."""
     ce = _canonical_undirected(db._typed(etype))
     lx = labels.select(F.col("id").alias("x"), F.col("lbl").alias("lx"))
     ly = labels.select(F.col("id").alias("y"), F.col("lbl").alias("ly"))
     ej = ce.join(lx, "x").join(ly, "y")
-    deg = (
-        ce.select(F.col("x").alias("id"))
-        .unionAll(ce.select(F.col("y").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # induced-subgraph degrees: both unions come from ej, so edges to
+    # unlabeled endpoints contribute to neither endpoint's degree
     vol = (
-        deg.join(labels.select("id", "lbl"), "id")
+        ej.select(F.col("lx").alias("lbl"))
+        .unionAll(ej.select(F.col("ly").alias("lbl")))
         .groupBy("lbl")
-        .agg(F.sum("d").alias("vol"))
+        .agg(F.count(F.lit(1)).alias("vol"))
     )
-    return ce, ej, vol
+    return ej, vol
 
 
 def modularity(
@@ -1551,18 +1554,21 @@ def modularity(
     edges, vol_c = summed degree of community c — the objective every
     community detector (label propagation, Louvain) is scored by. 1-row
     DF(n_communities, modularity) rounded to 6dp. ``labels`` is DF(id,
-    lbl); unlabeled endpoints drop out (document the partition you score).
+    lbl); with a PARTIAL labeling the score is the modularity of the
+    labeled induced subgraph — m, degrees and volumes all come from edges
+    with both endpoints labeled, so Σ vol_c = 2m holds and Q is properly
+    normalized whatever slice you score.
 
     Shape: canonical edges join labels twice (endpoint equi-joins), then
     two map-side-combined aggregations — per-community partials, then the
     scalar. No per-community scans, no collect."""
-    ce, ej, vol = _partition_tables(db, labels, etype)
+    ej, vol = _partition_tables(db, labels, etype)
     intra = (
         ej.filter(F.col("lx") == F.col("ly"))
         .groupBy(F.col("lx").alias("lbl"))
         .agg(F.count(F.lit(1)).alias("mc"))
     )
-    m = ce.agg(F.count(F.lit(1)).alias("m"))
+    m = ej.agg(F.count(F.lit(1)).alias("m"))
     per_c = vol.join(intra, "lbl", "left").select(
         "lbl", "vol", F.coalesce(F.col("mc"), F.lit(0)).alias("mc")
     )
@@ -1591,7 +1597,7 @@ def conductance(
     Same two endpoint label joins as :func:`modularity`; the cut is the
     cross-label edge count per side (each boundary edge charges both its
     communities), aggregated map-side."""
-    ce, ej, vol = _partition_tables(db, labels, etype)
+    ej, vol = _partition_tables(db, labels, etype)
     cross = ej.filter(F.col("lx") != F.col("ly"))
     cut = (
         cross.select(F.col("lx").alias("lbl"))

@@ -315,9 +315,11 @@ class EdgeStore:
         w = Window.partitionBy(*EDGE_KEY).orderBy(F.desc("_v"))
         raw = self.spark.read.option("mergeSchema", "true").parquet(self.appends_dir)
         if as_of is not None:
+            # plan-time predicate only — an empty filtered appends set flows
+            # through the window/anti-join and yields base unchanged, so a
+            # snapshot read really costs the same as a current read (no
+            # eager job at plan construction)
             raw = raw.filter(F.col("_v") <= int(as_of))
-            if not raw.limit(1).collect():
-                return base if base is not None else raw.drop("_v", "_del")
         appends = raw.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         )
