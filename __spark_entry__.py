@@ -472,7 +472,31 @@ def _q_triangles(spark, sf):
 
 
 def _q_ego_net(spark, sf):
-    return gq.ego_net(_g(spark, sf), PART_OFFSET + 1)
+    """Ego-net of the max-degree part in the co-purchase projection (ties →
+    min id). The tripartite base graph is triangle-free, so the layered
+    fixture made the old customer-vertex key vacuously 0-row green; running
+    on the projection — where parts sharing an order interconnect — makes
+    the key exercise the induced-subgraph join for real (nonzero rows at
+    every sf where any order has ≥3 parts)."""
+    g = _g(spark, sf)
+    op = g._typed(1).select(F.col("src").alias("o"), F.col("dst").alias("p"))
+    proj = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    db2 = GraphDB(proj.select(F.lit(0).alias("etype"), "src", "dst"))
+    ego = (
+        proj.select(F.col("src").alias("id"))
+        .unionAll(proj.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), "id")
+        .first()["id"]
+    )
+    return gq.ego_net(db2, int(ego))
 
 
 def _q_random_vertex(spark, sf):
@@ -688,9 +712,12 @@ def _q_doc_wordgram_neardup(spark, sf):
 
 
 def _scratch_index_dir(kind: str, sf: str) -> str:
-    """Fixed per-(index-kind, sf-dir) scratch path for the persisted-index
-    probes, wiped before each rebuild — repeated correctness-harness runs
-    reuse one directory instead of leaking a fresh mkdtemp every invocation."""
+    """Per-(index-kind, sf-dir, PID) scratch path for the persisted-index
+    probes, wiped before each rebuild — repeated harness runs within one
+    process reuse one directory instead of leaking a fresh mkdtemp per
+    invocation, while the PID component keeps concurrent processes (e.g.
+    bench and correctness overlapping on the same sf dir) on disjoint paths
+    so one can't rmtree the other's live index mid-read."""
     import hashlib
     import os
     import shutil
@@ -698,7 +725,8 @@ def _scratch_index_dir(kind: str, sf: str) -> str:
 
     d = os.path.join(
         tempfile.gettempdir(),
-        f"graphchidb_idx_{kind}_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        f"graphchidb_idx_{kind}_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
     return d
@@ -2984,10 +3012,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ego_net": (
             "WITH\n" + GRAPH_SQL_CTES + ",\n"
-            f"nb AS (SELECT b AS id FROM und WHERE a = {PART_OFFSET + 1}),\n"
-            "ie AS (SELECT e.src, e.dst FROM edges e "
-            "JOIN nb s ON s.id = e.src JOIN nb d ON d.id = e.dst)\n"
-            "SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM ie WHERE src <> dst"
+            "e0 AS (\n"
+            "  SELECT DISTINCT a.dst AS x, b.dst AS y\n"
+            "  FROM edges a JOIN edges b ON b.src = a.src\n"
+            "  WHERE a.etype = 1 AND b.etype = 1 AND a.dst < b.dst\n"
+            "),\n"
+            "s0 AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),\n"
+            "ego AS (SELECT u FROM s0 GROUP BY u ORDER BY count(*) DESC, u LIMIT 1),\n"
+            "nb AS (SELECT s0.v AS id FROM s0 JOIN ego ON s0.u = ego.u)\n"
+            "SELECT DISTINCT e0.x, e0.y FROM e0 "
+            "JOIN nb n1 ON n1.id = e0.x JOIN nb n2 ON n2.id = e0.y"
         ),
         "triangle_count": (
             "WITH\n" + GRAPH_SQL_CTES + ",\n"

@@ -460,7 +460,9 @@ class GraphDB:
 
 # ---------------------------------------------------------- categorical codes
 
-def categorical_dictionary(df: DataFrame, col: str) -> DataFrame:
+def categorical_dictionary(
+    df: DataFrame, col: str, max_cardinality: int = 65_536
+) -> DataFrame:
     """Deterministic (value ↔ code) dictionary for a categorical column —
     parity helper for the reference's byte-coded categorical vertex columns
     (Column.scala:228-242 createCategoricalColumn: values indexed by their
@@ -473,15 +475,33 @@ def categorical_dictionary(df: DataFrame, col: str) -> DataFrame:
     single-partition rank over K values is driver-trivial while the N-row
     encode stays a broadcast-joined projection. (Parquet already
     dictionary-codes string pages at rest — this helper exists for users
-    porting explicit byte-coded columns, not for storage efficiency.)"""
+    porting explicit byte-coded columns, not for storage efficiency.)
+
+    The K ≪ N contract is ENFORCED, not assumed: the distinct-set size is
+    checked against ``max_cardinality`` (default 65,536 — comfortably past
+    any byte-/short-coded categorical, far below where the unpartitioned
+    rank window or the broadcast encode would hurt) and a ValueError names
+    the column when exceeded — pointing a user at a free-text/id column
+    fails fast instead of funnelling the distinct set through one task."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("value")
-    return (
+    distinct = (
         df.select(F.col(col).alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
-        .select("value", (F.row_number().over(w) - 1).cast("int").alias("code"))
+    )
+    k = distinct.limit(int(max_cardinality) + 1).count()
+    if k > int(max_cardinality):
+        raise ValueError(
+            f"categorical_dictionary: column {col!r} has more than "
+            f"{max_cardinality} distinct values — not categorical. The "
+            "dictionary ranks the distinct set in a single-partition window "
+            "and broadcasts it for encode; use a hash/surrogate key or raise "
+            "max_cardinality explicitly if this is intended."
+        )
+    w = Window.orderBy("value")
+    return distinct.select(
+        "value", (F.row_number().over(w) - 1).cast("int").alias("code")
     )
 
 

@@ -127,6 +127,20 @@ def shingle_table(
     )
 
 
+def _prefilter_tau(threshold: float) -> float:
+    """Effective threshold for LOSSLESS candidate prefilters.
+
+    The final verify compares ``round(jaccard, 4) >= threshold``, so a pair
+    with true J in [threshold - 5e-5, threshold) rounds UP and passes — any
+    prefilter derived from the *exact* threshold (prefix length, size-ratio
+    bounds) could drop such a pair and silently lose it. Slacking the
+    prefilter threshold by the rounding half-ulp keeps every pair the final
+    filter would accept. Returns 0.0 (meaning: skip ratio filters entirely)
+    when the slacked threshold is non-positive, which also avoids the
+    divide-by-zero NULL trap at threshold == 0."""
+    return max(float(threshold) - 5e-5, 0.0)
+
+
 # ------------------------------------------------------- exact n-gram Jaccard
 
 def ngram_jaccard_pairs(
@@ -186,7 +200,8 @@ def ngram_jaccard_pairs(
     dfreq = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).filter(
         F.col("_df") >= 2
     )
-    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + F.lit(1)
+    tau = _prefilter_tau(threshold)
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + F.lit(1)
     pref = (
         cut_lineage(expl.join(dfreq, "sh", "left")
         .withColumn("_d", F.coalesce("_df", F.lit(1)))
@@ -201,9 +216,9 @@ def ngram_jaccard_pairs(
     keys = (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
         keys = keys & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    if threshold > 0:
-        keys = keys & (F.col("b.n") * float(threshold) <= F.col("a.n")) & (
-            F.col("a.n") * float(threshold) <= F.col("b.n")
+    if tau > 0:
+        keys = keys & (F.col("b.n") * tau <= F.col("a.n")) & (
+            F.col("a.n") * tau <= F.col("b.n")
         )
     cand = (
         a.join(b, keys)
@@ -638,7 +653,17 @@ def cross_corpus_neardup_pairs(
       overflowing buckets: a true pair is missed only if EVERY band where
       the two docs agree overflows past both of them, so with the default
       32 bands recall degrades gracefully; leave None (default) for the
-      exact-recall oracle geometry."""
+      exact-recall oracle geometry.
+
+      **Choosing the cap** (measured on the worst case — a tiny shared
+      vocabulary where every A×B pair is a true dup and every bucket holds
+      the whole corpus, BENCHNOTES round 7): recall is 1.0 once the cap
+      reaches the widest true-duplicate group, and degrades only below it
+      (cap = half the group width retained 98%, a quarter 65%). Rule of
+      thumb: set ``bucket_cap`` to a few × the largest duplicate-cluster
+      size you expect (≈100 for web crawls) — that keeps the band join
+      bounded by bands·cap² per bucket while losing nothing on real
+      corpora, where duplicate clusters are far narrower than buckets."""
     rows_per_band = max(num_hashes // bands, 1)
 
     def _prep(df: DataFrame):
@@ -711,21 +736,33 @@ def cross_corpus_neardup_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        # lossless size-ratio prune before the array kernel: J >= tau forces
-        # tau*|A| <= |B| <= |A|/tau on distinct-shingle counts; the (id, n)
-        # projections are bytes-wide, so these joins cost far less than the
-        # array_intersect rows they eliminate on a shared-vocab corpus
-        .join(
-            base_a.select(F.col("id").alias("id_a"), F.col("n").alias("_na")), "id_a"
+    )
+    # lossless size-ratio prune before the array kernel: round(J,4) >= t
+    # forces tau*|A| <= |B| <= |A|/tau on distinct-shingle counts for
+    # tau = t - 5e-5 (the rounding half-ulp slack — the final verify compares
+    # the ROUNDED jaccard, so the exact-threshold bound could drop a pair the
+    # verify would keep). The (id, n) projections are bytes-wide, so these
+    # joins cost far less than the array_intersect rows they eliminate on a
+    # shared-vocab corpus. Skipped entirely at tau <= 0, where every pair
+    # passes anyway and _na/tau would divide by zero.
+    tau = _prefilter_tau(threshold)
+    if tau > 0:
+        cands = (
+            cands.join(
+                base_a.select(F.col("id").alias("id_a"), F.col("n").alias("_na")),
+                "id_a",
+            )
+            .join(
+                base_b.select(F.col("id").alias("id_b"), F.col("n").alias("_nb")),
+                "id_b",
+            )
+            .filter(
+                (F.col("_nb") >= tau * F.col("_na"))
+                & (F.col("_nb") <= F.col("_na") / tau)
+            )
         )
-        .join(
-            base_b.select(F.col("id").alias("id_b"), F.col("n").alias("_nb")), "id_b"
-        )
-        .filter(
-            (F.col("_nb") >= float(threshold) * F.col("_na"))
-            & (F.col("_nb") <= F.col("_na") / float(threshold))
-        )
-        .select("id_a", "id_b")
+    cands = (
+        cands.select("id_a", "id_b")
         # spread the verify stage: the candidate list is BYTES-small, so AQE
         # coalesces it to one partition — but each row costs an
         # array_intersect over two shingle arrays, and on a shared-vocab

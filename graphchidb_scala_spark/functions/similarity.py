@@ -174,13 +174,22 @@ def ann_topk_ivf(
     only the ``nprobe`` cells nearest the query, brute-force within them.
     Probe selection is driver-side (codebook is small); the scan reads
     N·nprobe/K of the data. At scale, persist the assignment
-    (partitionBy(cell)) so probes become partition pruning instead of a scan."""
+    (partitionBy(cell)) so probes become partition pruning instead of a scan.
+
+    With ``codebook=None`` the quantizer comes from :func:`default_codebook`
+    (label centroids when a label column exists, else k-means K≈sqrt(N) —
+    same scale-safe dispatch as :func:`knn_graph_ivf`/:func:`semantic_dedup`,
+    so an unlabeled frame degrades to a 1/(K/nprobe) scan, not an error);
+    codebooks past ``_LITERAL_CODEBOOK_MAX`` cells assign via the Arrow
+    matmul path instead of codegen literals."""
     if codebook is None:
-        codebook = ivf_codebook(df, vec_col=vec_col)
+        codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
     probes = _nearest_cells(query_vec, codebook, nprobe)
-    cand = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook)).filter(
-        F.col("_cell").isin([int(p) for p in probes])
-    )
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        assigned = assign_cells_arrow(df, codebook, vec_col=vec_col, out_col="_cell")
+    else:
+        assigned = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
+    cand = assigned.filter(F.col("_cell").isin([int(p) for p in probes]))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -434,12 +443,19 @@ def kmeans_codebook(
     The model stays driver-resident (K·dim doubles — 2 MB at K=4096,
     dim=64); only assignment is distributed. For K past the codegen-literal
     sweet spot (~hundreds), assign with :func:`assign_cells_arrow` instead
-    of :func:`ivf_cell`."""
+    of :func:`ivf_cell`.
+
+    ``sample_cap`` is a floor, not the bound the trainer uses: the effective
+    sample is ``max(sample_cap, 32·K)`` so the per-cluster point budget never
+    drops below ~32 as K grows (at the fixed 16,384 default, K=4096 would
+    train on 4 points/cluster). Driver memory stays bounded: at the K=4096
+    clamp that is 131,072 rows × dim doubles — 67 MB at dim=64."""
     import numpy as np
 
+    effective_cap = max(int(sample_cap), 32 * int(k))
     rows = (
         df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(int(sample_cap))
+        .limit(effective_cap)
         .select(vec_col)
         .collect()
     )
@@ -621,17 +637,27 @@ def save_ivf_index(
     The per-cell ``repartition`` before the write gives one file per cell
     (each task holds exactly one cell's rows) rather than every task writing
     a sliver of every cell — at K ≈ √N cells that is the difference between
-    K files and tasks×K files."""
+    K files and tasks×K files.
+
+    With ``codebook=None`` the quantizer comes from :func:`default_codebook`
+    (label centroids when ``label_col`` exists, else k-means K≈sqrt(N) —
+    the same scale-safe dispatch as the rest of the IVF family); large
+    codebooks assign via the Arrow matmul path."""
     if codebook is None:
-        codebook = ivf_codebook(df, label_col=label_col, vec_col=vec_col)
+        codebook = default_codebook(
+            df, id_col=id_col, vec_col=vec_col, label_col=label_col
+        )
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in codebook],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        assigned = assign_cells_arrow(df, codebook, vec_col=vec_col, out_col="_cell")
+    else:
+        assigned = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
     (
-        df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
-        .repartition("_cell")
+        assigned.repartition("_cell")
         .write.partitionBy("_cell")
         .mode("overwrite")
         .parquet(f"{path}/vectors")

@@ -1635,6 +1635,7 @@ def minimum_spanning_forest(
     weight_col: str = "weight",
     etype: int | None = None,
     max_rounds: int = 40,
+    local_finish_threshold: int = 250_000,
 ) -> DataFrame:
     """Borůvka minimum spanning forest over the undirected weighted graph:
     DF(x, y, w) of chosen canonical edges (one MSF per connected
@@ -1654,7 +1655,19 @@ def minimum_spanning_forest(
     Reference analogue: the iterative computeForInterval machinery
     (VertexCentricComputation.scala) applied to the canonical textbook
     distributed-MST; complements connected_components (which this uses for
-    contraction)."""
+    contraction).
+
+    **Hybrid finish**: once the live inter-component edge set fits
+    ``local_finish_threshold`` rows, the remaining forest is completed with
+    one driver-side Kruskal (union-find over component labels). The edge
+    total order (w, x, y) makes the MSF *unique*, so Borůvka rounds and the
+    Kruskal finish choose the same forest — the switch point cannot change
+    the result, only skip ~log₂(live) further rounds of per-round shuffles,
+    checkpoints and inner-CC convergence collects. At 100 TB the live set
+    shrinks geometrically, so the distributed rounds are ≤ log₂(E/threshold)
+    and the Arrow-batched toPandas is bounded (5 numeric columns × 250k
+    default ≈ 10 MB driver); pass ``local_finish_threshold=0`` to force the
+    all-distributed path."""
     from graphchidb_scala_spark.operators.pregel import connected_components_star
 
     e = db._typed(etype)
@@ -1689,6 +1702,42 @@ def minimum_spanning_forest(
         n_live = lab.count()
         if n_live == 0:
             break
+        if local_finish_threshold and n_live <= int(local_finish_threshold):
+            # bounded driver-side Kruskal over the contracted remainder:
+            # union-find on component labels, edges in (w, x, y) order —
+            # the same total order the distributed pick uses, so this is
+            # the unique MSF's tail, not an approximation of it. Arrow
+            # toPandas + lexsort keeps the transfer columnar (no Row objects)
+            import numpy as np
+
+            pdf = lab.select("x", "y", "w", "cx", "cy").toPandas()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            order = np.lexsort((ys, xs, ws))
+            cxs = pdf["cx"].to_numpy()
+            cys = pdf["cy"].to_numpy()
+            parent: dict = {}
+
+            def _find(u):
+                r = u
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(u, u) != u:
+                    parent[u], u = r, parent[u]
+                return r
+
+            picked_local = []
+            for i in order:
+                ra, rb = _find(int(cxs[i])), _find(int(cys[i]))
+                if ra != rb:
+                    parent[ra] = rb
+                    picked_local.append((int(xs[i]), int(ys[i]), float(ws[i])))
+            if picked_local:
+                chosen = chosen.unionAll(
+                    spark.createDataFrame(picked_local, "x bigint, y bigint, w double")
+                )
+            return chosen
         # each component's minimum outgoing edge, deterministic tie-break;
         # the pick keeps its endpoints' component pair, so the contraction
         # below needs no re-join

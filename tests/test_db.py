@@ -195,3 +195,19 @@ def test_categorical_dictionary_roundtrip(spark):
     # self-built dictionary path (no dictionary arg)
     auto = categorical_encode(df, "color")
     assert {r["id"]: r["color_code"] for r in auto.collect()} == got
+
+
+def test_categorical_dictionary_cardinality_guard(spark):
+    """The K ≪ N contract is enforced: a high-cardinality column raises
+    (naming the column) instead of funnelling the distinct set through the
+    single-partition rank window; the threshold is user-adjustable."""
+    import pytest
+
+    from graphchidb_scala_spark.db import categorical_dictionary
+
+    df = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS val")
+    with pytest.raises(ValueError, match="val"):
+        categorical_dictionary(df, "val", max_cardinality=10)
+    # at/under the threshold it builds normally
+    d = categorical_dictionary(df, "val", max_cardinality=50)
+    assert d.count() == 50

@@ -1455,3 +1455,91 @@ def test_crosscorpus_size_ratio_prune_is_lossless(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.cross_corpus_neardup_pairs(a, b, threshold=0.8).collect()}
     assert got == {(1, 10)}
+
+
+# -------------------------------------------- r7: prefilter slack + IVF unify
+
+def test_prefilter_tau_rounding_slack():
+    """Prefilters must use the rounding-slacked threshold: the final verify
+    compares round(J,4), so a pair at J = t - 5e-5 passes it — an exact-t
+    prefilter would drop that pair. tau<=0 means 'skip ratio filters'."""
+    assert dedup._prefilter_tau(0.5) == 0.5 - 5e-5
+    assert dedup._prefilter_tau(0.0) == 0.0
+    assert dedup._prefilter_tau(4e-5) == 0.0
+    assert dedup._prefilter_tau(1.0) == 1.0 - 5e-5
+
+
+def test_cross_corpus_threshold_zero_keeps_candidates(spark):
+    """threshold=0 used to divide by zero in the size-ratio prune, turning
+    the filter NULL and dropping EVERY candidate; now the prune is skipped
+    and all banded candidates come back."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    a = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    b = spark.createDataFrame(
+        [(10, base), (11, base.replace("quick", "slow"))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cross_corpus_neardup_pairs(a, b, threshold=0.0).collect()
+    }
+    assert (1, 10) in got and (1, 11) in got
+
+
+def test_ngram_jaccard_threshold_zero(spark):
+    """ngram_jaccard_pairs at threshold 0: prefix spans the whole shingle
+    set and the size filter is skipped — every co-shingled pair returns."""
+    a = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, a), (2, a.replace("quick", "slow")), (3, "zzz qqq xxx www")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_ann_topk_ivf_unlabeled_defaults_to_kmeans(spark):
+    """ann_topk_ivf(codebook=None) on a frame with NO label column now
+    dispatches through default_codebook (k-means K≈sqrt(N)) instead of
+    erroring on the missing label — same contract as knn_graph_ivf."""
+    df = _unlabeled_vectors(spark, 60)
+    q = [r["embedding"] for r in df.filter(F.col("vec_id") == 0).collect()][0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    cb = similarity.default_codebook(df)
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(
+            df, q, k=3, nprobe=len(cb)
+        ).collect()
+    ]
+    # probing every cell == brute force, so the default path must agree
+    assert approx == exact
+
+
+def test_save_ivf_index_unlabeled_defaults_to_kmeans(spark, tmp_path):
+    """save_ivf_index(codebook=None) on an unlabeled frame trains the
+    k-means default instead of raising; the persisted index round-trips
+    through ann_topk_ivf_indexed and agrees with brute force at full probe."""
+    df = _unlabeled_vectors(spark, 60)
+    path = str(tmp_path / "ivf_unlabeled")
+    cb = similarity.save_ivf_index(df, path)
+    assert len(cb) >= 16
+    q = [r["embedding"] for r in df.filter(F.col("vec_id") == 0).collect()][0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf_indexed(
+            spark, path, q, k=3, nprobe=len(cb)
+        ).collect()
+    ]
+    assert approx == exact
+
+
+def test_kmeans_sample_cap_scales_with_k(spark):
+    """The effective training sample is max(sample_cap, 32·K): a tiny
+    explicit cap with a large K must still yield K centroids (the old fixed
+    cap silently collapsed K to the sample size)."""
+    df = _unlabeled_vectors(spark, 200)
+    cb = similarity.kmeans_codebook(df, k=64, iterations=2, sample_cap=4)
+    assert len(cb) == 64

@@ -690,3 +690,32 @@ def test_powerlaw_alpha_all_degree_one_returns_null(spark):
     got = gq.powerlaw_alpha(g).collect()[0]
     assert got["n_vertices"] == 4
     assert got["alpha"] is None
+
+
+def test_minimum_spanning_forest_distributed_path_matches_hybrid(spark):
+    """local_finish_threshold=0 forces the all-distributed Borůvka rounds;
+    the (w,x,y) total order makes the MSF unique, so the hybrid Kruskal
+    finish and the distributed contraction must return the identical edge
+    set — the switch point cannot change the result."""
+    import random
+
+    rng = random.Random(11)
+    pw = [
+        (rng.randrange(25), rng.randrange(25), round(rng.random() * 10, 3))
+        for _ in range(80)
+    ]
+    pw = [(a, b, w) for a, b, w in pw if a != b]
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b, w) for a, b, w in pw],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    dist = sorted(
+        (r["x"], r["y"], r["w"])
+        for r in gq.minimum_spanning_forest(db, local_finish_threshold=0).collect()
+    )
+    hyb = sorted(
+        (r["x"], r["y"], r["w"]) for r in gq.minimum_spanning_forest(db).collect()
+    )
+    assert dist == hyb == sorted(_python_mst(pw))
