@@ -1754,13 +1754,47 @@ def minimum_spanning_forest(
         )
         picks = cut_lineage(picks)
         chosen = cut_lineage(chosen.unionAll(picks.select("x", "y", "w")))
-        # contract: components linked by the chosen edges merge — run the
-        # star-contraction CC over the component graph (≤ one edge per
-        # component, so this inner instance is small and halves fast)
-        comp_edges = picks.select(
-            F.lit(0).alias("etype"), F.col("cx").alias("src"), F.col("cy").alias("dst")
-        )
-        merged = connected_components_star(GraphDB(comp_edges))
+        # contract: components linked by the chosen edges merge. The pick
+        # graph has ≤ one edge per component (and halves every round), so
+        # when it fits the local budget a driver-side union-find + broadcast
+        # relabel map replaces the iterative star-contraction CC — one
+        # toPandas + one broadcast join instead of ~5-10 inner Spark jobs
+        # per round (measured 33 s → 8 s at sf0.1). Representatives are
+        # normalized to the min component id, matching the distributed CC's
+        # min-label convention (the label values don't affect the chosen
+        # edge set — picks order on (w, x, y) — but determinism is free).
+        n_picks = picks.count()
+        if local_finish_threshold and n_picks <= int(local_finish_threshold):
+            ppdf = picks.select("cx", "cy").toPandas()
+            parent: dict = {}
+
+            def _findc(u):
+                r = u
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(u, u) != u:
+                    parent[u], u = r, parent[u]
+                return r
+
+            for cx_v, cy_v in zip(ppdf["cx"].to_numpy(), ppdf["cy"].to_numpy()):
+                ra, rb = _findc(int(cx_v)), _findc(int(cy_v))
+                if ra != rb:
+                    parent[ra] = rb
+            groups: dict = {}
+            members = set(map(int, ppdf["cx"])) | set(map(int, ppdf["cy"]))
+            for c in members:
+                groups.setdefault(_findc(c), []).append(c)
+            mapping = [
+                (c, min(g)) for root, g in groups.items() for c in g
+            ]
+            merged = F.broadcast(
+                spark.createDataFrame(mapping, "id bigint, cc bigint")
+            )
+        else:
+            comp_edges = picks.select(
+                F.lit(0).alias("etype"), F.col("cx").alias("src"), F.col("cy").alias("dst")
+            )
+            merged = connected_components_star(GraphDB(comp_edges))
         comp = cut_lineage(
             comp.join(
                 merged.select(F.col("id").alias("c"), F.col("cc").alias("c_new")),
