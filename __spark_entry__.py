@@ -711,6 +711,43 @@ def _q_doc_wordgram_neardup(spark, sf):
     )
 
 
+def _q_repeated_substrings(spark, sf):
+    """Exact-substring dedup spans (Lee et al. 2022): every maximal ≥8-token
+    span that repeats anywhere in the corpus, canonical first occurrence
+    excluded — the sliding-window complement of chunk dedup (repeats caught
+    at any alignment). DF(doc_id, span_start, span_end)."""
+    return text.repeated_substring_spans(_docs(spark, sf), k=8)
+
+
+_REPEATED_SUBSTRINGS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 8
+),
+win AS (
+  SELECT doc_id, u.i AS pos, array_to_string(toks[u.i+1 : u.i+8], ' ') AS gram
+  FROM base, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
+),
+stats AS (
+  SELECT gram, count(*) AS cnt, min([doc_id, pos]) AS c0
+  FROM win GROUP BY gram HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT DISTINCT w.doc_id, w.pos
+  FROM win w JOIN stats s ON s.gram = w.gram
+  WHERE NOT (w.doc_id = s.c0[1] AND w.pos = s.c0[2])
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, g
+""".strip()
+
+
 def _scratch_index_dir(kind: str, sf: str) -> str:
     """Per-(index-kind, sf-dir, PID) scratch path for the persisted-index
     probes, wiped before each rebuild — repeated harness runs within one
@@ -2333,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
         # batch personalized PageRank (the multi-BFS shape for PPR)
         "ppr_multi3": _q_ppr_multi,
+        # exact-substring dedup spans (Lee et al. 2022 sliding-window repeats)
+        "doc_repeated_substrings": _q_repeated_substrings,
     }
 
 
@@ -3552,6 +3591,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
         "ppr_multi3": _ppr_multi_sql(),
+        "doc_repeated_substrings": _REPEATED_SUBSTRINGS_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

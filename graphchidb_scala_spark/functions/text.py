@@ -562,3 +562,129 @@ def zipf_alpha(
             4,
         ).alias("alpha"),
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find every
+    maximal token span of length ≥ ``k`` that also occurs elsewhere in the
+    corpus (another document OR earlier in the same document), keeping the
+    canonical FIRST occurrence — the occurrence at the lexicographically
+    smallest (doc_id, position) — unmarked. Returns
+    DF(``id_col``, span_start, span_end) with 0-based inclusive token
+    indices of the spans a substring-dedup pass would cut; complements
+    :func:`dedup_chunks` (fixed non-overlapping chunks) with the
+    sliding-window semantics the paper uses, where repeats are caught at
+    any alignment.
+
+    Plan shape (all set-oriented, no suffix array needed for the k-anchored
+    formulation): one posexplode to the (doc, pos, k-gram) window table,
+    one map-side-combined groupBy(gram) computing count + the canonical
+    min-(doc,pos) struct — skew-safe where a PARTITION BY gram row_number
+    would serialize a boilerplate gram's hot partition — one join back to
+    flag non-canonical occurrences of shared grams, and one per-document
+    window turning consecutive flagged positions into maximal spans
+    (gaps-and-islands: pos − row_number is constant within a run). At
+    100 TB the gram key would be xxhash64(gram) (8 bytes vs k tokens
+    through the shuffle; collisions ~2⁻⁶⁴ per pair) — kept as the raw
+    string here for cross-engine oracle parity."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= int(k))
+    win = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("_n") - int(k))).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, int(k))).alias("gram"),
+    )
+    stats = (
+        win.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_c0"
+            ),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    flagged = (
+        win.join(stats, "gram")
+        .filter(
+            ~((F.col(id_col) == F.col("_c0.d")) & (F.col("pos") == F.col("_c0.p")))
+        )
+        .select(F.col(id_col), "pos")
+        .distinct()
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        flagged.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + int(k) - 1).cast("bigint").alias("span_end"),
+        )
+        .drop("_g")
+    )
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Apply :func:`repeated_substring_spans`: rebuild each document's text
+    with every flagged span's tokens removed (canonical first occurrences
+    survive, so each repeated substring appears exactly once corpus-wide).
+    Documents with no flagged span pass through unchanged. Adds ``out_col``
+    next to the original columns.
+
+    One collect_list of the (bounded: ≤ tokens/k per doc) span set per
+    document and one higher-order filter over the token array — the span
+    containment test runs inside codegen, no UDF."""
+    spans = (
+        repeated_substring_spans(df, k=k, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s.getField("i") >= sp.getField("span_start"))
+            & (s.getField("i") <= sp.getField("span_end")),
+        ),
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda s: s.getField("t"))
+                )
+            ),
+        )
+        .drop("_spans")
+    )

@@ -1543,3 +1543,75 @@ def test_kmeans_sample_cap_scales_with_k(spark):
     df = _unlabeled_vectors(spark, 200)
     cb = similarity.kmeans_codebook(df, k=64, iterations=2, sample_cap=4)
     assert len(cb) == 64
+
+
+# ------------------------------------- r7: exact-substring span dedup (Lee+22)
+
+def test_repeated_substring_spans_cross_doc(spark):
+    """A k-token substring shared by two docs is flagged in the later doc
+    only (canonical first occurrence survives); unique text is untouched."""
+    shared = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared} epsilon"),
+            (3, "totally unique words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in text.repeated_substring_spans(df, k=4).collect()
+    }
+    # doc 2's copy starts at token 2 ("one") and spans the 4 shared tokens
+    assert got == {(2, 2, 5)}
+
+
+def test_repeated_substring_spans_merge_overlapping(spark):
+    """Consecutive flagged windows merge into ONE maximal span (the
+    gaps-and-islands step): a 6-token repeat with k=4 yields 3 overlapping
+    windows but a single [start, end] span."""
+    rep = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"x {rep} y"), (2, f"p q {rep} r")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in text.repeated_substring_spans(df, k=4).collect()
+    }
+    assert got == {(2, 2, 7)}
+
+
+def test_repeated_substring_spans_within_doc(spark):
+    """Self-repetition counts: the second occurrence inside the SAME doc is
+    flagged while the first survives."""
+    df = spark.createDataFrame(
+        [(1, "u v w x MID u v w x")], "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in text.repeated_substring_spans(df, k=4).collect()
+    }
+    assert got == {(1, 5, 8)}
+
+
+def test_remove_repeated_substrings_roundtrip(spark):
+    """Flagged spans are cut from the text; canonical occurrences and
+    untouched docs pass through verbatim."""
+    shared = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared} epsilon"),
+            (3, "untouched words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in text.remove_repeated_substrings(df, k=4).collect()
+    }
+    assert got[1] == f"alpha {shared} beta"       # canonical survives
+    assert got[2] == "gamma delta epsilon"        # span removed
+    assert got[3] == "untouched words"            # no spans -> verbatim
