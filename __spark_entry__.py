@@ -31,6 +31,7 @@ from graphchidb_scala_spark.functions import (
     similarity,
     text,
 )
+from graphchidb_scala_spark.checkpoint import cut_lineage
 from graphchidb_scala_spark.functions.text import LANG_STOPWORDS
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.operators import pregel
@@ -480,7 +481,11 @@ def _q_ego_net(spark, sf):
     every sf where any order has ≥3 parts)."""
     g = _g(spark, sf)
     op = g._typed(1).select(F.col("src").alias("o"), F.col("dst").alias("p"))
-    proj = (
+    # materialize the projection ONCE (localCheckpoint): downstream plans
+    # re-reference it several times (degree pick / undirected view / count
+    # gate / induced joins in ego_net; per-round support joins in k_truss) —
+    # without the cut, the basket self-join + distinct recomputes for each
+    proj = cut_lineage(
         op.alias("a")
         .join(op.alias("b"), "o")
         .filter(F.col("a.p") < F.col("b.p"))
@@ -1596,7 +1601,11 @@ def _q_ktruss(spark, sf):
     gives the fixpoint."""
     g = _g(spark, sf)
     op = g._typed(1).select(F.col("src").alias("o"), F.col("dst").alias("p"))
-    proj = (
+    # materialize the projection ONCE (localCheckpoint): downstream plans
+    # re-reference it several times (degree pick / undirected view / count
+    # gate / induced joins in ego_net; per-round support joins in k_truss) —
+    # without the cut, the basket self-join + distinct recomputes for each
+    proj = cut_lineage(
         op.alias("a")
         .join(op.alias("b"), "o")
         .filter(F.col("a.p") < F.col("b.p"))
