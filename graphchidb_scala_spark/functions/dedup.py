@@ -315,6 +315,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # pin the join parallelism: the banded table is bytes-SMALL (3 narrow
+    # columns), so AQE coalesces its exchange to 1-2 partitions — but the
+    # self-join's OUTPUT is the candidate expansion (up to Σ|bucket|²/2
+    # rows), which then materializes on those 1-2 cores (measured: the sf1
+    # adversarial corpus pinned this stage at 2 tasks for minutes). An
+    # explicitly-numbered repartition is exempt from AQE coalescing, and
+    # partitioning both sides identically makes the join itself zero-extra
+    # shuffle.
+    nparts = signatures.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(nparts, "band", "bh")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -403,7 +413,8 @@ def minhash_lsh_exact_pairs(
     comparison costs ~a tenth of the 200+-element array intersection and
     the survivors shrink toward the plausible-pair mass (measured on the
     5000-doc templated sf0.1 corpus: 5.8M candidates → 530k exact
-    verifies → 256 true pairs; 687 s → 75 s end-to-end)."""
+    verifies → 256 true pairs; 687 s → 22.6 s end-to-end together with
+    the pre-verify repartition spread below)."""
     rows_per_band = max(num_hashes // bands, 1)
     sh_base = (
         cut_lineage(df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("_s"))
@@ -419,7 +430,16 @@ def minhash_lsh_exact_pairs(
         .agg(*aggs)
         .select("id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
     )
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # spread FIRST: the candidate list out of the banding distinct is
+    # bytes-small (two ids/row), so AQE coalesces it to a couple of
+    # partitions — but everything downstream of it (the estimate tier's
+    # zip_with over num_hashes elements, then the exact array_intersect)
+    # is CPU-heavy per row; without the explicit spread those stages run
+    # on 1-2 cores however many the session has (measured: the sf1
+    # adversarial sweep pinned at 2 tasks)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     # estimate-tier prune (see docstring): drop candidates whose cheap
     # signature-agreement estimate can't plausibly reach the threshold
     # before shipping the full shingle arrays into the exact kernel
@@ -448,11 +468,6 @@ def minhash_lsh_exact_pairs(
         )
         .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
         .select("id_a", "id_b")
-    ).repartition(
-        # same verify-parallelism spread as ngram_jaccard_pairs: the narrow
-        # candidate list feeds a CPU-heavy array_intersect
-        df.sparkSession.sparkContext.defaultParallelism,
-        "id_a",
     )
     sh_base_v = _broadcast_if_small(sh_base)
     va = sh_base_v.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
@@ -776,6 +791,13 @@ def cross_corpus_neardup_pairs(
             .filter(F.col("_rn") <= int(bucket_cap))
             .drop("_rn")
         )
+    # pin the A×B band-join parallelism (same AQE trap as
+    # lsh_candidate_pairs: narrow banded inputs coalesce to 1-2 partitions,
+    # then the candidate expansion materializes on those cores); numbered
+    # repartitions are exempt from coalescing and co-partition the join
+    nparts = df_a.sparkSession.sparkContext.defaultParallelism
+    banded_a = banded_a.repartition(nparts, "band", "bh")
+    banded_b = banded_b.repartition(nparts, "band", "bh")
     cands = (
         banded_a.alias("a")
         .join(
