@@ -48,3 +48,38 @@ def test_codegen_covers_scalar_pipeline(spark):
 
     df = spark.createDataFrame([(1, "hello world the and of"),], "doc_id bigint, text string")
     assert plans.wholestage_codegen_spans(text.text_stats(df)) >= 1
+
+
+def test_repeated_substring_spans_plan_shape(spark):
+    """The exact-substring span plan must stay set-oriented: no cartesian
+    product, the gram statistics aggregate map-side-combined (partial +
+    final HashAggregate pair around its exchange), and the doc scan pruned
+    to the two referenced columns."""
+    from graphchidb_scala_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h x y"), (3, "k l m n o p q r")],
+        "doc_id bigint, text string",
+    )
+    plan = plans.explain_str(text.repeated_substring_spans(df, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_band_join_parallelism_pinned(spark):
+    """The band self-join input must carry an explicitly-NUMBERED
+    repartition on (band, bh): AQE coalesces the bytes-small banded table
+    to 1-2 partitions otherwise, and the join's candidate expansion then
+    runs near-serially however many cores the session has (the sf1 cliff
+    round 7 caught live). A numbered exchange is exempt from coalescing —
+    assert it survives into the optimized plan."""
+    from graphchidb_scala_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.minhash_lsh_exact_pairs(docs, threshold=0.5)
+    plan = plans.explain_str(pairs)
+    # the numbered repartition shows as REPARTITION_BY_NUM on the exchange
+    assert "REPARTITION_BY_NUM" in plan
