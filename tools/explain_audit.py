@@ -197,11 +197,20 @@ CHECKS = {
         ),
         ["!CartesianProduct"],
     ),
+    # the band-join input must carry the NUMBERED repartition (exempt from
+    # AQE coalescing) — without it the bytes-small banded table coalesces
+    # to 1-2 partitions and the candidate expansion runs near-serially
     "minhash_exact_verified_pairs": (
         lambda g, docs, emb: dedup.minhash_lsh_exact_pairs(
             docs, num_hashes=64, bands=32, k=5, threshold=0.5
         ),
-        ["!CartesianProduct"],
+        ["!CartesianProduct", "REPARTITION_BY_NUM"],
+    ),
+    # exact-substring span dedup: set-oriented end to end (no cartesian,
+    # no nested-loop), gram stats map-side combined before their exchange
+    "repeated_substring_spans": (
+        lambda g, docs, emb: text.repeated_substring_spans(docs, k=8),
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin", "partial_count"],
     ),
     # one PageRank iteration = the message groupBy shuffle only: the rank
     # side broadcasts at this scale and the zero-contribution union replaced
