@@ -716,6 +716,49 @@ def _q_doc_wordgram_neardup(spark, sf):
     )
 
 
+def _q_contamination_spans(spark, sf):
+    """Span-granular decontamination: per corpus doc, maximal token spans
+    covered by word-3-grams appearing anywhere in the benchmark slice
+    (doc_id % 97 == 0, same self-contained eval stand-in as the
+    contamination-hits key) — the surgical mask-in-place refinement of
+    whole-doc dropping."""
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.contamination_spans(corpus, bench, k=3)
+
+
+_CONTAMINATION_SPANS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE doc_id % 97 <> 0 AND len(string_split_regex(trim(text), '\\s+')) >= 3
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(toks[u.i+1 : u.i+3], ' ') AS gram
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 97 = 0) b,
+       UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 3
+),
+win AS (
+  SELECT doc_id, u.i AS pos, array_to_string(toks[u.i+1 : u.i+3], ' ') AS gram
+  FROM corpus, UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+),
+flagged AS (
+  SELECT DISTINCT w.doc_id, w.pos FROM win w JOIN bgrams b ON b.gram = w.gram
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 2 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, g
+""".strip()
+
+
 def _q_repeated_substrings(spark, sf):
     """Exact-substring dedup spans (Lee et al. 2022): every maximal ≥8-token
     span that repeats anywhere in the corpus, canonical first occurrence
@@ -2381,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_multi3": _q_ppr_multi,
         # exact-substring dedup spans (Lee et al. 2022 sliding-window repeats)
         "doc_repeated_substrings": _q_repeated_substrings,
+        # span-granular eval decontamination (mask-in-place refinement)
+        "doc_contamination_spans": _q_contamination_spans,
     }
 
 
@@ -3601,6 +3646,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
         "ppr_multi3": _ppr_multi_sql(),
         "doc_repeated_substrings": _REPEATED_SUBSTRINGS_SQL,
+        "doc_contamination_spans": _CONTAMINATION_SPANS_SQL,
         "hits4": _hits_sql(iterations=4),
         "harmonic_centrality8": (
             "WITH RECURSIVE\n" + GRAPH_SQL_CTES + ",\n"

@@ -493,3 +493,66 @@ def curate_corpus(
     return cap_per_group(
         clean, cap_col, cap=cap, seed=seed, id_col=id_col
     ).select(F.col(id_col).cast("bigint"), cap_col)
+
+
+# ------------------------------------------------- span-level decontamination
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-granular eval-set decontamination: for each corpus document,
+    the maximal token spans covered by word ``k``-grams that appear
+    ANYWHERE in the benchmark set — the surgical refinement of
+    :func:`decontaminate` (which drops whole documents) for pipelines that
+    mask leaked eval content in place instead of losing the document.
+    Returns DF(``id_col``, span_start, span_end), 0-based inclusive token
+    indices; compose with :func:`mask_contaminated_spans` to apply.
+
+    Scale shape mirrors :func:`contamination_hits`: the corpus side is a
+    positional window table (one posexplode, no shuffle), the benchmark
+    side dedupes to DISTINCT grams and goes through the count-gated
+    broadcast idiom — eval suites are thousands of documents, so at real
+    scale the semi-join is a broadcast probe and the only exchanges are
+    the flagged-position distinct and the per-doc islands window (both
+    ∝ contaminated positions, not corpus size)."""
+    from graphchidb_scala_spark.functions.text import (
+        _positions_to_spans,
+        token_windows,
+    )
+
+    win = token_windows(corpus, k, id_col, text_col)
+    b_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+        .withColumn("n", F.lit(1))
+    )
+    flagged = (
+        win.join(_broadcast_if_small(b_grams, n_col="n"), "gram", "semi")
+        .select(F.col(id_col), "pos")
+        .distinct()
+    )
+    return _positions_to_spans(flagged, k, id_col)
+
+
+def mask_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Apply :func:`contamination_spans`: every corpus document comes back
+    with ``out_col`` holding its text minus the benchmark-overlapping
+    spans (untouched documents pass through verbatim). Same codegen
+    higher-order span cut as substring dedup (text.cut_spans)."""
+    from graphchidb_scala_spark.functions.text import cut_spans
+
+    spans = contamination_spans(corpus, benchmark, k, id_col, text_col)
+    return cut_spans(corpus, spans, id_col=id_col, text_col=text_col, out_col=out_col)

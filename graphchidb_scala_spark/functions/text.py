@@ -564,6 +564,92 @@ def zipf_alpha(
     )
 
 
+def token_windows(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sliding k-token windows with positions: DF(``id_col``, pos, gram)
+    where ``gram`` is the space-joined k-token window starting at 0-based
+    token index ``pos``. The positional twin of :func:`word_ngrams_all`
+    (same tokenization and join, so gram strings are comparable across
+    both); one projection + one posexplode, no shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= int(k))
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("_n") - int(k))).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, int(k))).alias("gram"),
+    )
+
+
+def _positions_to_spans(flagged: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge flagged window START positions into maximal token spans:
+    consecutive positions form one run (gaps-and-islands: pos − row_number
+    is constant within a run), each run covers [min pos, max pos + k − 1].
+    One per-document window over the (tiny) flagged set."""
+    from pyspark.sql.window import Window
+
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        flagged.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + int(k) - 1).cast("bigint").alias("span_end"),
+        )
+        .drop("_g")
+    )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Rebuild each document's text with the tokens inside ``spans``
+    (DF(``id_col``, span_start, span_end), inclusive 0-based token indices)
+    removed; documents with no span pass through verbatim. One
+    collect_list of the bounded per-doc span set and one higher-order
+    filter over the token array — the containment test runs in codegen, no
+    UDF. Shared executor of :func:`remove_repeated_substrings` and
+    span-level decontamination (pipeline.mask_contaminated_spans)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s.getField("i") >= sp.getField("span_start"))
+            & (s.getField("i") <= sp.getField("span_end")),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda s: s.getField("t")))
+            ),
+        )
+        .drop("_spans")
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     k: int = 8,
@@ -593,21 +679,7 @@ def repeated_substring_spans(
     100 TB the gram key would be xxhash64(gram) (8 bytes vs k tokens
     through the shuffle; collisions ~2⁻⁶⁴ per pair) — kept as the raw
     string here for cross-engine oracle parity."""
-    from pyspark.sql.window import Window
-
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
-        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
-    ).filter(F.col("_n") >= int(k))
-    win = base.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.col("_n") - int(k))).alias("pos"),
-        F.col("_toks"),
-    ).select(
-        F.col(id_col),
-        "pos",
-        F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, int(k))).alias("gram"),
-    )
+    win = token_windows(df, k, id_col, text_col)
     stats = (
         win.groupBy("gram")
         .agg(
@@ -626,18 +698,7 @@ def repeated_substring_spans(
         .select(F.col(id_col), "pos")
         .distinct()
     )
-    grp = F.col("pos") - F.row_number().over(
-        Window.partitionBy(id_col).orderBy("pos")
-    )
-    return (
-        flagged.withColumn("_g", grp)
-        .groupBy(id_col, "_g")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + int(k) - 1).cast("bigint").alias("span_end"),
-        )
-        .drop("_g")
-    )
+    return _positions_to_spans(flagged, k, id_col)
 
 
 def remove_repeated_substrings(
@@ -655,36 +716,7 @@ def remove_repeated_substrings(
 
     One collect_list of the (bounded: ≤ tokens/k per doc) span set per
     document and one higher-order filter over the token array — the span
-    containment test runs inside codegen, no UDF."""
-    spans = (
-        repeated_substring_spans(df, k=k, id_col=id_col, text_col=text_col)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
-        )
-    )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    kept = F.filter(
-        F.zip_with(
-            toks,
-            F.sequence(F.lit(0), F.size(toks) - 1),
-            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-        ),
-        lambda s: ~F.exists(
-            F.col("_spans"),
-            lambda sp: (s.getField("i") >= sp.getField("span_start"))
-            & (s.getField("i") <= sp.getField("span_end")),
-        ),
-    )
-    return (
-        df.join(spans, id_col, "left")
-        .withColumn(
-            out_col,
-            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
-                F.concat_ws(
-                    " ", F.transform(kept, lambda s: s.getField("t"))
-                )
-            ),
-        )
-        .drop("_spans")
-    )
+    containment test runs inside codegen, no UDF (shared :func:`cut_spans`
+    executor)."""
+    spans = repeated_substring_spans(df, k=k, id_col=id_col, text_col=text_col)
+    return cut_spans(df, spans, id_col=id_col, text_col=text_col, out_col=out_col)

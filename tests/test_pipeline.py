@@ -312,3 +312,52 @@ def test_curate_corpus_composes_stage_invariants(spark):
         df, bench, min_tokens=3, min_quality=0.0, langs=None, shingle_k=5, cap=5
     ).collect()}
     assert again == ids
+
+
+# ------------------------------------ r7: span-level decontamination
+
+def test_contamination_spans_flags_benchmark_overlap(spark):
+    """A corpus doc embedding a benchmark 4-gram gets exactly that window
+    flagged as one maximal span; clean docs produce no spans."""
+    from graphchidb_scala_spark.functions import pipeline
+
+    bench = spark.createDataFrame(
+        [(1000, "what is the capital of france")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text what is the capital of france outro text"),
+            (2, "completely unrelated training data here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in pipeline.contamination_spans(corpus, bench, k=4).collect()
+    }
+    # tokens 2..7 of doc 1 are the 6 benchmark tokens; overlapping windows
+    # merge into one maximal span
+    assert got == {(1, 2, 7)}
+
+
+def test_mask_contaminated_spans_cuts_only_leak(spark):
+    """Masking removes exactly the leaked span, keeps everything else, and
+    passes uncontaminated docs through verbatim."""
+    from graphchidb_scala_spark.functions import pipeline
+
+    bench = spark.createDataFrame(
+        [(1000, "what is the capital of france")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text what is the capital of france outro text"),
+            (2, "completely unrelated training data here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in pipeline.mask_contaminated_spans(corpus, bench, k=4).collect()
+    }
+    assert got[1] == "intro text outro text"
+    assert got[2] == "completely unrelated training data here"
