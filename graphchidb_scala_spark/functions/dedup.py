@@ -127,6 +127,12 @@ def shingle_table(
     )
 
 
+# Engage the minhash estimate-tier prune only past this many documents:
+# below it, the worst-case candidate set verifies exactly for less than the
+# tier's signature joins cost, and the skip arm is the exact candidate set.
+_ESTIMATE_TIER_MIN_DOCS = 4096
+
+
 def _prefilter_tau(threshold: float) -> float:
     """Effective threshold for LOSSLESS candidate prefilters.
 
@@ -400,8 +406,10 @@ def minhash_lsh_exact_pairs(
     output equals the exact all-pairs result (the DuckDB oracle twin
     verifies exactly that on the test corpora).
 
-    **Estimate-tier prune before the exact verify**: candidates whose
-    64-hash minhash estimate falls below ``threshold/2`` skip the
+    **Estimate-tier prune before the exact verify** (corpora past
+    ``_ESTIMATE_TIER_MIN_DOCS`` documents — below it every candidate
+    verifies exactly, which costs less than the tier itself): candidates
+    whose 64-hash minhash estimate falls below ``threshold/2`` skip the
     shingle-array intersection. The estimate agrees with each signature
     component deterministically, and a TRUE pair at J = threshold clears
     the half-threshold bar unless fewer than half the expected hashes
@@ -442,33 +450,37 @@ def minhash_lsh_exact_pairs(
     )
     # estimate-tier prune (see docstring): drop candidates whose cheap
     # signature-agreement estimate can't plausibly reach the threshold
-    # before shipping the full shingle arrays into the exact kernel
-    sigs_m = cut_lineage(sigs)
-    # fixed-width rows (num_hashes longs + header): count alone sizes the
-    # broadcast decision, same rationale as _broadcast_if_small
-    n_sigs = sigs_m.count()
-    sigs_v = (
-        F.broadcast(sigs_m)
-        if n_sigs * (num_hashes * 8 + 48) < (64 << 20)
-        else sigs_m
-    )
-    est_agree = F.aggregate(
-        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    cands = (
-        cands.join(
-            sigs_v.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga")),
-            "id_a",
+    # before shipping the full shingle arrays into the exact kernel.
+    # Engaged only past the corpus-size floor — on a small corpus the
+    # exact verify of every candidate costs less than the tier itself,
+    # and the skip arm is the exact candidate set.
+    n_docs = sh_base.count()
+    if n_docs > _ESTIMATE_TIER_MIN_DOCS:
+        sigs_m = cut_lineage(sigs)
+        # fixed-width rows (num_hashes longs + header): the doc count alone
+        # sizes the broadcast decision, same rationale as _broadcast_if_small
+        sigs_v = (
+            F.broadcast(sigs_m)
+            if n_docs * (num_hashes * 8 + 48) < (64 << 20)
+            else sigs_m
         )
-        .join(
-            sigs_v.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb")),
-            "id_b",
+        est_agree = F.aggregate(
+            F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
         )
-        .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
-        .select("id_a", "id_b")
-    )
+        cands = (
+            cands.join(
+                sigs_v.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga")),
+                "id_a",
+            )
+            .join(
+                sigs_v.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb")),
+                "id_b",
+            )
+            .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
+            .select("id_a", "id_b")
+        )
     sh_base_v = _broadcast_if_small(sh_base)
     va = sh_base_v.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
     vb = sh_base_v.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
@@ -709,6 +721,11 @@ def cross_corpus_neardup_pairs(
       the AllPairs prune of :func:`ngram_jaccard_pairs` applied at the
       candidate stage. Costs two joins of (id, int) projections, saves
       the per-pair array kernel.
+    - **estimate-tier prune** (always on): candidates whose 64-hash
+      minhash estimate is below ``threshold/2`` skip the exact verify —
+      same tier and same analysis as :func:`minhash_lsh_exact_pairs`
+      (added miss ~3e-5 per true pair, an order under the banding's own
+      (1-J²)^bands floor at J = threshold).
     - **per-(band, bucket) candidate cap** (``bucket_cap``, opt-in): each
       side keeps at most ``bucket_cap`` docs per band bucket (lowest
       xxhash64(id, band) wins — deterministic, uncorrelated with insert
@@ -771,10 +788,10 @@ def cross_corpus_neardup_pairs(
                 )
             ).alias("bb"),
         ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        return base, banded
+        return base, cut_lineage(sigs), banded
 
-    base_a, banded_a = _prep(df_a)
-    base_b, banded_b = _prep(df_b)
+    base_a, sigs_a, banded_a = _prep(df_a)
+    base_b, sigs_b, banded_b = _prep(df_b)
     if bucket_cap is not None:
         from pyspark.sql.window import Window
 
@@ -844,6 +861,34 @@ def cross_corpus_neardup_pairs(
             df_a.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
         )
     )
+    # estimate-tier prune — the minhash_lsh_exact_pairs tier applied
+    # cross-corpus: candidates whose signature-agreement estimate is below
+    # threshold/2 skip the array kernel. Adds miss ~3e-5 per true pair at
+    # threshold 0.5, an order of magnitude under the banding's own
+    # (1-J²)^bands floor, so no new recall tier; on a shared-vocab corpus
+    # the survivors shrink toward the plausible-pair mass. Engaged only
+    # past a corpus-size floor: below ~4k docs/side the worst-case
+    # candidate set (~8M pairs) verifies directly for less than the tier's
+    # two signature joins cost, and the skip arm IS the exact candidate
+    # set (no estimate involved at all).
+    n_sigs_ab = sigs_a.count() + sigs_b.count()
+    if n_sigs_ab > _ESTIMATE_TIER_MIN_DOCS:
+        small_sigs = n_sigs_ab * (num_hashes * 8 + 48) < (64 << 20)
+        sa = sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga"))
+        sb = sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb"))
+        if small_sigs:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        est_agree = F.aggregate(
+            F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        cands = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
+            .select("id_a", "id_b")
+        )
     va = base_a.select(
         F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na")
     )
