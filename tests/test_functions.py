@@ -1615,3 +1615,33 @@ def test_remove_repeated_substrings_roundtrip(spark):
     assert got[1] == f"alpha {shared} beta"       # canonical survives
     assert got[2] == "gamma delta epsilon"        # span removed
     assert got[3] == "untouched words"            # no spans -> verbatim
+
+
+def test_estimate_tier_arm_matches_exact(spark, monkeypatch):
+    """Force the minhash estimate-tier prune ON (floor -> 0) and assert the
+    pair set is identical to the default small-corpus arm that verifies
+    every candidate exactly — the tier must only remove candidates the
+    exact verify would reject anyway."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    rows = [(1, base), (2, base.replace("quick", "slow")), (3, "unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_exact_pairs(df, threshold=0.5).collect()
+    }
+    monkeypatch.setattr(dedup, "_ESTIMATE_TIER_MIN_DOCS", 0)
+    tiered = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_exact_pairs(df, threshold=0.5).collect()
+    }
+    assert tiered == plain and (1, 2) in {(a, b) for a, b, _ in plain}
+    # cross-corpus twin: same invariant through its tier
+    a = spark.createDataFrame(rows[:2], "doc_id bigint, text string")
+    b = spark.createDataFrame([(10, base)], "doc_id bigint, text string")
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cross_corpus_neardup_pairs(a, b, threshold=0.5).collect()
+    }
+    # both near-identical docs match the existing copy; the tier (active at
+    # floor 0) must not drop either true pair
+    assert cross == {(1, 10), (2, 10)}
