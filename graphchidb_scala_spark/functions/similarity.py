@@ -354,6 +354,16 @@ def knn_graph_ivf(
             F.col(vec_col).alias("_nv"),
             ivf_cell(F.col(vec_col), codebook).alias("_cell"),
         )
+    # pin the cell-join parallelism: both sides are modest in BYTES (id +
+    # vector per row), so AQE coalesces their exchanges to a couple of
+    # partitions — but the join OUTPUT is the within-cell candidate
+    # expansion (N·nprobe·N/K rows, each paying a dim-length cosine), which
+    # then runs on those few cores (measured: 2 of 32 tasks at the 200k-
+    # vector replica). Numbered repartitions are exempt from AQE coalescing
+    # and co-partition the join.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(nparts, "_cell")
+    cand = cand.repartition(nparts, "_cell")
     pairs = q.join(cand, "_cell").filter(F.col("qid") != F.col("nid"))
     sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 4)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -406,6 +416,11 @@ def semantic_dedup(
             F.col(vec_col).alias("_v"),
             ivf_cell(F.col(vec_col), codebook).alias("cell"),
         )
+    # pin the within-cell self-join parallelism (same AQE coalescing trap
+    # as knn_graph_ivf: bytes-modest input exchanges, expansion output)
+    cells = cells.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "cell"
+    )
     nbrs = cells.select(
         F.col("_id").alias("_nid"), F.col("_v").alias("_nv"), F.col("cell").alias("_ncell")
     )
