@@ -636,6 +636,15 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    # same AQE-coalescing trap as lsh_candidate_pairs: the banded table is
+    # bytes-small (id + 3 narrow ints), so AQE coalesces its exchange to 1-2
+    # partitions — but the chunk self-join's OUTPUT is the candidate
+    # expansion (Σ|bucket|²/2 rows), which then materializes on those cores
+    # (measured: sf1 replica sweep pinned this stage at 2 tasks, 500 s; 75 s
+    # after the pin). Numbered repartitions are exempt from coalescing and
+    # co-partition both join sides.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(nparts, "band", "chunk")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk")))

@@ -79,6 +79,15 @@ def cosine_pairs_blocked(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+    # pin the join parallelism: a blocked table of a few MB gets its
+    # exchange AQE-coalesced to 1-2 partitions, and the within-block
+    # quadratic expansion (Σ|block|²/2 dot products) then runs on those
+    # cores (measured: sf1 replica, 64-bucket LSH blocking, stages pinned
+    # at 2 tasks). Numbered repartitions are exempt from coalescing; both
+    # sides share the layout so the join adds no extra shuffle.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(nparts, "blk")
+    b = b.repartition(nparts, "blk")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
