@@ -83,3 +83,34 @@ def test_lsh_band_join_parallelism_pinned(spark):
     plan = plans.explain_str(pairs)
     # the numbered repartition shows as REPARTITION_BY_NUM on the exchange
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_simhash_band_join_parallelism_pinned(spark):
+    """Same trap as the MinHash band join, same guard: the banded simhash
+    table (id + 3 narrow ints) is bytes-small, so without an explicitly
+    NUMBERED repartition AQE coalesces its exchange to 1-2 partitions and
+    the chunk self-join's candidate expansion runs near-serially (sf1
+    sweep: 500 s pinned at 2 tasks; 160 s after the pin)."""
+    from graphchidb_scala_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    plan = plans.explain_str(dedup.simhash_pairs(docs, max_hamming=8))
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_blocked_cosine_join_parallelism_pinned(spark):
+    """cosine_pairs_blocked must pin the block-join parallelism: the
+    blocked table is a few MB, AQE coalesces it, and the within-block
+    quadratic dot-product expansion then runs on 1-2 cores (sf1 sweep:
+    embed_neardup 85 s -> 27 s after the pin)."""
+    from graphchidb_scala_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i % 5), 1.0, 2.0]) for i in range(30)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    plan = plans.explain_str(similarity.cosine_pairs_blocked(df, "label", 0.5))
+    assert "REPARTITION_BY_NUM" in plan
