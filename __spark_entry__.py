@@ -1004,6 +1004,29 @@ def _q_drop_near_dups(spark, sf):
     return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
 
 
+def _q_split_leakage_safe(spark, sf):
+    """Group-atomic train/val/test split: near-dup clusters (same exact
+    n-gram pair generator as drop_near_duplicates) share one split key,
+    so no duplicate group straddles train/test — the anti-memorization
+    discipline split_by_hash alone cannot give."""
+    docs = _docs(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(docs, block_col="source", k=5, threshold=0.5)
+    return pipeline.split_leakage_safe(docs, pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )
+
+
+def _q_shuffle_shards(spark, sf):
+    """Deterministic seeded global shuffle: (shard, pos) per doc — one
+    hash-partition + per-shard sort; reading shards in pos order replays
+    a fixed permutation of the corpus."""
+    return pipeline.shuffle_shards(_docs(spark, sf), n_shards=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+
+
 def _q_ann_ivf(spark, sf):
     # deterministic end-to-end (label-centroid codebook, hash-free argmin);
     # oracle twin: _ann_ivf_sql
@@ -2426,6 +2449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repeated_substrings": _q_repeated_substrings,
         # span-granular eval decontamination (mask-in-place refinement)
         "doc_contamination_spans": _q_contamination_spans,
+        # group-atomic split: near-dup clusters never straddle train/test
+        "doc_split_leakage_safe": _q_split_leakage_safe,
+        # deterministic seeded global shuffle -> (shard, pos) assignment
+        "doc_shuffle_shards": _q_shuffle_shards,
     }
 
 
@@ -2926,6 +2953,50 @@ comp AS (SELECT s AS id, min(t) AS cl FROM reach GROUP BY s)
 SELECT d.doc_id
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 WHERE c.id IS NULL OR c.cl = d.doc_id
+""".strip()
+
+
+def _split_leakage_safe_sql(threshold: float = 0.5, seed: int = 42) -> str:
+    """Same cluster closure as _drop_near_dups_sql; the split key is the
+    component min-id (own id for singletons), bucketed by the identical
+    md5 arithmetic as doc_split_hash."""
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, CAST(i AS INT), 5))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(s, t) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+),
+comp AS (SELECT s AS id, min(t) AS cl FROM reach GROUP BY s),
+keyed AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5('{seed}:' ||
+             CAST(COALESCE(c.cl, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN b < 50000 THEN 'test' WHEN b < 950000 THEN 'train'
+            ELSE 'val' END AS split
+FROM keyed
 """.strip()
 
 
@@ -3681,5 +3752,14 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  FROM allv v\n"
             "  LEFT JOIN (SELECT o AS id, c FROM rev) o ON o.id = v.id\n"
             "  LEFT JOIN (SELECT DISTINCT c AS id, c FROM rev) c ON c.id = v.id"
+        ),
+        "doc_split_leakage_safe": _split_leakage_safe_sql(),
+        "doc_shuffle_shards": (
+            "WITH h AS (SELECT doc_id, "
+            "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM documents)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(h % 8 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM h"
         ),
     }

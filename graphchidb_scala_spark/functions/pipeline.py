@@ -556,3 +556,77 @@ def mask_contaminated_spans(
 
     spans = contamination_spans(corpus, benchmark, k, id_col, text_col)
     return cut_spans(corpus, spans, id_col=id_col, text_col=text_col, out_col=out_col)
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Group-atomic train/val/test split: near-duplicate CLUSTERS never
+    straddle splits. :func:`split_by_hash` alone leaks — two near-identical
+    crawls of one page can land in train and test and the eval measures
+    memorization; the standard discipline (GPT-3 §2.2 and every serious
+    pipeline since) is to split by duplicate-group, not by document.
+
+    ``pairs`` is any near-dup pair list (LSH / SimHash / n-gram); members
+    of a connected component share the component's min-id as their split
+    key, singletons use their own id, and the split is then the same pure
+    (key, seed) md5 function as :func:`split_by_hash` — stable under
+    re-runs, appends, and engine changes.
+
+    Scale shape: the cluster table is bounded by the paired-doc count
+    (≪ corpus for a deduped crawl), joined count-gated-broadcast; on top
+    of that the assignment is a pure projection. The pair generator's own
+    cost dominates — and a pipeline that already ran near-dedup can feed
+    those same pairs here for free."""
+    from graphchidb_scala_spark.functions.dedup import near_duplicate_clusters
+
+    clusters = near_duplicate_clusters(pairs).select(
+        F.col("id").alias(id_col), "cluster"
+    )
+    joined = df.join(_broadcast_if_small_ids(clusters), id_col, "left")
+    gkey = F.coalesce(F.col("cluster"), F.col(id_col).cast("bigint"))
+    out = split_by_hash(
+        joined.withColumn("_gkey", gkey),
+        id_col="_gkey",
+        weights=weights,
+        seed=seed,
+        split_col=split_col,
+    )
+    return out.drop("_gkey", "cluster")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle for training: every row gets
+    ``(shard, pos)`` — shard = seeded 60-bit md5 hash mod ``n_shards``,
+    pos = the row's 0-based rank within its shard in (hash, id) order.
+    Reading shards in pos order replays one fixed seeded permutation of
+    the corpus; changing ``seed`` is a fresh epoch-level shuffle. No
+    rand(): re-runs, engines, and resumed jobs agree on every position.
+
+    One shuffle: hash-partition on shard + per-shard sort (the Window
+    never sees more than one shard per task). Parallelism = n_shards, so
+    size shards to the cluster — a 100 TB corpus wants thousands of
+    shards anyway (shard ≈ file granularity for the downstream loader);
+    the per-shard row_number is the only serial term and it is bounded by
+    corpus/n_shards. Writer side: ``df.write.partitionBy("shard")``
+    emits one sorted file set per shard."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = md5_hash60(F.concat_ws(":", F.lit(int(seed)), F.col(id_col)))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )

@@ -361,3 +361,68 @@ def test_mask_contaminated_spans_cuts_only_leak(spark):
     }
     assert got[1] == "intro text outro text"
     assert got[2] == "completely unrelated training data here"
+
+
+def test_split_leakage_safe_cluster_atomic(spark):
+    """Near-dup cluster members must all land in one split; singletons
+    match plain split_by_hash on their own id; adding the pair constraint
+    never changes a singleton's assignment."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    # two clusters: {3, 17, 29} and {5, 8}
+    pairs = spark.createDataFrame(
+        [(3, 17), (17, 29), (5, 8)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.split_leakage_safe(docs, pairs).collect()
+    }
+    assert len(out) == 40
+    assert out[3] == out[17] == out[29]
+    assert out[5] == out[8]
+
+    def model_split(key):
+        b = int(hashlib.md5(f"42:{key}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return "test" if b < 50_000 else ("train" if b < 950_000 else "val")
+
+    # cluster members split by the component min id, singletons by their own
+    assert out[3] == model_split(3)
+    assert out[5] == model_split(5)
+    for i in range(40):
+        if i not in {3, 17, 29, 5, 8}:
+            assert out[i] == model_split(i)
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """Shard = hash mod n, pos = dense 0-based rank in (hash, id) order
+    within the shard; partitioning of the input must not matter."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    out = [
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in pipeline.shuffle_shards(docs, n_shards=4).collect()
+    ]
+    h = {
+        i: int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+        for i in range(100)
+    }
+    expect = {}
+    for shard in range(4):
+        members = sorted((h[i], i) for i in range(100) if h[i] % 4 == shard)
+        for pos, (_, i) in enumerate(members):
+            expect[i] = (shard, pos)
+    assert {i: (s, p) for i, s, p in out} == expect
+    # repartitioned input agrees (no rand(), no partition sensitivity)
+    out2 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in pipeline.shuffle_shards(docs.repartition(7), n_shards=4).collect()
+    }
+    assert out2 == expect
+    with pytest.raises(ValueError):
+        pipeline.shuffle_shards(docs, n_shards=0)
