@@ -173,10 +173,13 @@ def _q_fof_excl(spark, sf):
 
 def _q_shortest_path_st(spark, sf):
     """shortestPath (s-t distance) + pathTo (route) in one key: the route rows
-    carry the distance as a constant column."""
+    carry the distance as a constant column. The distance is the walked
+    route's last step — one BFS pass, not a second length-only BFS (the
+    route is a driver-local path DF, so the agg costs nothing; route empty
+    ⇒ crossJoin yields 0 rows, same as the unreachable case before)."""
     g = _g(spark, sf)
     route = gq.shortest_path_route(g, 1, SUPP_OFFSET + 1, max_depth=5)
-    dist = gq.shortest_path_length(g, 1, SUPP_OFFSET + 1, max_depth=5)
+    dist = route.agg(F.max("step").alias("dist"))
     return route.crossJoin(dist)
 
 

@@ -259,27 +259,44 @@ def shortest_path_route(
     (``ShortestPathTree.pathTo``, Queries.scala:220-243). Deterministic via
     the min-parent tree; empty when unreachable within ``max_depth``.
 
-    The walk-back is ≤ max_depth+1 single-row point lookups against the
-    (checkpointed) tree DataFrame — each a pushed filter on ``id`` — NOT a
-    collect of the tree: on a social graph the BFS tree at 5 hops is
-    approximately the whole graph, which must never transit the driver. Total
-    driver-side data is the path itself (≤ max_depth+1 rows)."""
+    The walk-back computes min-parents ONLY along the walked path — one
+    point query per step (the target's in-edges, broadcast, semi-joined
+    with the previous BFS level), not the full-tree parent join
+    :func:`sssp_parents` does: at 5 hops on a social graph that tree is
+    approximately the whole graph, and decorating every vertex with a
+    parent costs an edges×tree join the route never reads (measured ~2×
+    the whole route query at sf0.1). Per-step driver data is one id;
+    total, the path itself (≤ max_depth+1 rows)."""
     spark = db.spark
-    tree = cut_lineage(
-        sssp_parents(db, source, max_depth, etype, stop_at=target)
-    )
-    path: list[tuple[int, int]] = []
+    levels = cut_lineage(bfs_levels(db, source, max_depth, etype, stop_at=target))
+    rows = levels.filter(F.col("id") == int(target)).select("level").limit(1).collect()
+    if not rows:  # target not reached within the bound
+        return spark.createDataFrame([], "step bigint, id bigint")
+    lvl = int(rows[0]["level"])
+    path: list[tuple[int, int]] = [(lvl, int(target))]
+    e = db._typed(etype).select("src", "dst")
     node = int(target)
-    for _ in range(max_depth + 1):
-        rows = tree.filter(F.col("id") == node).select("level", "parent").limit(1).collect()
-        if not rows:  # target (or an ancestor) not in tree: unreachable
-            path = []
-            break
-        path.append((int(rows[0]["level"]), node))
-        if rows[0]["parent"] is None:
-            break
-        node = int(rows[0]["parent"])
-    if not path or path[-1] != (0, int(source)):
+    for step in range(lvl, 0, -1):
+        # deterministic min-parent rule, computed for this node only:
+        # parent = min src at level step-1 with an edge src→node. The
+        # in-edge set of one vertex is broadcast-tiny; the level filter
+        # rides the checkpointed BFS table.
+        parent_row = (
+            levels.filter(F.col("level") == step - 1)
+            .join(
+                F.broadcast(
+                    e.filter(F.col("dst") == node).select(F.col("src").alias("id"))
+                ),
+                "id",
+            )
+            .agg(F.min("id").alias("p"))
+            .collect()[0]
+        )
+        if parent_row["p"] is None:  # cannot happen on a complete ancestor level
+            return spark.createDataFrame([], "step bigint, id bigint")
+        node = int(parent_row["p"])
+        path.append((step - 1, node))
+    if path[-1] != (0, int(source)):
         return spark.createDataFrame([], "step bigint, id bigint")
     return spark.createDataFrame(sorted(path), "step bigint, id bigint")
 
