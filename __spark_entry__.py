@@ -1030,6 +1030,22 @@ def _q_shuffle_shards(spark, sf):
     )
 
 
+def _q_embed_quantize(spark, sf):
+    """Int8 scalar quantization of the embedding corpus, exploded to
+    (vec_id, pos, qv, scale) rows so the oracle verifies every quantized
+    component exactly (array columns stringify differently across
+    engines; scalars hash identically)."""
+    qd = similarity.quantize_int8(_emb(spark, sf))
+    return qd.select(
+        F.col("vec_id"),
+        F.posexplode("q").alias("pos", "qv"),
+        F.round("scale", 6).alias("scale"),
+    ).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        F.col("qv").cast("int").alias("qv"), "scale",
+    )
+
+
 def _q_ann_ivf(spark, sf):
     # deterministic end-to-end (label-centroid codebook, hash-free argmin);
     # oracle twin: _ann_ivf_sql
@@ -2456,6 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage_safe": _q_split_leakage_safe,
         # deterministic seeded global shuffle -> (shard, pos) assignment
         "doc_shuffle_shards": _q_shuffle_shards,
+        # int8 scalar quantization (4x embedding storage shrink, no training)
+        "embed_quantize_int8": _q_embed_quantize,
     }
 
 
@@ -3757,6 +3775,18 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "  LEFT JOIN (SELECT DISTINCT c AS id, c FROM rev) c ON c.id = v.id"
         ),
         "doc_split_leakage_safe": _split_leakage_safe_sql(),
+        # parallel unnests zip positionally in DuckDB, giving the same
+        # (pos, qv) pairing as Spark's posexplode
+        "embed_quantize_int8": (
+            "WITH s AS (SELECT vec_id, "
+            "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd, "
+            "greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30)"
+            " / 127.0 AS scale FROM embeddings)\n"
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(unnest(range(0, len(xd))) AS INT) AS pos, "
+            "CAST(round(unnest(list_transform(xd, v -> v / scale))) AS INT) AS qv, "
+            "round(scale, 6) AS scale FROM s"
+        ),
         "doc_shuffle_shards": (
             "WITH h AS (SELECT doc_id, "
             "('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h "

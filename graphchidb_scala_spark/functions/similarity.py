@@ -882,6 +882,67 @@ def ann_topk_lsh_indexed(
     return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
 
+
+# ------------------------------------------------------- int8 scalar quantization
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage tier
+    between full floats and product quantization: 4× smaller than float32
+    (vs PQ's ~32× with codebook training), zero training, exact dequantize
+    ``q·scale``. scale = max|x|/127 (floored at 1e-30 so an all-zero vector
+    quantizes to zeros instead of NULLs); q[i] = round(x[i]/scale) ∈
+    [-127, 127]. Everything stays a codegen projection — no shuffle, no
+    UDF; at 100 TB this is a map-only rewrite of the embedding column,
+    and downstream ANN can scan q (int8-packed by Parquet) dequantizing
+    in-expression."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        q.alias(q_col),
+        scale.alias(scale_col),
+    )
+
+
+def dequantize_int8(q_col: Column, scale_col: Column) -> Column:
+    """Inverse of :func:`quantize_int8` as a Column expression:
+    float vector ≈ q·scale, elementwise, still codegen."""
+    return F.transform(q_col, lambda v: v.cast("double") * scale_col)
+
+
+def cosine_topk_int8(
+    df_q: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    scale_col: str = "scale",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k over an int8-quantized corpus
+    (:func:`quantize_int8` output) — same shape/ordering contract as
+    :func:`cosine_topk`, vectors dequantized in-expression. Cosine is
+    scale-invariant, so the per-vector scale cancels in the normalized
+    dot product and the only error is the ≤0.5-step rounding noise
+    (recall@10 ≈ 1.0 on real embeddings; pytest asserts the bound)."""
+    deq = dequantize_int8(F.col(q_col), F.col(scale_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(deq, q), round_dp)
+    return (
+        df_q.select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------- product quantization
 
 def pq_train(

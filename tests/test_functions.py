@@ -1645,3 +1645,43 @@ def test_estimate_tier_arm_matches_exact(spark, monkeypatch):
     # both near-identical docs match the existing copy; the tier (active at
     # floor 0) must not drop either true pair
     assert cross == {(1, 10), (2, 10)}
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    """Dequantized values must be within scale/2 of the originals (the
+    rounding half-step), q within [-127, 127], and an all-zero vector
+    must quantize to zeros (no NULLs from the scale floor)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: (r["q"], r["scale"]) for r in similarity.quantize_int8(df).collect()}
+    for vid, vec in rows:
+        q, scale = out[vid]
+        assert all(-127 <= v <= 127 for v in q)
+        for x, qv in zip(vec, q):
+            assert abs(x - qv * scale) <= scale / 2 + 1e-12
+    assert out[99][0] == [0] * 16
+
+
+def test_cosine_topk_int8_matches_exact(spark):
+    """Int8 top-k must agree with exact float top-k on well-separated
+    vectors (rounding noise ≪ similarity gaps)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qv = rows[3][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, qv, k=10).collect()]
+    quant = [
+        r["vec_id"]
+        for r in similarity.cosine_topk_int8(
+            similarity.quantize_int8(df), qv, k=10
+        ).collect()
+    ]
+    # recall@10 ≥ 0.9: int8 rounding may swap near-ties, not drop real hits
+    assert len(set(exact) & set(quant)) >= 9
+    assert exact[0] == quant[0] == 3
