@@ -1046,6 +1046,22 @@ def _q_embed_quantize(spark, sf):
     )
 
 
+def _q_knn_classify(spark, sf):
+    """Semi-supervised kNN labeling: the vec_id%5==0 rows act as the
+    hand-labeled seed set; every other vector gets the majority label of
+    its 5 most-similar seeds (broadcast labeled side, one bounded
+    shuffle of vote rows)."""
+    emb = _emb(spark, sf)
+    out = similarity.knn_classify(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        k=5,
+    )
+    return out.select(
+        "vec_id", F.col("pred_label").cast("int").alias("pred_label"), "votes"
+    )
+
+
 def _q_ann_ivf(spark, sf):
     # deterministic end-to-end (label-centroid codebook, hash-free argmin);
     # oracle twin: _ann_ivf_sql
@@ -2474,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": _q_shuffle_shards,
         # int8 scalar quantization (4x embedding storage shrink, no training)
         "embed_quantize_int8": _q_embed_quantize,
+        # semi-supervised kNN labeling from a small labeled seed set
+        "knn_classify": _q_knn_classify,
     }
 
 
@@ -3786,6 +3804,22 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "CAST(unnest(range(0, len(xd))) AS INT) AS pos, "
             "CAST(round(unnest(list_transform(xd, v -> v / scale))) AS INT) AS qv, "
             "round(scale, 6) AS scale FROM s"
+        ),
+        "knn_classify": (
+            "WITH lab AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS lvec, "
+            "label AS llabel FROM embeddings WHERE vec_id % 5 = 0),\n"
+            "uns AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id % 5 <> 0),\n"
+            "sims AS (SELECT id, lid, llabel, "
+            "round(list_cosine_similarity(v, lvec), 4) AS sim FROM uns, lab),\n"
+            "rk AS (SELECT id, lid, llabel, sim, "
+            "row_number() OVER (PARTITION BY id ORDER BY sim DESC, lid) AS r FROM sims),\n"
+            "votes AS (SELECT id, llabel, count(*) AS votes FROM rk WHERE r <= 5 "
+            "GROUP BY id, llabel),\n"
+            "best AS (SELECT id, llabel, votes, "
+            "row_number() OVER (PARTITION BY id ORDER BY votes DESC, llabel) AS vr FROM votes)\n"
+            "SELECT CAST(id AS BIGINT) AS vec_id, CAST(llabel AS INT) AS pred_label, "
+            "CAST(votes AS BIGINT) AS votes FROM best WHERE vr = 1"
         ),
         "doc_shuffle_shards": (
             "WITH h AS (SELECT doc_id, "

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -881,6 +882,72 @@ def ann_topk_lsh_indexed(
     vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("_bkt").isin(probes))
     return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
+
+
+
+# ------------------------------------------------------------ kNN classification
+
+def knn_classify(
+    df: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Semi-supervised kNN classifier over embeddings: each row of ``df``
+    gets the majority label among its ``k`` most-cosine-similar rows of
+    ``labeled`` — how a pipeline turns a small hand-labeled seed set
+    (quality tiers, topics, languages) into corpus-wide labels without
+    training a model. DF(id, pred_label, votes).
+
+    Deterministic end to end: neighbors ranked by (rounded sim DESC,
+    labeled id ASC), votes broken by (count DESC, label ASC) — every rank
+    and vote reproducible cross-engine.
+
+    Scale shape: the labeled side is small by construction (human labels),
+    so the candidate join is a count-gated BROADCAST nested-loop — the
+    corpus never shuffles for it; then one shuffle on ``id`` for the
+    top-k window + vote. At 100 TB that is a map-side scan of the corpus
+    against an in-memory labeled matrix plus one bounded exchange of
+    N·k narrow vote rows."""
+    from graphchidb_scala_spark.functions.dedup import _broadcast_if_small_ids
+
+    lab = labeled.select(
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lvec"),
+        F.col(label_col).alias("_llabel"),
+    )
+    cand = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).crossJoin(
+        _broadcast_if_small_ids(lab)
+    )
+    sim = F.round(cosine(F.col("_v"), F.col("_lvec")), round_dp)
+    ranked = cand.select(
+        "id", F.col("_lid"), F.col("_llabel"), sim.alias("_sim")
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("_lid"))
+        ),
+    ).filter(F.col("_rk") <= int(k))
+    votes = ranked.groupBy("id", "_llabel").agg(F.count(F.lit(1)).alias("votes"))
+    # majority label, ties -> smallest label; window instead of a struct
+    # argmax so string labels work identically to numeric ones
+    return (
+        votes.withColumn(
+            "_vrk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("_llabel"))
+            ),
+        )
+        .filter(F.col("_vrk") == 1)
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            F.col("_llabel").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
 
 
 # ------------------------------------------------------- int8 scalar quantization

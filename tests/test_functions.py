@@ -1685,3 +1685,43 @@ def test_cosine_topk_int8_matches_exact(spark):
     # recall@10 ≥ 0.9: int8 rounding may swap near-ties, not drop real hits
     assert len(set(exact) & set(quant)) >= 9
     assert exact[0] == quant[0] == 3
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Clear clusters classify to the cluster label; an exact vote tie
+    picks the smallest label; string labels work identically."""
+    # labeled seeds: two orthogonal directions
+    labeled = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 2),
+            (1, [0.9, 0.1, 0.0], 2),
+            (2, [0.0, 1.0, 0.0], 7),
+            (3, [0.1, 0.9, 0.0], 7),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    unlabeled = spark.createDataFrame(
+        [
+            (10, [0.95, 0.05, 0.0]),   # x-cluster -> 2
+            (11, [0.05, 0.95, 0.0]),   # y-cluster -> 7
+            (12, [0.5, 0.5, 0.0]),     # top-2 = one seed per cluster: 1-1 tie
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify(unlabeled, labeled, k=2).collect()
+    }
+    assert got[10] == (2, 2)
+    assert got[11] == (7, 2)
+    assert got[12] == (2, 1)  # 1-1 tie broken toward the smaller label
+    # string labels: same votes, lexicographic tiebreak
+    lab_s = labeled.withColumn(
+        "label", F.when(F.col("label") == 2, "beta").otherwise("alpha")
+    )
+    got_s = {
+        r["vec_id"]: r["pred_label"]
+        for r in similarity.knn_classify(unlabeled, lab_s, k=2).collect()
+    }
+    assert got_s[10] == "beta" and got_s[11] == "alpha"
+    assert got_s[12] == "alpha"  # 'alpha' < 'beta'
