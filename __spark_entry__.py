@@ -837,6 +837,15 @@ def _q_ann_topk(spark, sf):
     return similarity.cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
 
+def _q_ann_int8(spark, sf):
+    """Top-k over the int8-quantized corpus (float query): the 4x-smaller
+    storage tier must rank like the float scan — the oracle recomputes
+    the identical quantize -> dequantize -> cosine arithmetic."""
+    return similarity.cosine_topk_int8(
+        similarity.quantize_int8(_emb(spark, sf)), _query_vec(spark, sf), k=10
+    )
+
+
 def _q_embed_neardup(spark, sf):
     # LSH-bucket blocking (scale-safe: bucket sizes ~N/2^planes by
     # construction) — the raw-metadata-column blocking is kept only as the
@@ -2492,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": _q_embed_quantize,
         # semi-supervised kNN labeling from a small labeled seed set
         "knn_classify": _q_knn_classify,
+        # quantized-corpus ANN (the int8 tier must rank like float)
+        "ann_topk_int8": _q_ann_int8,
     }
 
 
@@ -3804,6 +3815,18 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "CAST(unnest(range(0, len(xd))) AS INT) AS pos, "
             "CAST(round(unnest(list_transform(xd, v -> v / scale))) AS INT) AS qv, "
             "round(scale, 6) AS scale FROM s"
+        ),
+        "ann_topk_int8": (
+            "WITH s AS (SELECT vec_id, "
+            "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd, "
+            "greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30)"
+            " / 127.0 AS scale FROM embeddings),\n"
+            "dq AS (SELECT vec_id, "
+            "list_transform(xd, v -> round(v / scale) * scale) AS v FROM s),\n"
+            "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)\n"
+            "SELECT CAST(dq.vec_id AS BIGINT) AS vec_id, "
+            "round(list_cosine_similarity(dq.v, q.qv), 4) AS cos_sim "
+            "FROM dq, q ORDER BY cos_sim DESC, vec_id LIMIT 10"
         ),
         "knn_classify": (
             "WITH lab AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS lvec, "
