@@ -456,6 +456,32 @@ CHECKS = {
     # >400s single-core -> 137s 32-way at sf0.1) is NOT plan-assertable at
     # audit scale: with sf0.01-sized inputs the planner broadcasts both
     # verify sides and optimizes the explicit exchange away entirely.
+    # int8 quantization must stay a map-only codegen projection: no
+    # exchange anywhere in the plan (the 100 TB contract — a column
+    # rewrite riding whatever scan is already running)
+    "quantize_int8_no_shuffle": (
+        lambda g, docs, emb: similarity.quantize_int8(emb),
+        ["!Exchange"],
+    ),
+    # kNN classification: the labeled side is broadcast (corpus never
+    # shuffles for the candidate join); the only exchange is the bounded
+    # vote/rank hash on id
+    "knn_classify_broadcast_labeled": (
+        lambda g, docs, emb: similarity.knn_classify(
+            emb.filter(F.col("vec_id") % 5 != 0),
+            emb.filter(F.col("vec_id") % 5 == 0),
+            k=5,
+        ),
+        ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+    ),
+    # blocked cosine pairs: numbered repartition pins the expansion-join
+    # parallelism (AQE-coalescing exemption, same as the LSH band joins)
+    "blocked_cosine_repartition_pinned": (
+        lambda g, docs, emb: similarity.cosine_pairs_lsh(
+            emb, dim=64, threshold=0.3, n_planes=6, seed=42
+        ),
+        ["REPARTITION_BY_NUM"],
+    ),
     "crosscorpus_band_join_equi": (
         lambda g, docs, emb: dedup.cross_corpus_neardup_pairs(
             docs.filter(F.col("doc_id") % 2 == 0),
