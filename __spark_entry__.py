@@ -1016,6 +1016,15 @@ def _q_drop_near_dups(spark, sf):
     return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
 
 
+def _q_containment_pairs(spark, sf):
+    """Directed doc-in-doc duplication: |A∩B|/|A| ≥ 0.8 over char-5
+    shingles, source-blocked — catches the contained-quote case Jaccard's
+    union denominator hides."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf), block_col="source", k=5, threshold=0.8
+    )
+
+
 def _q_split_leakage_safe(spark, sf):
     """Group-atomic train/val/test split: near-dup clusters (same exact
     n-gram pair generator as drop_near_duplicates) share one split key,
@@ -2503,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         # quantized-corpus ANN (the int8 tier must rank like float)
         "ann_topk_int8": _q_ann_int8,
+        # directed containment pairs (doc-in-doc duplication)
+        "doc_containment_pairs": _q_containment_pairs,
     }
 
 
@@ -3815,6 +3826,19 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "CAST(unnest(range(0, len(xd))) AS INT) AS pos, "
             "CAST(round(unnest(list_transform(xd, v -> v / scale))) AS INT) AS qv, "
             "round(scale, 6) AS scale FROM s"
+        ),
+        "doc_containment_pairs": (
+            "WITH sh AS (SELECT DISTINCT doc_id, source, "
+            "unnest(list_transform(range(1, greatest(length(text) - 3, 1)), "
+            "i -> substr(text, CAST(i AS INT), 5))) AS sh FROM documents),\n"
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh "
+            "AND a.doc_id <> b.doc_id GROUP BY 1, 2)\n"
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+            "round(c * 1.0 / na.n, 4) AS containment "
+            "FROM inter JOIN sizes na ON na.doc_id = id_a "
+            "WHERE round(c * 1.0 / na.n, 4) >= 0.8"
         ),
         "ann_topk_int8": (
             "WITH s AS (SELECT vec_id, "

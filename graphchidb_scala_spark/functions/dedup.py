@@ -253,6 +253,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 5,
+    threshold: float = 0.8,
+    shingle_fn=None,
+) -> DataFrame:
+    """Exact k-gram CONTAINMENT |A∩B|/|A| ≥ τ — the asymmetric companion
+    of :func:`ngram_jaccard_pairs` for doc-in-doc duplication (a quoted
+    article inside a longer page, a README pasted into a bundle): Jaccard
+    divides by the union, so a short doc fully contained in a 100×-longer
+    one scores ~|A|/|B| ≈ 0 and near-dedup misses it. DIRECTED output
+    DF(id_a, id_b, containment): id_a's shingles are ≥τ inside id_b's.
+
+    Plan (AllPairs prefix filter, containment form): the prefix bound
+    applies to the CONTAINED side only — a pair with C(A→B) ≥ τ must
+    share one of A's ``n - ceil(τ·n) + 1`` rarest shingles — while the
+    containing side indexes ALL its df≥2 shingles (|B| doesn't bound the
+    match, so B gets no prefix; df-unique shingles can never join two
+    docs, so dropping them is lossless). Size prune keeps only
+    |B| ≥ τ·|A| (no upper bound — that's the point). Verify =
+    array_intersect over the full hashed shingle arrays, candidate list
+    spread before it (the AQE-coalescing rule)."""
+    from pyspark.sql.window import Window
+
+    extra = [F.col(block_col)] if block_col else []
+    sfn = shingle_fn if shingle_fn is not None else char_shingles
+    base = (
+        cut_lineage(df.select(
+            F.col(id_col), *extra, sfn(F.col(text_col), k).alias("_sh_str")
+        )
+        .withColumn("sh_arr", F.transform("_sh_str", lambda s: F.xxhash64(s)))
+        .withColumn("n", F.size("sh_arr"))
+        .filter(F.col("n") > 0)
+        .drop("_sh_str"))
+    )
+    expl = base.select(F.col(id_col), *extra, "n", F.explode("sh_arr").alias("sh"))
+    dfreq = expl.groupBy("sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") >= 2
+    )
+    tau = _prefilter_tau(threshold)
+    joined = expl.join(dfreq, "sh", "left").withColumn(
+        "_d", F.coalesce("_df", F.lit(1))
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + F.lit(1)
+    pref = (
+        cut_lineage(joined.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(F.col(id_col)).orderBy("_d", "sh")),
+        )
+        .filter((F.col("_rn") <= prefix_len) & (F.col("_d") >= 2))
+        .select(F.col(id_col), *extra, "n", "sh"))
+    )
+    allsh = joined.filter(F.col("_d") >= 2).select(F.col(id_col), *extra, "n", "sh")
+    a, b = pref.alias("a"), allsh.alias("b")
+    keys = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    )
+    if block_col:
+        keys = keys & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    if tau > 0:
+        keys = keys & (F.col("b.n") >= F.col("a.n") * tau)
+    cand = (
+        a.join(b, keys)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+    )
+    base_v = _broadcast_if_small(base)
+    va = base_v.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
+    vb = base_v.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")) / F.col("na"), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "containment"
+    )
+
+
 # ---------------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(

@@ -1725,3 +1725,45 @@ def test_knn_classify_majority_and_ties(spark):
     }
     assert got_s[10] == "beta" and got_s[11] == "alpha"
     assert got_s[12] == "alpha"  # 'alpha' < 'beta'
+
+
+def test_ngram_containment_pairs_directed(spark):
+    """A short doc pasted inside a longer one must be found in the
+    contained->containing direction (Jaccard misses it at any sane
+    threshold); results match a brute-force python model exactly."""
+    short = "the quick brown fox jumps over the lazy dog again"
+    long_doc = (
+        "completely unrelated preamble text sits here for a while before "
+        + short
+        + " and then the page keeps going with its own distinct content "
+        "about entirely other matters and more filler words at the end"
+    )
+    rows = [
+        (1, short),
+        (2, long_doc),
+        (3, "nothing in common with either of the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(t, k=5):
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    model = {}
+    for ia, ta in rows:
+        for ib, tb in rows:
+            if ia == ib:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            c = round(len(sa & sb) / len(sa), 4)
+            if c >= 0.8:
+                model[(ia, ib)] = c
+
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == model
+    assert (1, 2) in got and (2, 1) not in got  # directed: short inside long
+    # sanity: jaccard at 0.5 would NOT find this pair
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
