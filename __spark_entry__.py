@@ -1761,6 +1761,52 @@ e{r + 1} AS (SELECT x, y FROM sup{r} WHERE c >= {k - 2})"""
     )
 
 
+def _q_clustering(spark, sf):
+    """Per-vertex local clustering coefficient on the part co-purchase
+    projection (the layered base graph is triangle-free — the signal lives
+    where parts share an order, same fixture as ``ktruss4_copurchase``).
+    Full deterministic output: every vertex with degree >= 2, coeff
+    rounded to 6. Reference parity: the triangle/community examples'
+    2*tri(v)/(d(v)*(d(v)-1)) per-vertex signal
+    (SubgraphFrequencies.scala neighborhood-density companion)."""
+    g = _g(spark, sf)
+    op = g._typed(1).select(F.col("src").alias("o"), F.col("dst").alias("p"))
+    proj = cut_lineage(
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    db2 = GraphDB(proj.select(F.lit(0).alias("etype"), "src", "dst"))
+    return gq.local_clustering_coefficient(db2, etype=0)
+
+
+def _clustering_sql() -> str:
+    return (
+        "WITH\n" + GRAPH_SQL_CTES + ",\n"
+        "e0 AS (\n"
+        "  SELECT DISTINCT a.dst AS x, b.dst AS y\n"
+        "  FROM edges a JOIN edges b ON b.src = a.src\n"
+        "  WHERE a.etype = 1 AND b.etype = 1 AND a.dst < b.dst\n"
+        "),\n"
+        "s AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),\n"
+        "deg AS (SELECT u AS id, count(*) AS d FROM s GROUP BY u),\n"
+        "tris AS (\n"
+        "  SELECT e1.x AS a, e1.y AS b, e2.y AS c\n"
+        "  FROM e0 e1 JOIN e0 e2 ON e2.x = e1.y\n"
+        "  JOIN e0 e3 ON e3.x = e1.x AND e3.y = e2.y\n"
+        "),\n"
+        "tv AS (SELECT a AS id FROM tris UNION ALL SELECT b AS id FROM tris\n"
+        "       UNION ALL SELECT c AS id FROM tris),\n"
+        "tc AS (SELECT id, count(*) AS t FROM tv GROUP BY id)\n"
+        "SELECT d.id,\n"
+        "       round(2.0 * COALESCE(tc.t, 0) / (d.d * (d.d - 1)), 6) AS coeff\n"
+        "FROM deg d LEFT JOIN tc ON tc.id = d.id\n"
+        "WHERE d.d >= 2"
+    )
+
+
 _BETWEENNESS_SEEDS = [1, 2, 3, 4, 5, 6]
 
 
@@ -2466,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_contamination": _q_bloom_contamination,
         # triangle-cohesion core, sampled centrality, seeded label flood
         "ktruss4_copurchase": _q_ktruss,
+        "clustering_coeff": _q_clustering,
         "betweenness_d3": _q_betweenness,
         "label_prop4": _q_label_prop,
         # weighted/attenuated centrality + double-sweep diameter bound
@@ -3753,6 +3800,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "corpus_overlap_minhash": _corpus_overlap_sql(),
         "doc_bloom_contamination": _bloom_contamination_sql(),
         "ktruss4_copurchase": _ktruss_sql(),
+        "clustering_coeff": _clustering_sql(),
         "betweenness_d3": _betweenness_sql(),
         "label_prop4": _label_prop_sql(),
         "pagerank_weighted3": _pagerank_weighted3_sql(),
