@@ -1211,6 +1211,42 @@ def _q_doc_bm25_search(spark, sf):
     )
 
 
+def _bm25_sql() -> str:
+    return (
+        "WITH tok AS (\n"
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
+        "lens AS (\n"
+        "  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
+        "         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl FROM documents),\n"
+        "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),\n"
+        "pairs AS (\n"
+        "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
+        "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
+        "idf AS (\n"
+        "  SELECT tok, ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) AS idf\n"
+        "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       round(sum(idf * CAST(tf AS DOUBLE) * (1.2 + 1) /\n"
+        "                 (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / (SELECT avgdl FROM a)))), 6) AS score\n"
+        "FROM pairs JOIN idf USING (tok) JOIN lens USING (doc_id)\n"
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
+    )
+
+
+def _q_doc_bm25_indexed(spark, sf):
+    """BM25 over the PERSISTED postings index: dl rides on each posting
+    row and (n_docs, sum_dl) come from the meta sidecar, so the probe
+    reads only the query terms' bucket directories (partition pruning —
+    same layout `doc_tfidf_search_indexed` plan-asserts). Identical
+    avgdl/idf/tf arithmetic to the live scan, so the `doc_bm25_search`
+    oracle verifies it (pytest pins indexed == live on the same corpus)."""
+    path = _scratch_index_dir("postings_bm25", sf)
+    search.save_postings_index(_docs(spark, sf), path)
+    return search.bm25_search_indexed(spark, path, _SEARCH_TERMS, k=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
 def _q_kcore3(spark, sf):
     """3 peel rounds toward the 3-core (fixed-round form so DuckDB can
     mirror the peels as unrolled CTEs; convergence form pytest-verified).
@@ -2462,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyword retrieval over the corpus
         "doc_tfidf_search": _q_doc_tfidf_search,
         "doc_bm25_search": _q_doc_bm25_search,
+        "doc_bm25_search_indexed": _q_doc_bm25_indexed,
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
         "knn_graph_ivf": _q_knn_graph,
@@ -3652,25 +3689,10 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         # (duplicating the Spark driver-side arithmetic bit-for-bit);
         # literals written as the same unevaluated expressions (1.2 + 1)
         # Spark computes, so both engines round identically
-        "doc_bm25_search": (
-            "WITH tok AS (\n"
-            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
-            "lens AS (\n"
-            "  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
-            "         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl FROM documents),\n"
-            "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),\n"
-            "pairs AS (\n"
-            "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
-            "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
-            "idf AS (\n"
-            "  SELECT tok, ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) AS idf\n"
-            "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d)\n"
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
-            "       round(sum(idf * CAST(tf AS DOUBLE) * (1.2 + 1) /\n"
-            "                 (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / (SELECT avgdl FROM a)))), 6) AS score\n"
-            "FROM pairs JOIN idf USING (tok) JOIN lens USING (doc_id)\n"
-            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"
-        ),
+        "doc_bm25_search": _bm25_sql(),
+        # persisted-postings BM25 probe: same arithmetic as the live scan,
+        # so the same oracle verifies it (mirrors the tfidf indexed pair)
+        "doc_bm25_search_indexed": _bm25_sql(),
         # dup-n-gram fractions: ALL n-grams (multiplicity kept), fraction of
         # repeats = (total - distinct) / total, rounded to 6
         "doc_repetition_stats": (
