@@ -805,18 +805,38 @@ def _scratch_index_dir(kind: str, sf: str) -> str:
     process reuse one directory instead of leaking a fresh mkdtemp per
     invocation, while the PID component keeps concurrent processes (e.g.
     bench and correctness overlapping on the same sf dir) on disjoint paths
-    so one can't rmtree the other's live index mid-read."""
+    so one can't rmtree the other's live index mid-read. An atexit hook
+    removes this process's directories on clean exit, and dirs left by
+    dead PIDs (crashed/killed runs) are swept here on the next call."""
+    import atexit
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
 
+    tmp = tempfile.gettempdir()
+    # sweep orphans from PIDs no longer alive (atexit never fired there)
+    for stale in glob.glob(os.path.join(tmp, "graphchidb_idx_*_*")):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the PID is gone
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # live PID owned by someone else — leave it
     d = os.path.join(
-        tempfile.gettempdir(),
+        tmp,
         f"graphchidb_idx_{kind}_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
         f"_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 

@@ -585,11 +585,13 @@ def split_leakage_safe(
     those same pairs here for free."""
     from graphchidb_scala_spark.functions.dedup import near_duplicate_clusters
 
+    # underscore-internal name so a user 'cluster' column on df neither
+    # collides in the join nor gets silently dropped on the way out
     clusters = near_duplicate_clusters(pairs).select(
-        F.col("id").alias(id_col), "cluster"
+        F.col("id").alias(id_col), F.col("cluster").alias("_lsplit_cluster")
     )
     joined = df.join(_broadcast_if_small_ids(clusters), id_col, "left")
-    gkey = F.coalesce(F.col("cluster"), F.col(id_col).cast("bigint"))
+    gkey = F.coalesce(F.col("_lsplit_cluster"), F.col(id_col).cast("bigint"))
     out = split_by_hash(
         joined.withColumn("_gkey", gkey),
         id_col="_gkey",
@@ -597,7 +599,7 @@ def split_leakage_safe(
         seed=seed,
         split_col=split_col,
     )
-    return out.drop("_gkey", "cluster")
+    return out.drop("_gkey", "_lsplit_cluster")
 
 
 def shuffle_shards(

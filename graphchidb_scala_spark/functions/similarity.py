@@ -470,14 +470,19 @@ def kmeans_codebook(
     sweet spot (~hundreds), assign with :func:`assign_cells_arrow` instead
     of :func:`ivf_cell`.
 
-    ``sample_cap`` is a floor, not the bound the trainer uses: the effective
-    sample is ``max(sample_cap, 32·K)`` so the per-cluster point budget never
-    drops below ~32 as K grows (at the fixed 16,384 default, K=4096 would
-    train on 4 points/cluster). Driver memory stays bounded: at the K=4096
-    clamp that is 131,072 rows × dim doubles — 67 MB at dim=64."""
+    When ``sample_cap`` is left at the default, the effective sample is
+    ``max(16_384, 32·K)`` so the per-cluster point budget never drops below
+    ~32 as K grows (the fixed default at K=4096 would train on 4
+    points/cluster; the clamp is 131,072 rows × dim doubles — 67 MB at
+    dim=64). An EXPLICIT ``sample_cap`` is honored verbatim — a
+    memory-constrained driver that asks for 2,048 rows collects exactly
+    2,048, even if that starves large K."""
     import numpy as np
 
-    effective_cap = max(int(sample_cap), 32 * int(k))
+    if sample_cap == 16_384:  # default → apply the 32·K per-cluster floor
+        effective_cap = max(int(sample_cap), 32 * int(k))
+    else:
+        effective_cap = int(sample_cap)
     rows = (
         df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(effective_cap)

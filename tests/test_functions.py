@@ -931,6 +931,18 @@ def test_kmeans_codebook_recovers_planted_clusters(spark):
     assert cb == similarity.kmeans_codebook(df, k=4, iterations=8)
 
 
+def test_kmeans_codebook_honors_explicit_sample_cap(spark):
+    """An explicitly-passed sample_cap must be used verbatim (no silent
+    32·K floor — advisor r7): with cap=8 and K=16 only 8 distinct points
+    can be seen, so at most 8 centroids come back."""
+    rows = [(i, [float(i), float(-i)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = similarity.kmeans_codebook(df, k=16, iterations=2, sample_cap=8)
+    assert len(cb) <= 8
+    # default cap still applies the floor: all 16 cells materialize
+    assert len(similarity.kmeans_codebook(df, k=16, iterations=2)) == 16
+
+
 def test_assign_cells_arrow_matches_codegen_assignment(spark):
     import numpy as np
 

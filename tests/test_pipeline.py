@@ -396,6 +396,20 @@ def test_split_leakage_safe_cluster_atomic(spark):
             assert out[i] == model_split(i)
 
 
+def test_split_leakage_safe_preserves_user_cluster_column(spark):
+    """A caller-owned 'cluster' column must survive the internal join
+    untouched (the internal label is '_lsplit_cluster' — advisor r7)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", i % 3) for i in range(12)],
+        "doc_id bigint, text string, cluster int",
+    )
+    pairs = spark.createDataFrame([(1, 7)], "id_a bigint, id_b bigint")
+    rows = pipeline.split_leakage_safe(docs, pairs).collect()
+    assert {r["doc_id"]: r["cluster"] for r in rows} == {i: i % 3 for i in range(12)}
+    splits = {r["doc_id"]: r["split"] for r in rows}
+    assert splits[1] == splits[7]
+
+
 def test_shuffle_shards_deterministic_permutation(spark):
     """Shard = hash mod n, pos = dense 0-based rank in (hash, id) order
     within the shard; partitioning of the input must not matter."""
