@@ -2414,6 +2414,137 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """.strip()
 
 
+def _q_ann_ivf_int8_indexed(spark, sf):
+    """Quantized persisted-IVF probe: int8 payload inside the pruned cell
+    partitions (save_ivf_index(quantize=True)), cosine over in-expression
+    dequantized values — 4× fewer vector bytes per probe than the float
+    index, same partition pruning."""
+    path = _scratch_index_dir("ivf8", sf)
+    similarity.save_ivf_index(_emb(spark, sf), path, quantize=True)
+    return similarity.ann_topk_ivf_int8_indexed(
+        spark, path, _query_vec(spark, sf), k=10, nprobe=3
+    )
+
+
+def _ann_ivf_int8_sql(k: int = 10, nprobe: int = 3) -> str:
+    """Twin of ann_topk_ivf_int8_indexed: the _ann_ivf_sql cell/probe logic
+    (label-centroid codebook, L2 assignment on FULL floats, nprobe nearest
+    cells) with the final cosine over int8 round-trip values (the
+    ann_topk_int8 idiom: round(x/scale)·scale, scale = max|x|/127)."""
+    return f"""
+WITH cb AS (
+  SELECT label, list(round(avg_x, 6) ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x::DOUBLE) AS avg_x FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) t(label, pos, avg_x) GROUP BY label
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cb.label FROM cb, qv
+  ORDER BY list_distance(cb.centroid::DOUBLE[], qv.v), cb.label
+  LIMIT {nprobe}
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cb.label FROM cb
+          ORDER BY list_distance(cb.centroid::DOUBLE[], e.embedding::DOUBLE[]), cb.label
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+dq AS (
+  SELECT vec_id, cell,
+         list_transform(xd, v -> round(v / scale) * scale) AS v
+  FROM (
+    SELECT vec_id, cell,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+           greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30)
+           / 127.0 AS scale
+    FROM cells
+  )
+)
+SELECT CAST(dq.vec_id AS BIGINT) AS vec_id,
+       round(list_cosine_similarity(dq.v, (SELECT v FROM qv)), 4) AS cos_sim
+FROM dq WHERE dq.cell IN (SELECT label FROM probes)
+ORDER BY cos_sim DESC, vec_id LIMIT {k}
+""".strip()
+
+
+def _q_minhash_members(spark, sf):
+    """Pair-free near-dup clustering (dedup.minhash_cluster_members,
+    verify=False): per-(band, bucket) star edges -> CC. Built on the
+    portable md5-based signature family, so the oracle reproduces the
+    EXACT clustering — signatures, buckets, stars and components — not an
+    all-pairs stand-in."""
+    return dedup.minhash_cluster_members(_docs(spark, sf))
+
+
+def _minhash_members_sql(
+    num_hashes: int = 64, bands: int = 32, cc_iters: int = 30
+) -> str:
+    """DuckDB twin of minhash_cluster_members(verify=False): identical
+    portable signatures ((2i+1)·h + 7919·i mod 2³¹−1 over md5-60 shingle
+    hashes), identical band-bucket strings, star edges, then min-label CC
+    unrolled with the data-driven stop (the _cc_converged_sql idiom)."""
+    P = 2_147_483_647
+    rows_per_band = max(num_hashes // bands, 1)
+    mins = ", ".join(
+        f"MIN(({2 * i + 1} * h + {7919 * i}) % {P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        vals = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"'{b}' || ',' || {vals}")
+    parts = [
+        "shd AS MATERIALIZED (SELECT DISTINCT doc_id AS id,"
+        " ('0x' || substr(md5(g), 1, 15))::BIGINT % "
+        f"{P} AS h FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 3, 1)),"
+        " i -> substr(text, CAST(i AS INT), 5))) AS g FROM documents))",
+        f"sigs AS MATERIALIZED (SELECT id, {mins} FROM shd GROUP BY id)",
+        "bkts AS MATERIALIZED (SELECT id, unnest(["
+        + ", ".join(band_exprs)
+        + "]) AS bkt FROM sigs)",
+        "reps AS MATERIALIZED (SELECT bkt, MIN(id) AS rep FROM bkts GROUP BY bkt)",
+        "e AS MATERIALIZED (SELECT DISTINCT r.rep AS a, b.id AS b"
+        " FROM bkts b JOIN reps r USING (bkt) WHERE b.id <> r.rep)",
+        "u2 AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM u2)",
+    ]
+    for i in range(1, cc_iters + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, LEAST(l.lbl, COALESCE(m.nbr, l.lbl)) AS lbl"
+            f" FROM l{i-1} l LEFT JOIN (SELECT u.a AS id, MIN(p.lbl) AS nbr"
+            f" FROM u2 u JOIN l{i-1} p ON p.id = u.b GROUP BY u.a) m ON m.id = l.id)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT count(*) AS c FROM l{i} x"
+            f" JOIN l{i-1} y ON x.id = y.id WHERE x.lbl <> y.lbl)"
+        )
+    allc = " UNION ALL ".join(
+        f"SELECT {i} AS k, (SELECT c FROM c{i}) AS c" for i in range(1, cc_iters + 1)
+    )
+    alll = " UNION ALL ".join(
+        f"SELECT {i} AS k, id, lbl FROM l{i}" for i in range(1, cc_iters + 1)
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(parts)
+        + f",\nallc AS ({allc}),\n"
+        + f"kstar AS (SELECT COALESCE(MIN(k), {cc_iters}) AS k FROM allc WHERE c = 0),\n"
+        + f"alll AS ({alll}),\n"
+        + "conv AS (SELECT id, lbl FROM alll WHERE k = (SELECT k FROM kstar))\n"
+        + "SELECT CAST(d.doc_id AS BIGINT) AS id,"
+        " CAST(COALESCE(c.lbl, d.doc_id) AS BIGINT) AS cluster\n"
+        "FROM documents d LEFT JOIN conv c ON c.id = d.doc_id"
+    )
+
+
 def _msf_sql(max_rounds: int = 7, inner_iters: int = 16) -> str:
     """Unrolled-Borůvka DuckDB twin of ``minimum_spanning_forest`` (judge r7
     "Next round" #2 — the forest is UNIQUE under the (w, x, y) edge total
@@ -2677,6 +2808,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_int8": _q_ann_int8,
         # directed containment pairs (doc-in-doc duplication)
         "doc_containment_pairs": _q_containment_pairs,
+        # pair-free near-dup clustering: band-bucket stars -> CC, cost
+        # scales with docs (not pairs²) on dup-dense corpora
+        "minhash_cluster_members": _q_minhash_members,
+        # quantized persisted IVF: int8 payload in the pruned cells
+        "ann_topk_ivf_int8_indexed": _q_ann_ivf_int8_indexed,
     }
 
 
@@ -3954,6 +4090,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "modularity_vtype": _MODULARITY_SQL,
         "conductance_vtype": _CONDUCTANCE_SQL,
         "msf_weighted": _msf_sql(),
+        "minhash_cluster_members": _minhash_members_sql(),
+        "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (
             "WITH\n" + GRAPH_SQL_CTES

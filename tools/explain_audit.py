@@ -248,6 +248,13 @@ CHECKS = {
         lambda g, docs, emb: _ivf_indexed_probe(emb),
         ["PartitionFilters: [_cell", "!Exchange"],
     ),
+    # quantized persisted IVF probe: same planning-time pruning, and the
+    # scan reads the int8 q + scale payload (4× fewer vector bytes), never
+    # a float embedding column
+    "ann_ivf_int8_indexed_pruned_int8_scan": (
+        lambda g, docs, emb: _ivf_int8_indexed_probe(emb),
+        ["PartitionFilters: [_cell", "q:array<tinyint>", "!embedding"],
+    ),
     # funnel: the event table is touched once (one user-key shuffle + the
     # in-expression sequential walk); no per-step self-join of the big table
     "funnel_single_pass_no_selfjoin": (
@@ -599,6 +606,17 @@ def _ivf_indexed_probe(emb):
     similarity.save_ivf_index(emb, path)
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     return similarity.ann_topk_ivf_indexed(emb.sparkSession, path, qvec, k=10, nprobe=2)
+
+
+def _ivf_int8_indexed_probe(emb):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="audit_ivf8_")
+    similarity.save_ivf_index(emb, path, quantize=True)
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    return similarity.ann_topk_ivf_int8_indexed(
+        emb.sparkSession, path, qvec, k=10, nprobe=2
+    )
 
 
 def _search():
