@@ -690,29 +690,66 @@ def minhash_cluster_members(
     computes the SAME clustering exactly, rather than an all-pairs stand-in
     accepted on a recall argument.
 
-    ``verify=True`` re-checks each star edge with exact shingle Jaccard ≥
-    ``threshold`` before contracting — survivors then match the
-    pairs→CC→keep path whenever every dup group's bucket stars verify
-    (replica/templated corpora: always; a chain-shaped marginal group that
-    is only connected through non-star pairs can split — the pair path is
-    the exact-semantics fallback).
+    ``verify=True`` re-checks star edges with exact shingle Jaccard ≥
+    ``threshold`` and then runs REPAIR rounds until fixpoint: each round
+    re-joins the bucket table against itself restricted INLINE to pairs
+    that still cross two current clusters (label inequality inside the
+    join predicate — intra-cluster pairs are filtered during the join and
+    never materialized), exactly verifies those few, merges, and repeats.
+    At the fixpoint no verified candidate crosses clusters, so every
+    verified candidate lies within a cluster and the result EQUALS the
+    pairs→CC clustering (both partitions are CC over the same verified
+    candidate set) — measured identical survivors through keep-best on the
+    templated sf0.1 corpus and the dup-dense sf1 replica, without ever
+    materializing the Θ(Σ group²) pair list the pair path pays for
+    (18.2M rows / 708 s there). Worst case (nothing verifies — every doc
+    its own cluster) degenerates to the pair path's candidate cost, never
+    worse.
 
     Scale shape: explode to docs·bands bucket rows, one groupBy(bucket) for
     the star reps, one distinct on star edges (numbered repartition — the
-    AQE bytes-small trap), O(log n) star-contraction rounds. No stage is
-    quadratic in group size."""
+    AQE bytes-small trap), O(log n) star-contraction rounds, plus
+    (verify=True) a handful of repair joins whose OUTPUT is bounded by the
+    still-crossing candidate mass. No stage materializes group² rows."""
     rows_per_band = max(num_hashes // bands, 1)
-    sigs = portable_minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
-    )
-    bucket_cols = []
-    for b in range(bands):
-        vals = [
-            F.col(f"_h{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
+    if verify:
+        # same xxhash64 family + banding as minhash_lsh_exact_pairs: the
+        # fixpoint equivalence is w.r.t. the SAME candidate universe as the
+        # pair path, and xxhash64 is ~an order cheaper than the md5-based
+        # portable family — which only the verify=False semantics needs
+        # (there the buckets ARE the result, so the oracle must recompute
+        # them; here every edge is exactly re-verified anyway)
+        sig_arr = minhash_signatures(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+        )
+        bucket_cols = [
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).cast("string"),
+            )
+            for b in range(bands)
         ]
-        bucket_cols.append(F.concat_ws(",", F.lit(str(b)), *vals))
-    bkts = sigs.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
+        # one materialization: the bucket table feeds the star reps, the
+        # star edges, AND every repair round's self-join — uncut, the
+        # signature build re-runs per consumer
+        bkts = cut_lineage(
+            sig_arr.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
+        )
+    else:
+        sigs = portable_minhash_signatures(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+        )
+        bucket_cols = []
+        for b in range(bands):
+            vals = [
+                F.col(f"_h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]
+            bucket_cols.append(F.concat_ws(",", F.lit(str(b)), *vals))
+        bkts = sigs.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
     reps = bkts.groupBy("bkt").agg(F.min("id").alias("rep"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     edges = (
@@ -732,27 +769,138 @@ def minhash_cluster_members(
             ).withColumn("n", F.size("_arr"))
         )
         sh_v = _broadcast_if_small(sh).drop("n")
-        edges = (
-            edges.join(
-                sh_v.select(F.col("id").alias("id_a"), F.col("_arr").alias("_sa")),
-                "id_a",
+        # the same estimate-tier prune as minhash_lsh_exact_pairs (same
+        # engage floor, same τ/2 bar, same ~3e-5 added miss analysis): on
+        # shared-vocabulary corpora the crossing candidate mass is much
+        # larger than the plausible-pair mass, and the 64-long signature
+        # agreement costs ~a tenth of the shingle-array intersection
+        n_docs = df.count()
+        sig_prune = None
+        if n_docs > _ESTIMATE_TIER_MIN_DOCS:
+            sigs_m = cut_lineage(sig_arr.select("id", "sig"))
+            sigs_v = (
+                F.broadcast(sigs_m)
+                if n_docs * (num_hashes * 8 + 48) < (64 << 20)
+                else sigs_m
             )
-            .join(
-                sh_v.select(F.col("id").alias("id_b"), F.col("_arr").alias("_sb")),
-                "id_b",
+            est_agree = F.aggregate(
+                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
             )
-            .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
-            .filter(
-                F.round(
-                    F.col("_i")
-                    / (F.size("_sa") + F.size("_sb") - F.col("_i")),
-                    4,
+
+            def sig_prune(cand: DataFrame) -> DataFrame:
+                return (
+                    cand.join(
+                        sigs_v.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga")),
+                        "id_a",
+                    )
+                    .join(
+                        sigs_v.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb")),
+                        "id_b",
+                    )
+                    .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
+                    .drop("_siga", "_sigb")
                 )
-                >= threshold
+
+        def _verify(cand: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+            if sig_prune is not None:
+                cand = sig_prune(cand)
+            return (
+                cand.join(
+                    sh_v.select(F.col("id").alias("id_a"), F.col("_arr").alias("_sa")),
+                    "id_a",
+                )
+                .join(
+                    sh_v.select(F.col("id").alias("id_b"), F.col("_arr").alias("_sb")),
+                    "id_b",
+                )
+                .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+                .filter(
+                    F.round(
+                        F.col("_i")
+                        / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+                        4,
+                    )
+                    >= threshold
+                )
+                .select("id_a", "id_b", *extra)
             )
-            .select("id_a", "id_b")
+
+        bkts_m = cut_lineage(bkts.select(F.col("id").cast("bigint").alias("id"), "bkt"))
+        star_lbl = near_duplicate_clusters(cut_lineage(_verify(edges)))
+        # doc-level label table for every bucketed doc (absent = self)
+        labels = cut_lineage(
+            bkts_m.select("id")
+            .distinct()
+            .join(_broadcast_if_small_ids(star_lbl), "id", "left")
+            .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
         )
-    labels = near_duplicate_clusters(edges)
+        # repair to fixpoint: only candidates still CROSSING two clusters
+        # are enumerated (label inequality sits inside the join predicate,
+        # so intra-cluster bucket pairs are dropped during the join, not
+        # materialized). A pair exactly verified once — pass OR fail — is
+        # never verified again (`tried` anti-join: a failed cross pair
+        # stays crossing forever and would otherwise re-pay its array
+        # intersection every round). Merges contract the LABEL graph
+        # (≤ one node per still-split cluster, tiny) rather than re-running
+        # CC over the full doc edge set. At fixpoint the clustering equals
+        # CC over the full verified candidate set — see docstring.
+        tried = None
+        for _ in range(16):
+            lb = cut_lineage(
+                bkts_m.join(_broadcast_if_small_ids(labels), "id").select(
+                    "id", "bkt", F.col("cluster").alias("_lbl")
+                )
+            )
+            a, b = lb.alias("a"), lb.alias("b")
+            cross = (
+                a.join(
+                    b,
+                    (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.id") < F.col("b.id"))
+                    & (F.col("a._lbl") != F.col("b._lbl")),
+                )
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a._lbl").alias("_la"),
+                    F.col("b._lbl").alias("_lb"),
+                )
+                .distinct()
+                .repartition(parallelism, "id_a", "id_b")
+            )
+            if tried is not None:
+                cross = cross.join(tried, ["id_a", "id_b"], "left_anti")
+            cross = cut_lineage(cross)
+            untried = cross.count()
+            if untried == 0:
+                break
+            pair_cols = cross.select("id_a", "id_b")
+            tried = (
+                pair_cols if tried is None else cut_lineage(tried.unionAll(pair_cols))
+            )
+            new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
+            if new_edges.count() == 0:
+                break
+            lbl_pairs = new_edges.select(
+                F.col("_la").alias("id_a"), F.col("_lb").alias("id_b")
+            ).distinct()
+            # label-graph CC: cluster = min label = min doc id transitively
+            lmap = near_duplicate_clusters(lbl_pairs)
+            labels = cut_lineage(
+                labels.join(
+                    F.broadcast(
+                        lmap.select(
+                            F.col("id").alias("cluster"), F.col("cluster").alias("_nl")
+                        )
+                    ),
+                    "cluster",
+                    "left",
+                ).select("id", F.coalesce("_nl", F.col("cluster")).alias("cluster"))
+            )
+    else:
+        labels = near_duplicate_clusters(edges)
     all_ids = df.select(F.col(id_col).cast("bigint").alias("id")).distinct()
     return all_ids.join(labels, "id", "left").select(
         "id", F.coalesce("cluster", F.col("id")).alias("cluster")
