@@ -691,26 +691,27 @@ def minhash_cluster_members(
     accepted on a recall argument.
 
     ``verify=True`` re-checks star edges with exact shingle Jaccard ≥
-    ``threshold`` and then runs REPAIR rounds until fixpoint: each round
-    re-joins the bucket table against itself restricted INLINE to pairs
-    that still cross two current clusters (label inequality inside the
-    join predicate — intra-cluster pairs are filtered during the join and
-    never materialized), exactly verifies those few, merges, and repeats.
-    At the fixpoint no verified candidate crosses clusters, so every
-    verified candidate lies within a cluster and the result EQUALS the
-    pairs→CC clustering (both partitions are CC over the same verified
-    candidate set) — measured identical survivors through keep-best on the
-    templated sf0.1 corpus and the dup-dense sf1 replica, without ever
-    materializing the Θ(Σ group²) pair list the pair path pays for
-    (18.2M rows / 708 s there). Worst case (nothing verifies — every doc
-    its own cluster) degenerates to the pair path's candidate cost, never
-    worse.
+    ``threshold`` and then runs ONE repair pass: the bucket table is
+    re-joined against itself restricted INLINE to pairs crossing two star
+    clusters (label inequality inside the join predicate — intra-cluster
+    pairs, the Θ(Σ group²) true-dup mass, are filtered during the join and
+    never materialized), those are exactly verified, and the survivors
+    merge via a tiny label-graph CC. One pass IS the fixpoint: merging
+    never turns an intra-cluster pair into a crossing one, so the crossing
+    set computed after the star contraction is a superset of every later
+    round's — after it is verified and merged, no unverified crossing
+    candidate exists, and the result EQUALS the pairs→CC clustering (both
+    partitions are CC over the same verified candidate set; same xxhash64
+    candidate universe and estimate-tier as :func:`minhash_lsh_exact_pairs`).
+    Measured identical keep-best survivors on the templated sf0.1 corpus
+    and the dup-dense sf1 replica. Worst case (nothing verifies — every
+    doc its own cluster) degenerates to the pair path's candidate cost.
 
     Scale shape: explode to docs·bands bucket rows, one groupBy(bucket) for
     the star reps, one distinct on star edges (numbered repartition — the
     AQE bytes-small trap), O(log n) star-contraction rounds, plus
-    (verify=True) a handful of repair joins whose OUTPUT is bounded by the
-    still-crossing candidate mass. No stage materializes group² rows."""
+    (verify=True) one repair join whose OUTPUT is bounded by the crossing
+    candidate mass. No stage materializes group² rows."""
     rows_per_band = max(num_hashes // bands, 1)
     if verify:
         # same xxhash64 family + banding as minhash_lsh_exact_pairs: the
@@ -836,53 +837,48 @@ def minhash_cluster_members(
             .join(_broadcast_if_small_ids(star_lbl), "id", "left")
             .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
         )
-        # repair to fixpoint: only candidates still CROSSING two clusters
-        # are enumerated (label inequality sits inside the join predicate,
-        # so intra-cluster bucket pairs are dropped during the join, not
-        # materialized). A pair exactly verified once — pass OR fail — is
-        # never verified again (`tried` anti-join: a failed cross pair
-        # stays crossing forever and would otherwise re-pay its array
-        # intersection every round). Merges contract the LABEL graph
-        # (≤ one node per still-split cluster, tiny) rather than re-running
-        # CC over the full doc edge set. At fixpoint the clustering equals
-        # CC over the full verified candidate set — see docstring.
-        tried = None
-        for _ in range(16):
-            lb = cut_lineage(
-                bkts_m.join(_broadcast_if_small_ids(labels), "id").select(
-                    "id", "bkt", F.col("cluster").alias("_lbl")
-                )
+        # ONE repair round reaches the fixpoint. Crossing-ness is monotone
+        # decreasing under merges (labels only ever merge, so a pair with
+        # equal labels keeps them equal), hence the crossing candidate set
+        # computed NOW — right after the star contraction — is a superset
+        # of every later round's: verifying all of it at once and merging
+        # the survivors leaves no unverified crossing candidate, which is
+        # exactly the fixpoint condition the equivalence proof needs. Only
+        # candidates crossing two star clusters are enumerated (label
+        # inequality sits inside the join predicate — intra-cluster bucket
+        # pairs, i.e. the Θ(Σ group²) true-dup mass, are dropped during
+        # the join and never materialized), and the merge contracts the
+        # LABEL graph (≤ one node per still-split cluster, tiny) rather
+        # than re-running CC over a doc-level edge set.
+        #
+        # numbered repartition on the join key (the AQE bytes-small trap,
+        # the same pre-join spread lsh_candidate_pairs pins): the labeled
+        # bucket table is 3 narrow columns, but the self-join's output is
+        # the crossing-candidate expansion
+        lb = cut_lineage(
+            bkts_m.join(_broadcast_if_small_ids(labels), "id").select(
+                "id", "bkt", F.col("cluster").alias("_lbl")
             )
-            a, b = lb.alias("a"), lb.alias("b")
-            cross = (
-                a.join(
-                    b,
-                    (F.col("a.bkt") == F.col("b.bkt"))
-                    & (F.col("a.id") < F.col("b.id"))
-                    & (F.col("a._lbl") != F.col("b._lbl")),
-                )
-                .select(
-                    F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a._lbl").alias("_la"),
-                    F.col("b._lbl").alias("_lb"),
-                )
-                .distinct()
-                .repartition(parallelism, "id_a", "id_b")
+        ).repartition(parallelism, "bkt")
+        a, b = lb.alias("a"), lb.alias("b")
+        cross = (
+            a.join(
+                b,
+                (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("a._lbl") != F.col("b._lbl")),
             )
-            if tried is not None:
-                cross = cross.join(tried, ["id_a", "id_b"], "left_anti")
-            cross = cut_lineage(cross)
-            untried = cross.count()
-            if untried == 0:
-                break
-            pair_cols = cross.select("id_a", "id_b")
-            tried = (
-                pair_cols if tried is None else cut_lineage(tried.unionAll(pair_cols))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a._lbl").alias("_la"),
+                F.col("b._lbl").alias("_lb"),
             )
-            new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
-            if new_edges.count() == 0:
-                break
+            .distinct()
+            .repartition(parallelism, "id_a", "id_b")
+        )
+        new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
+        if new_edges.count() > 0:
             lbl_pairs = new_edges.select(
                 F.col("_la").alias("id_a"), F.col("_lb").alias("id_b")
             ).distinct()
