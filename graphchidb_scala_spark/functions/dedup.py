@@ -544,9 +544,16 @@ def minhash_lsh_exact_pairs(
     # zip_with over num_hashes elements, then the exact array_intersect)
     # is CPU-heavy per row; without the explicit spread those stages run
     # on 1-2 cores however many the session has (measured: the sf1
-    # adversarial sweep pinned at 2 tasks)
+    # adversarial sweep pinned at 2 tasks). ROUND-ROBIN, not hash: the
+    # candidate distinct already partitions by (id_a, id_b), so a hash
+    # repartition on the same keys with defaultParallelism ==
+    # shuffle.partitions (the production config) is ELIDED by
+    # EnsureRequirements — the pin silently vanishes and the remaining
+    # ENSURE_REQUIREMENTS exchange is AQE-coalescible again. RR can never
+    # be satisfied by the child's hash partitioning, so it survives, and
+    # it spreads a hot id's fan-out perfectly evenly besides.
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        df.sparkSession.sparkContext.defaultParallelism
     )
     # estimate-tier prune (see docstring): drop candidates whose cheap
     # signature-agreement estimate can't plausibly reach the threshold
@@ -661,6 +668,28 @@ def portable_minhash_signatures(
     return expl.groupBy("id").agg(*aggs)
 
 
+def band_bucket_star_edges(bkts: DataFrame, parallelism: int) -> DataFrame:
+    """Spanning star edges of the band-collision graph: per (band, bucket),
+    bucket-min id ↔ each other member — ≤ |bkts| rows total, same
+    connectivity as the full bucket cliques (a star spans its clique).
+    The seam :func:`minhash_cluster_members` builds its clusters on; split
+    out so the plan shape is directly testable. The distinct carries an
+    explicitly NUMBERED repartition: the bucket table is bytes-small and
+    AQE would otherwise coalesce the exchange under the downstream
+    consumers (the recurring bytes-small→CPU-heavy trap)."""
+    reps = bkts.groupBy("bkt").agg(F.min("id").alias("rep"))
+    return (
+        bkts.join(reps, "bkt")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+        # round-robin: a hash repartition on (id_a, id_b) here matches the
+        # distinct's own partitioning and is elided whenever parallelism ==
+        # shuffle.partitions, losing the pin (see minhash_lsh_exact_pairs)
+        .repartition(parallelism)
+    )
+
+
 def minhash_cluster_members(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -751,15 +780,8 @@ def minhash_cluster_members(
             ]
             bucket_cols.append(F.concat_ws(",", F.lit(str(b)), *vals))
         bkts = sigs.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
-    reps = bkts.groupBy("bkt").agg(F.min("id").alias("rep"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    edges = (
-        bkts.join(reps, "bkt")
-        .filter(F.col("id") != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
-        .distinct()
-        .repartition(parallelism, "id_a", "id_b")
-    )
+    edges = band_bucket_star_edges(bkts, parallelism)
     if verify:
         sh = cut_lineage(
             df.select(
@@ -875,7 +897,9 @@ def minhash_cluster_members(
                 F.col("b._lbl").alias("_lb"),
             )
             .distinct()
-            .repartition(parallelism, "id_a", "id_b")
+            # round-robin — the hash form on the distinct's own keys is
+            # elided at parallelism == shuffle.partitions (pin lost)
+            .repartition(parallelism)
         )
         new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
         if new_edges.count() > 0:
@@ -1261,11 +1285,11 @@ def cross_corpus_neardup_pairs(
         # array_intersect over two shingle arrays, and on a shared-vocab
         # corpus candidates approach all-pairs (measured: a single-core pin
         # at sf0.1 without this; same fix as minhash_lsh_exact_pairs).
-        # BOTH keys: one hot new doc matching many existing docs must still
-        # spread its fan-out across executors, not pin its id_a partition
-        .repartition(
-            df_a.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-        )
+        # ROUND-ROBIN: spreads a hot doc's fan-out perfectly evenly, and —
+        # unlike a hash repartition on (id_a, id_b), which the candidate
+        # distinct's own partitioning elides whenever parallelism ==
+        # shuffle.partitions (the tau <= 0 path) — it always survives
+        .repartition(df_a.sparkSession.sparkContext.defaultParallelism)
     )
     # estimate-tier prune — the minhash_lsh_exact_pairs tier applied
     # cross-corpus: candidates whose signature-agreement estimate is below

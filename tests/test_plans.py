@@ -85,6 +85,30 @@ def test_lsh_band_join_parallelism_pinned(spark):
     assert "REPARTITION_BY_NUM" in plan
 
 
+def test_members_star_edges_shape(spark):
+    """The members-mode star-edge builder must be a single equi-join of the
+    bucket table against its per-bucket min (never a bucket self-join —
+    that is the Θ(Σ group²) clique expansion members mode exists to avoid)
+    and its distinct must carry the NUMBERED repartition (bytes-small AQE
+    coalescing trap, same guard as the band joins)."""
+    from graphchidb_scala_spark.functions import dedup
+    from pyspark.sql import functions as F
+
+    bkts = spark.createDataFrame(
+        [(i, f"b{i % 5}") for i in range(30)], "id bigint, bkt string"
+    ).select("id", "bkt")
+    plan = plans.explain_str(dedup.band_bucket_star_edges(bkts, 8))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # star semantics: every non-min member pairs with its bucket min
+    rows = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.band_bucket_star_edges(bkts, 8).collect()
+    }
+    assert rows == {(i % 5, i) for i in range(30) if i >= 5}
+
+
 def test_simhash_band_join_parallelism_pinned(spark):
     """Same trap as the MinHash band join, same guard: the banded simhash
     table (id + 3 narrow ints) is bytes-small, so without an explicitly

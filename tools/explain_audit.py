@@ -489,6 +489,19 @@ CHECKS = {
         ),
         ["REPARTITION_BY_NUM"],
     ),
+    # members-mode star edges: one equi-join of the bucket table against its
+    # per-bucket min — never a bucket self-join (the group² clique expansion
+    # members mode exists to avoid) — with the numbered repartition pin
+    "members_star_edges_equi_pinned": (
+        lambda g, docs, emb: dedup.band_bucket_star_edges(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                (F.col("doc_id") % 97).cast("string").alias("bkt"),
+            ),
+            32,
+        ),
+        ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
+    ),
     "crosscorpus_band_join_equi": (
         lambda g, docs, emb: dedup.cross_corpus_neardup_pairs(
             docs.filter(F.col("doc_id") % 2 == 0),
