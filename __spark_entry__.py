@@ -2545,6 +2545,30 @@ def _minhash_members_sql(
     )
 
 
+def _q_dedup_rate_by_source(spark, sf):
+    """Per-source dup report (dedup.dedup_rate_by_source): which sources a
+    min-id keep policy would thin, under the portable pair-free members
+    clustering — the observability pass run before committing to a dedup
+    policy on a new crawl."""
+    return dedup.dedup_rate_by_source(_docs(spark, sf)).orderBy("source")
+
+
+def _dedup_rate_sql() -> str:
+    """Twin of dedup_rate_by_source: the full members clustering SQL as a
+    subquery (its WITH prefix is legal inside FROM), then one join + one
+    group-by — dropped iff id != cluster, the min-id survivor policy."""
+    return (
+        f"SELECT d.source AS source, COUNT(*) AS n_docs,"
+        " CAST(SUM(CASE WHEN m.id <> m.cluster THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_dropped,"
+        " ROUND(SUM(CASE WHEN m.id <> m.cluster THEN 1 ELSE 0 END)"
+        " / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate"
+        f" FROM ({_minhash_members_sql()}) m"
+        " JOIN documents d ON d.doc_id = m.id"
+        " GROUP BY d.source ORDER BY source"
+    )
+
+
 def _msf_sql(max_rounds: int = 7, inner_iters: int = 16) -> str:
     """Unrolled-Borůvka DuckDB twin of ``minimum_spanning_forest`` (judge r7
     "Next round" #2 — the forest is UNIQUE under the (w, x, y) edge total
@@ -2813,6 +2837,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cluster_members": _q_minhash_members,
         # quantized persisted IVF: int8 payload in the pruned cells
         "ann_topk_ivf_int8_indexed": _q_ann_ivf_int8_indexed,
+        # per-source duplication report over the pair-free clustering
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
     }
 
 
@@ -4091,6 +4117,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "conductance_vtype": _CONDUCTANCE_SQL,
         "msf_weighted": _msf_sql(),
         "minhash_cluster_members": _minhash_members_sql(),
+        "dedup_rate_by_source": _dedup_rate_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

@@ -947,6 +947,52 @@ def drop_near_duplicates(
     return df.join(_broadcast_if_small_ids(to_drop), id_col, "left_anti")
 
 
+def dedup_rate_by_source(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication report: DF(source, n_docs, n_dropped,
+    dup_rate) — the corpus-observability pass a training pipeline runs
+    BEFORE committing to a dedup policy (which crawls/dumps are dup-heavy,
+    what a min-id keep policy would discard from each). A doc is "dropped"
+    iff it is not its cluster's representative (id != cluster, cluster =
+    group min id — the :func:`drop_near_duplicates` survivor policy), so
+    cross-source clusters are handled without ambiguity: the one source
+    holding the rep keeps it, every other source counts a drop.
+
+    ``clusters`` defaults to :func:`minhash_cluster_members`'s pair-free
+    verify=False clustering (the SlimPajama-style production semantics,
+    portable to the oracle bit-for-bit); pass any (id, cluster) frame —
+    e.g. the verify=True clustering or exact-hash groups — to report under
+    a different policy.
+
+    Scale shape: the clustering's own cost (docs·bands star edges)
+    dominates; the report itself is one narrow join on id plus one
+    groupBy(source) with map-side partial counts."""
+    if clusters is None:
+        clusters = minhash_cluster_members(df, id_col=id_col, text_col=text_col)
+    ids = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(source_col).alias("source")
+    )
+    return (
+        ids.join(clusters, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("id") != F.col("cluster")).cast("int")).alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- SimHash
 
 def md5_hash60(col: Column) -> Column:

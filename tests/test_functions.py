@@ -207,6 +207,46 @@ def test_keep_best_clusters_arg_matches_pair_path(spark):
         dedup.drop_near_duplicates_keep_best(df, score_col="score")
 
 
+def test_dedup_rate_by_source_cross_source_clusters(spark):
+    """A cluster spanning two sources charges the drop to the source that
+    does NOT hold the min-id representative; explicit clusters= frame so
+    the policy under test is isolated from the LSH machinery."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "s1"),  # rep of cluster 1 -> s1 keeps it
+            (2, "b", "s2"),  # member of cluster 1 -> s2 drops it
+            (3, "c", "s2"),  # singleton -> kept
+            (4, "d", "s2"),  # member of cluster 1 -> s2 drops it
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 1)], "id bigint, cluster bigint"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dropped"], r["dup_rate"])
+        for r in dedup.dedup_rate_by_source(docs, clusters=clusters).collect()
+    }
+    assert got == {"s1": (1, 0, 0.0), "s2": (3, 2, 0.6667)}
+    # default clustering path: identical docs collapse, distinct ones survive
+    same = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "dup_src") for i in range(4)]
+        + [
+            (10, "zebras gallop across violet tundra beneath humming pylons", "uniq_src"),
+            (11, "quantum marmalade dissolves when orchestras whisper binary", "uniq_src"),
+            (12, "seventeen lighthouses argued about the taxonomy of fog", "uniq_src"),
+            (13, "my grandmother's telescope collects rumors from dying stars", "uniq_src"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got2 = {
+        r["source"]: (r["n_docs"], r["n_dropped"])
+        for r in dedup.dedup_rate_by_source(same).collect()
+    }
+    assert got2["dup_src"] == (4, 3)
+    assert got2["uniq_src"][1] == 0
+
+
 def test_simhash_properties(docs, spark):
     # 1-bit bands: 63 bands > max_hamming=62, so every realistic pair is a
     # candidate and the collected hamming distances are the exact ones
