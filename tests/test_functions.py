@@ -1741,12 +1741,16 @@ def test_save_ivf_index_unlabeled_defaults_to_kmeans(spark, tmp_path):
 
 
 def test_kmeans_sample_cap_scales_with_k(spark):
-    """The effective training sample is max(sample_cap, 32·K): a tiny
-    explicit cap with a large K must still yield K centroids (the old fixed
-    cap silently collapsed K to the sample size)."""
+    """DEFAULT sample_cap applies the 32·K per-cluster floor, so a large K
+    still yields K centroids (the old fixed cap silently collapsed K to the
+    sample size); an EXPLICIT cap is honored verbatim (advisor r8: a
+    memory-constrained caller must not have their 4-row budget silently
+    raised to 131k collected rows) — centroids then collapse to the sample."""
     df = _unlabeled_vectors(spark, 200)
-    cb = similarity.kmeans_codebook(df, k=64, iterations=2, sample_cap=4)
+    cb = similarity.kmeans_codebook(df, k=64, iterations=2)  # default cap
     assert len(cb) == 64
+    cb_capped = similarity.kmeans_codebook(df, k=64, iterations=2, sample_cap=4)
+    assert len(cb_capped) == 4
 
 
 # ------------------------------------- r7: exact-substring span dedup (Lee+22)
