@@ -1085,14 +1085,19 @@ def _q_embed_quantize(spark, sf):
 
 
 def _q_knn_classify(spark, sf):
-    """Semi-supervised kNN labeling: the vec_id%5==0 rows act as the
-    hand-labeled seed set; every other vector gets the majority label of
-    its 5 most-similar seeds (broadcast labeled side, one bounded
-    shuffle of vote rows)."""
+    """Semi-supervised kNN labeling: the vec_id%5==0 rows with vec_id <
+    100,000 act as the hand-labeled seed set; every other vector gets the
+    majority label of its 5 most-similar seeds. The absolute cap models
+    the real contract — hand labels do NOT grow with the corpus — and
+    keeps the work linear in corpus size (seeds × corpus, seeds bounded):
+    it binds nowhere at gate scale (sf0.01/0.1 ids stay under it) and
+    pins the seed set to the base block on strided scale replicas. The
+    classify itself is a map-only plan (one broadcast array row, zero
+    exchanges — similarity.knn_classify docstring)."""
     emb = _emb(spark, sf)
     out = similarity.knn_classify(
         emb.filter(F.col("vec_id") % 5 != 0),
-        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 100_000)),
         k=5,
     )
     return out.select(
@@ -4207,7 +4212,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         ),
         "knn_classify": (
             "WITH lab AS (SELECT vec_id AS lid, CAST(embedding AS DOUBLE[]) AS lvec, "
-            "label AS llabel FROM embeddings WHERE vec_id % 5 = 0),\n"
+            "label AS llabel FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 100000),\n"
             "uns AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings WHERE vec_id % 5 <> 0),\n"
             "sims AS (SELECT id, lid, llabel, "

@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+# Kernel note (r8, measured): replacing the zip_with/aggregate cosine with a
+# dim-unrolled GetArrayItem chain was tried and is SLOWER (11.8 s vs 8.8 s
+# over 6.4M 64-dim pairs on local[32]) — the ~390-node expression tree falls
+# out of whole-stage codegen and interprets worse than the HOF fold. The HOF
+# kernel itself is ~1.4 µs/pair wall on 32 cores; heavy ANN paths are bounded
+# by join/shuffle row materialization, not this arithmetic.
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -955,10 +963,18 @@ def knn_classify(
 
     Scale shape: the labeled side is small by construction (human labels),
     so the candidate join is a count-gated BROADCAST nested-loop — the
-    corpus never shuffles for it; then one shuffle on ``id`` for the
-    top-k window + vote. At 100 TB that is a map-side scan of the corpus
-    against an in-memory labeled matrix plus one bounded exchange of
-    N·k narrow vote rows."""
+    corpus never shuffles for it and the cosine runs in codegen'd column
+    expressions (an array<struct>-of-labels formulation evaluated per row
+    through transform/array_sort was tried in r8 and measured ~7× slower:
+    higher-order functions run on Spark's interpreted expression path,
+    ~25k closure calls per corpus row at 400 seeds). The rank/vote window
+    then needs one hash(id) exchange of N·|seeds| narrow rows — bounded
+    because the seed set is, but bytes-SMALL relative to its CPU cost, so
+    AQE coalesced it to 2 tasks at the sf1 replica (caught live in the r8
+    sweep). The numbered repartition before the window pins it: the
+    window's ClusteredDistribution(id) is satisfied by the explicit
+    hash(id, parallelism) exchange, EnsureRequirements adds nothing, and
+    numbered exchanges are exempt from AQE coalescing."""
     from graphchidb_scala_spark.functions.dedup import _broadcast_if_small_ids
 
     lab = labeled.select(
@@ -970,14 +986,18 @@ def knn_classify(
         _broadcast_if_small_ids(lab)
     )
     sim = F.round(cosine(F.col("_v"), F.col("_lvec")), round_dp)
-    ranked = cand.select(
-        "id", F.col("_lid"), F.col("_llabel"), sim.alias("_sim")
-    ).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("_lid"))
-        ),
-    ).filter(F.col("_rk") <= int(k))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    ranked = (
+        cand.select("id", F.col("_lid"), F.col("_llabel"), sim.alias("_sim"))
+        .repartition(parallelism, "id")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("_lid"))
+            ),
+        )
+        .filter(F.col("_rk") <= int(k))
+    )
     votes = ranked.groupBy("id", "_llabel").agg(F.count(F.lit(1)).alias("votes"))
     # majority label, ties -> smallest label; window instead of a struct
     # argmax so string labels work identically to numeric ones

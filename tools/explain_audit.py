@@ -471,15 +471,17 @@ CHECKS = {
         ["!Exchange"],
     ),
     # kNN classification: the labeled side is broadcast (corpus never
-    # shuffles for the candidate join); the only exchange is the bounded
-    # vote/rank hash on id
+    # shuffles for the candidate join, cosine stays in codegen), and the
+    # rank window's hash(id) exchange carries a NUMBERED pin — its input
+    # is bytes-small but CPU-heavy, the AQE coalescing trap (r8: 2 tasks
+    # at the sf1 replica without it)
     "knn_classify_broadcast_labeled": (
         lambda g, docs, emb: similarity.knn_classify(
             emb.filter(F.col("vec_id") % 5 != 0),
             emb.filter(F.col("vec_id") % 5 == 0),
             k=5,
         ),
-        ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+        ["BroadcastNestedLoopJoin", "!CartesianProduct", "REPARTITION_BY_NUM"],
     ),
     # blocked cosine pairs: numbered repartition pins the expansion-join
     # parallelism (AQE-coalescing exemption, same as the LSH band joins)
