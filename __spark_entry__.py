@@ -670,6 +670,13 @@ def _q_doc_dedup_exact(spark, sf):
     return dedup.exact_duplicate_groups(_docs(spark, sf))
 
 
+def _q_doc_dedup_normalized(spark, sf):
+    """Reformat-duplicate groups: exact hashing AFTER the aggressive C4-style
+    normalizer (lower, punct→space, whitespace collapse) — the cheap tier
+    between byte-exact and MinHash dedup."""
+    return dedup.normalized_duplicate_groups(_docs(spark, sf))
+
+
 def _q_doc_text_profile(spark, sf):
     """text_stats + fingerprint + token counters joined into one per-doc
     profile row (one key covers the whole text-analysis surface)."""
@@ -2844,6 +2851,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_int8_indexed": _q_ann_ivf_int8_indexed,
         # per-source duplication report over the pair-free clustering
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        # reformat-dup groups (normalize-then-hash, the C4 cheap tier)
+        "doc_dedup_normalized": _q_doc_dedup_normalized,
     }
 
 
@@ -3746,6 +3755,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": (
             "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text)"
+        ),
+        "doc_dedup_normalized": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "lower(text), '[^a-z0-9 \\t\\n\\r\\f]', ' ', 'g'), "
+            "'[ \\t\\n\\r\\f]+', ' ', 'g')) AS t FROM documents)\n"
+            "SELECT md5(t) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM n GROUP BY md5(t)"
         ),
         "doc_text_profile": _doc_text_profile_sql(),
         "doc_quality_filter": (

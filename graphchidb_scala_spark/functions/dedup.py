@@ -46,6 +46,38 @@ def exact_duplicate_groups(
     )
 
 
+def normalize_for_dedup(col: Column) -> Column:
+    """Aggressive dedup normalization (the C4/CCNet pre-hash pass): lower,
+    strip every non-alphanumeric to a space, collapse whitespace, trim.
+    Catches reformat duplicates — same content re-encoded with different
+    casing/punctuation/markup debris — that byte-exact hashing misses.
+    Pure ASCII-safe regex so Spark (Java regex) and DuckDB (RE2) agree
+    byte-for-byte — whitespace is an EXPLICIT class, not \\s, because Java
+    counts \\x0B as \\s and RE2 does not; a codegen projection, no shuffle
+    of its own."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^a-z0-9 \t\n\r\f]", " ")
+    t = F.regexp_replace(t, r"[ \t\n\r\f]+", " ")
+    return F.trim(t)
+
+
+def normalized_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups under :func:`normalize_for_dedup`: DF(h,
+    keep_id, cnt). The delta between this and :func:`exact_duplicate_groups`
+    is the reformat-duplicate mass — the cheap tier a pipeline runs between
+    byte-exact and MinHash dedup. Same single map-side-combined shuffle as
+    the exact tier; the normalizer rides the scan projection."""
+    return (
+        df.groupBy(F.md5(normalize_for_dedup(F.col(text_col))).alias("h"))
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+
+
 def drop_exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -207,6 +207,26 @@ def test_keep_best_clusters_arg_matches_pair_path(spark):
         dedup.drop_near_duplicates_keep_best(df, score_col="score")
 
 
+def test_normalized_duplicate_groups_reformat_collapse(spark):
+    """Casing/punctuation/whitespace reformats hash to one group under the
+    normalizer while byte-exact hashing keeps them apart; genuinely
+    different content stays separate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  How are you?"),
+            (2, "hello world how are you"),
+            (3, "HELLO---WORLD\nhow\tare  you..."),
+            (4, "entirely different content"),
+        ],
+        "doc_id bigint, text string",
+    )
+    norm = dedup.normalized_duplicate_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["cnt"] for r in norm}
+    assert by_keep == {1: 3, 4: 1}
+    exact = dedup.exact_duplicate_groups(docs).collect()
+    assert len(exact) == 4  # byte-exact sees four distinct docs
+
+
 def test_dedup_rate_by_source_cross_source_clusters(spark):
     """A cluster spanning two sources charges the drop to the source that
     does NOT hold the min-id representative; explicit clusters= frame so
