@@ -2557,6 +2557,56 @@ def _minhash_members_sql(
     )
 
 
+def _q_mmr_topk(spark, sf):
+    """MMR diversified retrieval (similarity.mmr_topk): relevance-vs-
+    redundancy greedy over a bounded re-rank window (fetch=100 collected
+    rows — the production MMR shape), every similarity rounded half-away
+    at 4dp before any comparison so the greedy is cross-engine exact."""
+    return similarity.mmr_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=5, lam=0.7, fetch=100
+    )
+
+
+def _mmr_sql(k: int = 5, fetch: int = 100, lam: float = 0.7) -> str:
+    """Unrolled-greedy DuckDB twin of mmr_topk: stage 1 is the rounded-
+    cosine top-``fetch``; each greedy step is a CTE selecting the argmax of
+    round(lam·sq − (1−lam)·max_sim_to_selected, 4) over the not-yet-picked
+    candidates, ties by id. (1−lam) is spelled ``(1.0 − 0.7)`` so both
+    engines evaluate the SAME float64 — the literal 0.3 is a different
+    double than 1.0−0.7."""
+    parts = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)",
+        "sims AS (SELECT CAST(e.vec_id AS BIGINT) AS id,"
+        " round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sq"
+        " FROM embeddings e, q)",
+        f"cands AS (SELECT id, sq FROM sims ORDER BY sq DESC, id LIMIT {fetch})",
+        "vecs AS MATERIALIZED (SELECT c.id, c.sq, CAST(e.embedding AS DOUBLE[]) AS v"
+        " FROM cands c JOIN embeddings e ON e.vec_id = c.id)",
+        "ps AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,"
+        " round(list_cosine_similarity(a.v, b.v), 4) AS s"
+        " FROM vecs a JOIN vecs b ON a.id <> b.id)",
+        f"sel1 AS (SELECT id, round({lam} * sq, 4) AS score FROM vecs"
+        f" ORDER BY score DESC, id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM sel{j}" for j in range(1, i))
+        parts.append(
+            f"sel{i} AS (SELECT c.id, round({lam} * c.sq - (1.0 - {lam}) *"
+            f" (SELECT MAX(p.s) FROM ps p WHERE p.ia = c.id AND p.ib IN ({prev})), 4)"
+            f" AS score FROM vecs c WHERE c.id NOT IN ({prev})"
+            f" ORDER BY score DESC, c.id LIMIT 1)"
+        )
+    sel_union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, id, score FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(rank AS INT) AS rank, CAST(id AS BIGINT) AS vec_id,"
+        f" score AS mmr_score FROM ({sel_union}) ORDER BY rank"
+    )
+
+
 def _q_dedup_rate_by_source(spark, sf):
     """Per-source dup report (dedup.dedup_rate_by_source): which sources a
     min-id keep policy would thin, under the portable pair-free members
@@ -2853,6 +2903,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         # reformat-dup groups (normalize-then-hash, the C4 cheap tier)
         "doc_dedup_normalized": _q_doc_dedup_normalized,
+        # MMR diversified retrieval (bounded re-rank window greedy)
+        "mmr_topk": _q_mmr_topk,
     }
 
 
@@ -4139,6 +4191,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "msf_weighted": _msf_sql(),
         "minhash_cluster_members": _minhash_members_sql(),
         "dedup_rate_by_source": _dedup_rate_sql(),
+        "mmr_topk": _mmr_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

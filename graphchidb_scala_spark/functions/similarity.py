@@ -1052,6 +1052,90 @@ def dequantize_int8(q_col: Column, scale_col: Column) -> Column:
     return F.transform(q_col, lambda v: v.cast("double") * scale_col)
 
 
+def _round_half_away(x: float, dp: int = 4) -> float:
+    """Round half AWAY from zero — Spark F.round / DuckDB round semantics.
+    Python's built-in round() is banker's (half to even), which would
+    diverge from both engines exactly on .00005 boundaries."""
+    import math
+
+    scale = 10.0 ** dp
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def _py_cosine(a: Sequence[float], b: Sequence[float]) -> float:
+    """Sequential-fold float64 cosine — the same left-associative operation
+    order as the Spark aggregate() kernel and DuckDB's
+    list_cosine_similarity loop, so all three are bit-identical."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+        na += float(x) * float(x)
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    lam: float = 0.7,
+    fetch: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    1998) — the standard RAG re-rank that trades raw relevance against
+    redundancy: pick argmax of ``lam·sim(q,d) − (1−lam)·max_{s∈selected}
+    sim(d,s)``, k times. DF(rank, id, mmr_score); the first pick's score is
+    ``round(lam·sim, dp)`` (empty selected set → diversity term 0).
+
+    Scale shape: stage 1 is the distributed rounded-cosine top-``fetch``
+    (TakeOrderedAndProject — no full sort, any corpus size); stage 2
+    collects ONLY those ``fetch`` rows (a bounded re-rank window, the
+    standard production MMR shape — ~100 vectors, not the corpus) and runs
+    the O(k·fetch) greedy driver-side. Determinism is cross-engine exact:
+    every similarity is rounded at ``round_dp`` with half-away-from-zero
+    semantics before the greedy compares anything, the python cosine folds
+    in the same sequential order as the Spark/DuckDB kernels, and every
+    argmax ties break by ascending id."""
+    spark = df.sparkSession
+    cands = cosine_topk(df, query_vec, k=int(fetch), id_col=id_col, vec_col=vec_col, round_dp=round_dp)
+    rows = (
+        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(cands.select(F.col(id_col).alias("id"), "cos_sim")), "id")
+        .collect()
+    )
+    pool = {r["id"]: (float(r["cos_sim"]), [float(x) for x in r["_v"]]) for r in rows}
+    lam = float(lam)
+    selected: list[tuple[int, int, float]] = []  # (rank, id, score)
+    chosen_vecs: list[list[float]] = []
+    remaining = dict(pool)
+    for rank in range(1, min(int(k), len(pool)) + 1):
+        best_id, best_score = None, None
+        for cid in sorted(remaining):
+            sq, vec = remaining[cid]
+            if chosen_vecs:
+                max_s = max(
+                    _round_half_away(_py_cosine(vec, cv), round_dp)
+                    for cv in chosen_vecs
+                )
+                score = _round_half_away(lam * sq - (1.0 - lam) * max_s, round_dp)
+            else:
+                score = _round_half_away(lam * sq, round_dp)
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append((rank, best_id, best_score))
+        chosen_vecs.append(remaining.pop(best_id)[1])
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} bigint, mmr_score double"
+    )
+
+
 def cosine_topk_int8(
     df_q: DataFrame,
     query_vec: Sequence[float],

@@ -207,6 +207,40 @@ def test_keep_best_clusters_arg_matches_pair_path(spark):
         dedup.drop_near_duplicates_keep_best(df, score_col="score")
 
 
+def test_mmr_topk_diversifies(spark):
+    """Three exact copies of the most-relevant vector: plain top-3 is all
+    copies; MMR keeps one and fills the rest with diverse picks. lam=1
+    degenerates to pure relevance (rounded-sim order, ties by id)."""
+    from graphchidb_scala_spark.functions import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact copy of 1
+        (3, [1.0, 0.001, 0.0]),  # near-copy of 1
+        (4, [0.7, 0.7, 0.0]),   # diverse, still relevant
+        (5, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [1.0, 0.0, 0.0]
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in similarity.mmr_topk(df, q, k=3, lam=0.3, fetch=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # rank1: id 1 (ties with 2/3 at sim 1.0 -> smallest id). At lam=0.3 the
+    # copies score 0.3-0.7 = -0.4; the orthogonal 5 scores 0.0 (rank2) and
+    # the diagonal 4 scores -0.2828 (rank3) — hand-computed greedy.
+    assert got == [(1, 1), (2, 5), (3, 4)]
+    pure = [
+        (r["rank"], r["vec_id"])
+        for r in similarity.mmr_topk(df, q, k=3, lam=1.0, fetch=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [g[1] for g in pure] == [1, 2, 3]
+
+
 def test_normalized_duplicate_groups_reformat_collapse(spark):
     """Casing/punctuation/whitespace reformats hash to one group under the
     normalizer while byte-exact hashing keeps them apart; genuinely
