@@ -431,6 +431,59 @@ def _mis_sql(rounds: int = 8, seed: int = 42) -> str:
     )
 
 
+def _q_maximal_matching(spark, sf):
+    """Deterministic greedy maximal matching (local-min edge rounds over
+    md5(seed:a:b) priorities — equals the sequential greedy in global
+    priority order). Gate scales converge in 3-5 rounds (iterative DuckDB
+    prototype); the twin unrolls 12 — an exhausted budget leaves live
+    edges unmatched and fails the hash loudly."""
+    return gq.maximal_matching(_g(spark, sf), etype=None)
+
+
+def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
+    """Unrolled local-min-edge DuckDB twin of maximal_matching: per round,
+    the per-vertex min incident priority (explode-union + group-by), edges
+    that are the strict min at BOTH endpoints win, winners retire their
+    endpoints. Shared md5-60 priority idiom; MATERIALIZED throughout."""
+    pri = (
+        f"('0x' || substr(md5('{seed}:' || CAST(a AS VARCHAR) || ':' ||"
+        f" CAST(b AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    parts = [
+        "le0 AS MATERIALIZED (SELECT a, b, "
+        + pri
+        + " AS p FROM (SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b"
+        " FROM und WHERE a <> b GROUP BY 1, 2))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"vm{i} AS MATERIALIZED (SELECT v, MIN(p) AS mp FROM"
+            f" (SELECT a AS v, p FROM le{p} UNION ALL SELECT b AS v, p FROM le{p})"
+            f" GROUP BY v)"
+        )
+        parts.append(
+            f"win{i} AS MATERIALIZED (SELECT e.a, e.b FROM le{p} e"
+            f" JOIN vm{i} ma ON ma.v = e.a AND e.p = ma.mp"
+            f" JOIN vm{i} mb ON mb.v = e.b AND e.p = mb.mp)"
+        )
+        parts.append(
+            f"le{i} AS MATERIALIZED (SELECT a, b, p FROM le{p} WHERE"
+            f" a NOT IN (SELECT a FROM win{i} UNION SELECT b FROM win{i})"
+            f" AND b NOT IN (SELECT a FROM win{i} UNION SELECT b FROM win{i}))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT a, b FROM win{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH\n"
+        + GRAPH_SQL_CTES
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM ({union})"
+    )
+
+
 def _q_hits(spark, sf):
     """HITS hubs/authorities, 4 L1-normalized iterations — the
     link-analysis twin of pagerank3 (two message aggregations per round
@@ -2867,6 +2920,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_top20": _q_bpe_pairs,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
+        "maximal_matching_seeded": _q_maximal_matching,
         # rows-only: no SQL eigh; pytest gate (planted subspace + parity)
         "embedding_pca": _q_pca,
         # end-to-end curation capstone (quality -> decontaminate -> cap)
@@ -4236,6 +4290,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "conductance_vtype": _CONDUCTANCE_SQL,
         "msf_weighted": _msf_sql(),
         "mis_seeded": _mis_sql(),
+        "maximal_matching_seeded": _matching_sql(),
         "minhash_cluster_members": _minhash_members_sql(),
         "dedup_rate_by_source": _dedup_rate_sql(),
         "mmr_topk": _mmr_sql(),

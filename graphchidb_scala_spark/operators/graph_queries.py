@@ -646,6 +646,75 @@ def maximal_independent_set(
     return mis if mis is not None else live_v
 
 
+def maximal_matching(
+    db: GraphDB,
+    etype: int | None = None,
+    max_rounds: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy maximal matching on the undirected simple graph: a
+    vertex-disjoint edge set no further edge can join — the pairing
+    primitive behind coarsening (multilevel partitioners), two-sided
+    load-balancing, and dedup pair selection. Deterministic local-min
+    rounds: edge priorities are md5(seed:a:b) over the canonical a<b form,
+    an edge wins a round iff its priority is the strict minimum among ALL
+    live edges at BOTH endpoints (winners are vertex-disjoint by
+    construction), winners retire their endpoints. Equals the sequential
+    greedy matching in global priority order, by the same exchange
+    argument as :func:`maximal_independent_set`. Returns DF(a, b).
+
+    Scale shape: each round is one endpoint-priority aggregation (the
+    (vertex, min p) table via an explode-union) + two equi-joins + an
+    anti-join retire; the globally minimum live edge always wins, and in
+    expectation a constant fraction of live edges retires per round —
+    O(log m) rounds, lineage cut per round."""
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    und = db.undirected_edges(etype).filter(F.col("a") != F.col("b"))
+    canon = (
+        und.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    live = cut_lineage(
+        canon.withColumn(
+            "p",
+            md5_hash60(
+                F.concat_ws(":", F.lit(int(seed)), F.col("a"), F.col("b"))
+            ),
+        )
+    )
+    matched = None
+    for _ in range(int(max_rounds)):
+        if live.isEmpty():
+            break
+        inc = live.select(F.col("a").alias("v"), "p").unionAll(
+            live.select(F.col("b").alias("v"), "p")
+        )
+        vmin = inc.groupBy("v").agg(F.min("p").alias("mp"))
+        win = cut_lineage(
+            live.join(
+                vmin.select(F.col("v").alias("a"), F.col("mp").alias("_ma")), "a"
+            )
+            .join(vmin.select(F.col("v").alias("b"), F.col("mp").alias("_mb")), "b")
+            .filter((F.col("p") == F.col("_ma")) & (F.col("p") == F.col("_mb")))
+            .select("a", "b")
+        )
+        matched = win if matched is None else matched.unionAll(win)
+        mv = win.select(F.col("a").alias("v")).unionAll(
+            win.select(F.col("b").alias("v"))
+        ).distinct()
+        live = cut_lineage(
+            live.join(mv.select(F.col("v").alias("a")), "a", "anti").join(
+                mv.select(F.col("v").alias("b")), "b", "anti"
+            )
+        )
+    if matched is None:
+        return canon.limit(0)
+    return matched.select("a", "b")
+
+
 def local_clustering_coefficient(
     db: GraphDB,
     etype: int | None = None,

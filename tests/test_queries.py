@@ -486,6 +486,39 @@ def test_maximal_independent_set_equals_greedy_by_priority(social_db):
         assert und[v] & got
 
 
+def test_maximal_matching_equals_greedy_by_priority(social_db):
+    import hashlib
+
+    edges = set()
+    for r in social_db.undirected_edges(0).collect():
+        if r["a"] != r["b"]:
+            edges.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
+
+    def pri(e):
+        return int(hashlib.md5(f"42:{e[0]}:{e[1]}".encode()).hexdigest()[:15], 16)
+
+    # local-min-edge rounds == the sequential greedy matching in global
+    # priority order (every round the global min live edge wins; exchange
+    # argument as for MIS)
+    expect, used = set(), set()
+    for e in sorted(edges, key=lambda e: (pri(e), e)):
+        if e[0] not in used and e[1] not in used:
+            expect.add(e)
+            used |= {e[0], e[1]}
+    got = {
+        (r["a"], r["b"])
+        for r in gq.maximal_matching(social_db, etype=0).collect()
+    }
+    assert got == expect
+    # vertex-disjoint + maximal, asserted directly
+    seen = set()
+    for a, b in got:
+        assert a not in seen and b not in seen
+        seen |= {a, b}
+    for a, b in edges - got:
+        assert a in seen or b in seen
+
+
 def test_weighted_sssp_matches_python_bellman_ford(social_db):
     from collections import defaultdict
 
