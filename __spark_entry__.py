@@ -684,6 +684,34 @@ def _q_events_window(spark, sf):
     return events.window_agg(_events(spark, sf), window_minutes=60)
 
 
+def _q_events_resample(spark, sf):
+    """Regular-grid hourly resample + forward fill per user (gap buckets
+    carry n_events=0 and the last observed avg) — the time-series
+    featurization pass over the event stream."""
+    return events.resample_gapfill(_events(spark, sf), bucket_minutes=60)
+
+
+def _events_resample_sql(step: int = 3600) -> str:
+    """Twin of resample_gapfill: epoch-floored buckets, dense per-key grid
+    via range() (exclusive end → hi+step), LEFT JOIN, last_value IGNORE
+    NULLS forward fill. make_timestamp keeps the bucket a NAIVE timestamp
+    (to_timestamp would yield TIMESTAMPTZ and a tz-dependent string)."""
+    return (
+        f"WITH obs AS (SELECT user_id AS k, CAST(floor(epoch(ts) / {step}) * {step} AS BIGINT) AS b,"
+        " CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS v"
+        " FROM events GROUP BY 1, 2),\n"
+        "rng AS (SELECT k, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),\n"
+        f"grid AS (SELECT k, unnest(range(lo, hi + {step}, {step})) AS b FROM rng),\n"
+        "j AS (SELECT g.k, g.b, o.n, o.v FROM grid g LEFT JOIN obs o ON o.k = g.k AND o.b = g.b)\n"
+        "SELECT CAST(k AS BIGINT) AS user_id,"
+        " strftime(make_timestamp(b * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket,"
+        " COALESCE(n, 0) AS n_events, v AS value_avg,"
+        " last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill\n"
+        "FROM j"
+    )
+
+
 def _q_events_window_sliding(spark, sf):
     """3h windows hopping hourly — each event expands to 3 windows before
     ONE map-side-combined aggregation (no self-joins, no re-scan)."""
@@ -2934,6 +2962,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-log modeling: Markov next-event matrix + SCD2 historization
         "events_transitions": _q_events_transitions,
         "events_scd2": _q_events_scd2,
+        # regular-grid resample + forward fill (time-series featurization)
+        "events_resample_ffill": _q_events_resample,
         # unigram-LM quality scoring + CCNet-style perplexity tiers
         "doc_logprob": _q_doc_logprob,
         "doc_ppl_buckets": _q_doc_ppl_buckets,
@@ -4291,6 +4321,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "msf_weighted": _msf_sql(),
         "mis_seeded": _mis_sql(),
         "maximal_matching_seeded": _matching_sql(),
+        "events_resample_ffill": _events_resample_sql(),
         "minhash_cluster_members": _minhash_members_sql(),
         "dedup_rate_by_source": _dedup_rate_sql(),
         "mmr_topk": _mmr_sql(),

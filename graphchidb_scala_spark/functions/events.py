@@ -73,6 +73,58 @@ def window_agg(
     )
 
 
+def resample_gapfill(
+    events: DataFrame,
+    bucket_minutes: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Regular-grid resample with forward fill — the time-series
+    featurization pass (training on event streams wants one row per
+    (entity, bucket), gaps carried forward, not a ragged observed-only
+    table). Per key: epoch-floored buckets, count + rounded avg per
+    observed bucket, a dense grid spanning [first, last] observed bucket
+    (F.sequence — no generator UDF), and last-observation-carried-forward
+    over the gaps. DF(key, bucket string, n_events, value_avg,
+    value_ffill); empty buckets carry n_events=0, value_avg NULL, and the
+    most recent non-null avg in value_ffill.
+
+    Scale shape: one map-side-combined aggregation, a grid whose size is
+    keys × (span/bucket) — data-bounded, never a cross join — one equi
+    left join, and one per-key ordered window; the fill state is one value
+    per key. Under readStream the same expressions become a stateful
+    window + flatMapGroupsWithState-style fill."""
+    step = int(bucket_minutes) * 60
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("bigint")
+    obs = events.groupBy(F.col(key_col).alias("_k"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.avg(value_col), round_dp).alias("value_avg"),
+    )
+    rng = obs.groupBy("_k").agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = rng.select(
+        "_k", F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias("_b")
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "_b"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            F.date_format(F.col("_b").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "value_avg",
+            F.last("value_avg", ignorenulls=True).over(wf).alias("value_ffill"),
+        )
+    )
+
+
 def window_agg_sliding(
     events: DataFrame,
     length_minutes: int = 180,

@@ -1146,6 +1146,32 @@ def test_window_agg_sliding_matches_python_model(spark):
     assert {k: v[0] for k, v in got.items()} == dict(model)
 
 
+def test_resample_gapfill_dense_grid_and_ffill(spark):
+    """A key observed at hours 0 and 3 gets the 1- and 2-hour gap buckets
+    materialized with n_events=0, value_avg NULL, and hour-0's avg carried
+    forward; a second key's grid is independent."""
+    from datetime import datetime
+    from graphchidb_scala_spark.functions import events as ev
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 20.0),
+        (1, datetime(2024, 1, 1, 3, 5), 7.0),
+        (2, datetime(2024, 1, 1, 2, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket"]): (r["n_events"], r["value_avg"], r["value_ffill"])
+        for r in ev.resample_gapfill(df, bucket_minutes=60).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 15.0, 15.0)
+    assert got[(1, "2024-01-01 01:00:00")] == (0, None, 15.0)
+    assert got[(1, "2024-01-01 02:00:00")] == (0, None, 15.0)
+    assert got[(1, "2024-01-01 03:00:00")] == (1, 7.0, 7.0)
+    assert got[(2, "2024-01-01 02:00:00")] == (1, 5.0, 5.0)
+    assert len(got) == 5  # key 2 spans a single bucket — no spurious grid
+
+
 def test_window_agg_sliding_rejects_nonmultiple(spark):
     df = spark.createDataFrame(
         [(0, "2024-01-01 00:00:00", "a", 1.0)],
