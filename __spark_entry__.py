@@ -824,6 +824,14 @@ def _q_doc_ngram_neardup(spark, sf):
     )
 
 
+def _q_bigram_pmi(spark, sf):
+    """Top-20 collocations by PMI (min_count=5) — which adjacent word
+    pairs co-occur far above chance; BPE-merge/phrase-feature candidates.
+    Two map-side-combined counts + a vocab-bounded join, never a
+    corpus-sized shuffle."""
+    return text.bigram_pmi(_docs(spark, sf), min_count=5, k=20)
+
+
 def _q_token_bigrams(spark, sf):
     """Corpus top-20 word bigrams (LM-data frequency statistic)."""
     return text.ngram_counts(_docs(spark, sf), n=2, k=20)
@@ -2881,6 +2889,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_near_duplicates": _q_drop_near_dups,
         "token_histogram": _q_token_histogram,
         "token_bigrams": _q_token_bigrams,
+        # PMI collocations (vocabulary/tokenizer curation statistic)
+        "token_bigram_pmi": _q_bigram_pmi,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
@@ -3963,6 +3973,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"
             ") t WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "token_bigram_pmi": (
+            "WITH tk AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t"
+            " FROM documents),\n"
+            "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM"
+            " (SELECT unnest(t) AS w FROM tk) GROUP BY w),\n"
+            "bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (\n"
+            "  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),"
+            " i -> array_to_string(t[i:i+1], ' '))) AS gram FROM tk WHERE len(t) >= 2\n"
+            ") GROUP BY gram HAVING count(*) >= 5),\n"
+            "t1 AS (SELECT CAST(SUM(wc) AS DOUBLE) AS v FROM uni),\n"
+            "t2 AS (SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS v FROM tk)\n"
+            "SELECT b.gram, b.cnt, round(ln((b.cnt / (SELECT v FROM t2)) /"
+            " ((ua.wc / (SELECT v FROM t1)) * (ub.wc / (SELECT v FROM t1)))), 4) AS pmi\n"
+            "FROM bi b JOIN uni ua ON ua.w = string_split(b.gram, ' ')[1]\n"
+            "JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2]\n"
+            "ORDER BY pmi DESC, gram LIMIT 20"
         ),
         "token_bigrams": (
             "SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (\n"

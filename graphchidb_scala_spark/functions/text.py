@@ -291,6 +291,72 @@ def bpe_pair_counts(df: DataFrame, k: int = 20, text_col: str = "text") -> DataF
     )
 
 
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    vocabulary/tokenizer-curation statistic (which adjacent word pairs
+    co-occur far more than chance: merge candidates for a BPE-style vocab,
+    phrase features). pmi(a,b) = ln( p(a b) / (p(a)·p(b)) ) with unigram
+    probabilities over total tokens and bigram probabilities over total
+    bigrams; pairs below ``min_count`` occurrences are dropped (PMI of
+    rare pairs is noise). DF(gram, cnt, pmi) ordered (pmi DESC, gram ASC).
+
+    Scale shape: two map-side-combined counts (unigrams, bigrams) + two
+    broadcast-able 1-row totals + one join of the bigram table against the
+    unigram table (bounded by distinct-vocab size, not corpus size), then
+    TakeOrdered. All arithmetic float64 in both engines; ln + one ratio,
+    rounded at ``round_dp``."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    n_b = F.size(toks) - F.lit(1)
+    bigrams = F.when(n_b <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_b, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    t1 = uni.agg(F.sum("wc").cast("double").alias("_t1"))
+    t2 = df.select(
+        F.sum(F.greatest(F.size(toks) - F.lit(1), F.lit(0))).cast("double").alias("_t2")
+    )
+    parts = F.split(F.col("gram"), " ", 2)
+    scored = (
+        bi.withColumn("_a", parts[0])
+        .withColumn("_b", parts[1])
+        .join(uni.select(F.col("w").alias("_a"), F.col("wc").alias("_ca")), "_a")
+        .join(uni.select(F.col("w").alias("_b"), F.col("wc").alias("_cb")), "_b")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "gram",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt") / F.col("_t2"))
+                    / ((F.col("_ca") / F.col("_t1")) * (F.col("_cb") / F.col("_t1")))
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(int(k))
+
+
 def ngram_counts(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -1146,6 +1146,40 @@ def test_window_agg_sliding_matches_python_model(spark):
     assert {k: v[0] for k, v in got.items()} == dict(model)
 
 
+def test_bigram_pmi_matches_python_model(spark):
+    """PMI against a hand-built corpus: the always-together pair ranks
+    above a chance pair; values match the python formula exactly."""
+    import math
+
+    rows = [(i, "alpha beta gamma delta") for i in range(6)] + [
+        (10 + i, "alpha gamma beta delta") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["gram"]: (r["cnt"], r["pmi"])
+        for r in text.bigram_pmi(df, min_count=2, k=20).collect()
+    }
+    # python model
+    toks = [t.split() for _, t in rows]
+    uni, bi = {}, {}
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    t1 = sum(uni.values())
+    t2 = sum(len(t) - 1 for t in toks)
+    expect = {}
+    for (a, b), c in bi.items():
+        if c >= 2:
+            pmi = math.log((c / t2) / ((uni[a] / t1) * (uni[b] / t1)))
+            expect[f"{a} {b}"] = (c, round(pmi, 4))
+    assert got == dict(sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20])
+    # "beta gamma" occurs 6/8 times vs "alpha beta" 6/8... the chance pair
+    # "gamma beta" (2 occurrences) must score below the dominant pairs
+    assert got["beta gamma"][1] > got["gamma beta"][1]
+
+
 def test_resample_gapfill_dense_grid_and_ffill(spark):
     """A key observed at hours 0 and 3 gets the 1- and 2-hour gap buckets
     materialized with n_events=0, value_avg NULL, and hour-0's avg carried
