@@ -511,6 +511,19 @@ CHECKS = {
         ),
         ["!CartesianProduct", "!BroadcastNestedLoop"],
     ),
+    # resample+ffill: grid explode, ONE left equi-join, one ordered window —
+    # no cartesian, no nested loop anywhere
+    "resample_gapfill_single_window": (
+        lambda g, docs, emb: _resample_plan(g),
+        ["Window", "!CartesianProduct", "!BroadcastNestedLoop"],
+    ),
+    # PMI: the bigram-vs-unigram joins are vocab-bounded equi joins and the
+    # two corpus totals arrive as broadcast 1-row aggregates; the final
+    # top-k is TakeOrdered, never a full sort
+    "bigram_pmi_vocab_join_topk": (
+        lambda g, docs, emb: text.bigram_pmi(docs, min_count=5, k=20),
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    ),
     # inter-arrival: one lag window + one agg on the same user-key shuffle
     "interarrival_single_window": (
         lambda g, docs, emb: __import__(
@@ -538,6 +551,17 @@ def _ab_metrics_plan(g):
 
     deg = g.degrees()
     return ev.ab_metrics(deg, F.col("id") % 2 == 0, "out_deg")
+
+
+def _resample_plan(g):
+    from graphchidb_scala_spark.functions import events as ev_mod
+
+    ev = g.spark.range(1000).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 977).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    return ev_mod.resample_gapfill(ev, bucket_minutes=60)
 
 
 def _set_signature_plan(docs):
