@@ -124,6 +124,39 @@ def test_connected_components_matches_union_find(spark, seed):
 
 @PROP
 @given(seed=st.integers(0, 2**31 - 1))
+def test_maximal_matching_matches_greedy_on_random_graphs(spark, seed):
+    import hashlib
+
+    rng = random.Random(seed)
+    n = 14
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(16))
+        if a != b
+    }
+
+    def pri(e):
+        return int(hashlib.md5(f"42:{e[0]}:{e[1]}".encode()).hexdigest()[:15], 16)
+
+    expect, used = set(), set()
+    for e in sorted(edges, key=lambda e: (pri(e), e)):
+        if e[0] not in used and e[1] not in used:
+            expect.add(e)
+            used |= set(e)
+
+    from graphchidb_scala_spark.operators import graph_queries as gq
+
+    df = spark.createDataFrame(
+        [(0, a, b) for a, b in edges], "etype int, src bigint, dst bigint"
+    )
+    got = {
+        (r["a"], r["b"]) for r in gq.maximal_matching(GraphDB(df)).collect()
+    }
+    assert got == expect
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
 def test_drop_near_duplicates_matches_union_find(spark, seed):
     """pairs -> CC clustering -> min-id survivor == a pure-Python union-find
     model: survivors are exactly one min-id doc per duplicate cluster plus
