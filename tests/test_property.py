@@ -124,6 +124,42 @@ def test_connected_components_matches_union_find(spark, seed):
 
 @PROP
 @given(seed=st.integers(0, 2**31 - 1))
+def test_members_verify_equals_pairs_cc_on_random_corpora(spark, seed):
+    """The r8 equivalence claim, property-tested: minhash_cluster_members
+    (verify=True, one repair pass) partitions documents exactly as the
+    pair path (minhash_lsh_exact_pairs -> near_duplicate_clusters), on
+    random template corpora with planted dup groups and noise docs."""
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    did = 0
+    for g in range(rng.randint(2, 4)):
+        base = " ".join(rng.choices(words, k=rng.randint(8, 14)))
+        for r in range(rng.randint(1, 4)):
+            txt = base + (" tail" if r % 2 else "")
+            rows.append((did, txt))
+            did += 1
+    for _ in range(rng.randint(1, 3)):
+        rows.append((did, " ".join(rng.choices(words, k=rng.randint(3, 6)))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.minhash_lsh_exact_pairs(df, threshold=0.5).select("id_a", "id_b")
+    cc = {
+        r["id"]: r["cluster"]
+        for r in dedup.near_duplicate_clusters(pairs).collect()
+    }
+    want = {i: cc.get(i, i) for i, _ in rows}
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.minhash_cluster_members(
+            df, threshold=0.5, verify=True
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
 def test_maximal_matching_matches_greedy_on_random_graphs(spark, seed):
     import hashlib
 
