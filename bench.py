@@ -197,6 +197,11 @@ def main() -> None:
             "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
                 docs, block_col="source", threshold=0.5
             ).count(),
+            # r8 flagship: pair-free near-dup clustering (band-bucket stars
+            # -> CC; cost scales with docs, never the Θ(Σ group²) pair list)
+            "dedup_members_clusters": lambda: dedup.minhash_cluster_members(
+                docs, threshold=0.5
+            ).count(),
             "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
             "embed_neardup": lambda: similarity.cosine_pairs_lsh(
                 emb, dim=64, threshold=0.3, n_planes=6, seed=42
