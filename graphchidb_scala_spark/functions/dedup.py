@@ -828,8 +828,14 @@ def minhash_cluster_members(
         # engage floor, same τ/2 bar, same ~3e-5 added miss analysis): on
         # shared-vocabulary corpora the crossing candidate mass is much
         # larger than the plausible-pair mass, and the 64-long signature
-        # agreement costs ~a tenth of the shingle-array intersection
-        n_docs = df.count()
+        # agreement costs ~a tenth of the shingle-array intersection.
+        # Count SHINGLED docs (>=1 k-shingle, i.e. len(text) >= k) — the
+        # identical engage condition as the pairs path's sh_base.count()
+        # (n > 0 filter above) — so both paths flip the prune on the same
+        # corpora; counting raw df rows could disagree on corpora
+        # straddling the floor with sub-k-length docs, breaking the
+        # documented pairs->CC equivalence by the prune's ~3e-5 tier.
+        n_docs = sh.filter(F.col("n") > 0).count()
         sig_prune = None
         if n_docs > _ESTIMATE_TIER_MIN_DOCS:
             sigs_m = cut_lineage(sig_arr.select("id", "sig"))

@@ -459,7 +459,7 @@ def kmeans_codebook(
     df: DataFrame,
     k: int = 64,
     iterations: int = 10,
-    sample_cap: int = 16_384,
+    sample_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
@@ -478,17 +478,17 @@ def kmeans_codebook(
     sweet spot (~hundreds), assign with :func:`assign_cells_arrow` instead
     of :func:`ivf_cell`.
 
-    When ``sample_cap`` is left at the default, the effective sample is
+    When ``sample_cap`` is ``None`` (the default), the effective sample is
     ``max(16_384, 32·K)`` so the per-cluster point budget never drops below
-    ~32 as K grows (the fixed default at K=4096 would train on 4
+    ~32 as K grows (a fixed 16,384 at K=4096 would train on 4
     points/cluster; the clamp is 131,072 rows × dim doubles — 67 MB at
-    dim=64). An EXPLICIT ``sample_cap`` is honored verbatim — a
-    memory-constrained driver that asks for 2,048 rows collects exactly
-    2,048, even if that starves large K."""
+    dim=64). An EXPLICIT ``sample_cap`` — any int, including 16,384 — is
+    honored verbatim: a memory-constrained driver that asks for 2,048 rows
+    collects exactly 2,048, even if that starves large K."""
     import numpy as np
 
-    if sample_cap == 16_384:  # default → apply the 32·K per-cluster floor
-        effective_cap = max(int(sample_cap), 32 * int(k))
+    if sample_cap is None:  # default → apply the 32·K per-cluster floor
+        effective_cap = max(16_384, 32 * int(k))
     else:
         effective_cap = int(sample_cap)
     rows = (
@@ -1055,11 +1055,18 @@ def dequantize_int8(q_col: Column, scale_col: Column) -> Column:
 def _round_half_away(x: float, dp: int = 4) -> float:
     """Round half AWAY from zero — Spark F.round / DuckDB round semantics.
     Python's built-in round() is banker's (half to even), which would
-    diverge from both engines exactly on .00005 boundaries."""
-    import math
+    diverge from both engines exactly on .00005 boundaries.
 
-    scale = 10.0 ** dp
-    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+    Implemented over the decimal expansion of ``repr(x)`` (the shortest
+    decimal string that round-trips the double — exactly what Java
+    ``BigDecimal.valueOf(double)`` uses inside Spark's F.round), NOT via
+    ``floor(|x|·10^dp + 0.5)``: the float multiply can cross the .5
+    boundary within ~1 ulp and flip the rounding on rare inputs, a latent
+    cross-engine flake when the result feeds an argmax (mmr_topk)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP)
+    return float(q)
 
 
 def _py_cosine(a: Sequence[float], b: Sequence[float]) -> float:

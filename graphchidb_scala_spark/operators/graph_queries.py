@@ -657,11 +657,15 @@ def maximal_matching(
     primitive behind coarsening (multilevel partitioners), two-sided
     load-balancing, and dedup pair selection. Deterministic local-min
     rounds: edge priorities are md5(seed:a:b) over the canonical a<b form,
-    an edge wins a round iff its priority is the strict minimum among ALL
+    an edge wins a round iff its (p, a, b) triple is the minimum among ALL
     live edges at BOTH endpoints (winners are vertex-disjoint by
-    construction), winners retire their endpoints. Equals the sequential
-    greedy matching in global priority order, by the same exchange
-    argument as :func:`maximal_independent_set`. Returns DF(a, b).
+    construction), winners retire their endpoints. The lexicographic
+    (p, a, b) key — not p alone — makes the per-vertex minimum STRICTLY
+    unique: two incident live edges colliding on the 60-bit md5 priority
+    (~2^-60 per pair, but the invariant is load-bearing) can no longer
+    both win in the same round and emit edges sharing a vertex. Equals the
+    sequential greedy matching in global (p, a, b) order, by the same
+    exchange argument as :func:`maximal_independent_set`. Returns DF(a, b).
 
     Scale shape: each round is one endpoint-priority aggregation (the
     (vertex, min p) table via an explode-union) + two equi-joins + an
@@ -689,16 +693,17 @@ def maximal_matching(
     for _ in range(int(max_rounds)):
         if live.isEmpty():
             break
-        inc = live.select(F.col("a").alias("v"), "p").unionAll(
-            live.select(F.col("b").alias("v"), "p")
+        key = F.struct(F.col("p"), F.col("a"), F.col("b"))
+        inc = live.select(F.col("a").alias("v"), key.alias("k")).unionAll(
+            live.select(F.col("b").alias("v"), key.alias("k"))
         )
-        vmin = inc.groupBy("v").agg(F.min("p").alias("mp"))
+        # struct min = lexicographic (p, a, b): strictly unique per vertex
+        vmin = inc.groupBy("v").agg(F.min("k").alias("mk"))
         win = cut_lineage(
-            live.join(
-                vmin.select(F.col("v").alias("a"), F.col("mp").alias("_ma")), "a"
-            )
-            .join(vmin.select(F.col("v").alias("b"), F.col("mp").alias("_mb")), "b")
-            .filter((F.col("p") == F.col("_ma")) & (F.col("p") == F.col("_mb")))
+            live.withColumn("_k", key)
+            .join(vmin.select(F.col("v").alias("a"), F.col("mk").alias("_ma")), "a")
+            .join(vmin.select(F.col("v").alias("b"), F.col("mk").alias("_mb")), "b")
+            .filter((F.col("_k") == F.col("_ma")) & (F.col("_k") == F.col("_mb")))
             .select("a", "b")
         )
         matched = win if matched is None else matched.unionAll(win)
