@@ -160,6 +160,52 @@ def test_members_verify_equals_pairs_cc_on_random_corpora(spark, seed):
 
 @PROP
 @given(seed=st.integers(0, 2**31 - 1))
+def test_containment_members_equals_pairs_cc_on_random_corpora(spark, seed):
+    """The r9 equivalence claim, property-tested: containment_cluster_members
+    (verified stars + one crossing-only repair pass) partitions documents
+    exactly as the pair path (ngram_containment_pairs -> CC), on random
+    template corpora mixing full replicas, contained quotes, and noise."""
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    did = 0
+    for g in range(rng.randint(2, 4)):
+        quote = " ".join(rng.choices(words, k=rng.randint(8, 14)))
+        for r in range(rng.randint(1, 4)):
+            # containers: quote embedded in per-doc filler (doc-in-doc),
+            # plus plain replicas with a small tail tweak
+            if r % 2:
+                txt = (
+                    " ".join(rng.choices(words, k=rng.randint(2, 4)))
+                    + " " + quote + " " + quote
+                )
+            else:
+                txt = quote + (" tail" if r % 2 == 0 and r else "")
+            rows.append((did, txt))
+            did += 1
+    for _ in range(rng.randint(1, 3)):
+        rows.append((did, " ".join(rng.choices(words, k=rng.randint(3, 6)))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.ngram_containment_pairs(df, k=5, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    cc = {
+        r["id"]: r["cluster"]
+        for r in dedup.near_duplicate_clusters(pairs).collect()
+    }
+    want = {i: cc.get(i, i) for i, _ in rows}
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.containment_cluster_members(
+            df, k=5, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
 def test_maximal_matching_matches_greedy_on_random_graphs(spark, seed):
     import hashlib
 
