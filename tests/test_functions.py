@@ -1298,6 +1298,31 @@ def test_resample_gapfill_dense_grid_and_ffill(spark):
     assert len(got) == 5  # key 2 spans a single bucket — no spurious grid
 
 
+def test_resample_gapfill_grid_guard(spark):
+    """max_buckets_per_key makes the span-proportional grid contract
+    explicit: a key observed years apart at minute buckets raises (in-plan
+    raise_error naming the key) instead of silently exploding millions of
+    grid rows; a generous cap or max_buckets_per_key=None admits it."""
+    from datetime import datetime
+    from graphchidb_scala_spark.functions import events as ev
+
+    rows = [
+        (7, datetime(2020, 1, 1, 0, 0), 1.0),
+        (7, datetime(2024, 1, 1, 0, 0), 2.0),  # 4 years -> ~2.1M minute buckets
+        (8, datetime(2024, 1, 1, 0, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="resample_gapfill: key 7"):
+        ev.resample_gapfill(df, bucket_minutes=1, max_buckets_per_key=100_000).collect()
+    # well-behaved spans pass under the same cap; the default cap admits
+    # the 4-year span at DAY buckets (1462 rows)
+    ok = ev.resample_gapfill(df, bucket_minutes=1440, max_buckets_per_key=100_000)
+    assert ok.filter(F.col("user_id") == 7).count() == 1462
+
+
 def test_window_agg_sliding_rejects_nonmultiple(spark):
     df = spark.createDataFrame(
         [(0, "2024-01-01 00:00:00", "a", 1.0)],
