@@ -1423,6 +1423,53 @@ def _q_bpe_pairs(spark, sf):
     return text.bpe_pair_counts(_docs(spark, sf), k=20)
 
 
+def _q_bpe_train(spark, sf):
+    """Iterative BPE trainer (text.bpe_train, 8 merge rounds): the corpus
+    collapses ONCE to the vocab-bounded (word, freq) table; each round is
+    one map-side-combined pair aggregation + a 1-row argmax + a codegen
+    merge fold. Twin unrolls the same 8 rounds with DuckDB reduce()."""
+    return text.bpe_train(_docs(spark, sf), n_merges=8)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled DuckDB twin of bpe_train: per round, pair counts over the
+    (sym list, freq) vocab (overlapping zip pairs, freq-weighted), argmax
+    (cnt DESC, a, b), and the identical left-to-right non-overlapping
+    merge fold via reduce() over singleton lists (acc[-1]=a AND x=b fuses
+    — same semantics as the Spark aggregate HOF). MATERIALIZED per level."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT list_transform(range(1, length(w)+1), "
+        "i -> substr(w, CAST(i AS INT), 1)) AS sym, freq FROM ("
+        "SELECT w, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents"
+        ") WHERE length(w) > 0 GROUP BY w))"
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, SUM(freq) AS cnt "
+            f"FROM (SELECT freq, unnest(list_transform(range(1, length(sym)), "
+            f"j -> [sym[j], sym[j+1]])) AS pr FROM w{p}) "
+            f"GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT reduce("
+            f"list_concat([[sym[1]]], list_transform(sym[2:], s -> [s])), "
+            f"(acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b "
+            f"THEN list_concat(acc[1:length(acc)-1], [acc[-1] || x[1]]) "
+            f"ELSE list_concat(acc, x) END) AS sym, freq FROM w{p}, m{i} m)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH\n" + ",\n".join(parts)
+        + f"\nSELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM ({union})"
+    )
+
+
 def _q_doc_tfidf_search(spark, sf):
     """Keyword retrieval: top-20 docs by smoothed TF-IDF for a 3-term query.
     The term IN-filter sits on the exploded tokens before any shuffle, so
@@ -3019,6 +3066,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp4": _q_weighted_sssp,
         # tokenizer-training statistic (first BPE merge pair counts)
         "bpe_pair_top20": _q_bpe_pairs,
+        # iterative BPE trainer (r9: n merge rounds over the vocab table)
+        "bpe_train_merges": _q_bpe_train,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
         "maximal_matching_seeded": _q_maximal_matching,
@@ -3143,8 +3192,8 @@ _GRADED_WINDOW = [
     # oldest-graded fillers (last independent grade: round 3)
     "als_recommend", "als_rmse",
     # round-9 new keys land here (swapped in as they are added)
-    "containment_cluster_members",
-    "neighbors_multi", "out_neighbors_joined",
+    "containment_cluster_members", "bpe_train_merges",
+    "out_neighbors_joined",
     "edge_get", "edge_mutations",
 ]
 
@@ -4318,6 +4367,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p "
             "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"
         ),
+        "bpe_train_merges": _bpe_train_sql(),
         "jaccard_top20": _gsql(
             "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
             "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"

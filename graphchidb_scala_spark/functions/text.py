@@ -291,6 +291,108 @@ def bpe_pair_counts(df: DataFrame, k: int = 20, text_col: str = "text") -> DataF
     )
 
 
+def _bpe_adjacent_pairs(sym) -> Column:
+    """Adjacent symbol pairs of a symbol array, OVERLAPPING (Sennrich
+    get_stats counts via zip(word, word[1:])): array<struct<a,b>>."""
+    sym = F.col(sym) if isinstance(sym, str) else sym
+    return F.when(
+        F.size(sym) < 2, F.array().cast("array<struct<a:string,b:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.struct(
+                F.element_at(sym, i).alias("a"),
+                F.element_at(sym, i + 1).alias("b"),
+            ),
+        )
+    )
+
+
+def _bpe_apply_merge(sym, a: str, b: str) -> Column:
+    """Left-to-right NON-overlapping merge of adjacent (a, b) → a+b in a
+    symbol array — the classic BPE application step ('aaaa' under (a,a)
+    becomes 'aa','aa'), as a single fold: acc starts as [first symbol];
+    each next symbol either fuses into acc's last element (when last == a
+    and it == b) or appends. After a fusion the last element is a+b —
+    longer than a — so it can never fuse again this round: exactly the
+    non-overlap rule, with no positional bookkeeping. Stays in codegen
+    (aggregate HOF); DuckDB's reduce() expresses the identical fold, so
+    the oracle twin is exact."""
+    sym = F.col(sym) if isinstance(sym, str) else sym
+    head = F.slice(sym, 1, 1)
+    tail = F.slice(sym, 2, F.greatest(F.size(sym) - 1, F.lit(0)))
+    return F.aggregate(
+        tail,
+        head,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rounds (Sennrich et al. 2016, the
+    subword tokenizer-training loop): DF(rank, lhs, rhs, merged, cnt) —
+    the merge learned each round, most-frequent adjacent symbol pair
+    first, ties (cnt DESC, lhs ASC, rhs ASC). Extends
+    :func:`bpe_pair_counts` (the FIRST round's statistic) to the full
+    iterative trainer.
+
+    Scale shape — the 100 TB tokenizer-training story: the corpus is
+    touched ONCE, collapsing to the (word, freq) vocabulary table
+    (vocab-bounded — millions of rows regardless of corpus bytes, the
+    Zipf plateau); every merge round then runs over that table only: one
+    map-side-combined pair aggregation (rows ≤ vocab · avg word length),
+    one argmax collect of a single row, and one codegen fold applying the
+    merge (:func:`_bpe_apply_merge`). Lineage is cut per round, so plan
+    depth stays constant across rounds. Pair counts weight by word freq —
+    identical to counting over the raw corpus, without re-reading it.
+
+    Reference: no tokenizer exists in the reference (this is the
+    beyond-reference LLM-pipeline tier); the loop shape mirrors the
+    repo's other driver-iterated fixpoints (pregel.py)."""
+    from graphchidb_scala_spark.checkpoint import cut_lineage
+
+    spark = df.sparkSession
+    w = F.col("_w")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    words = cut_lineage(
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"))
+        .filter(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(chars.alias("sym"), "freq")
+    )
+    merges: list[tuple] = []
+    for r in range(1, int(n_merges) + 1):
+        top = (
+            words.select("freq", F.explode(_bpe_adjacent_pairs("sym")).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["cnt"])
+        merges.append((r, a, b, a + b, cnt))
+        words = cut_lineage(
+            words.select(_bpe_apply_merge("sym", a, b).alias("sym"), "freq")
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     min_count: int = 5,

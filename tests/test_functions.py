@@ -1491,6 +1491,59 @@ def test_bpe_pair_counts_matches_python(spark):
     assert got == dict(model)
 
 
+def test_bpe_train_matches_reference_trainer(spark):
+    """bpe_train == a sequential Sennrich-style reference trainer (same
+    overlapping pair stats, same (cnt DESC, lhs, rhs) tie-break, same
+    left-to-right non-overlapping merge application) across 10 rounds on
+    a corpus that exercises the overlap cases ('aaaa' under (a,a),
+    self-chaining 'ababab') and merged-symbol re-pairing ('t'+'he')."""
+    import collections
+    import re
+
+    def reference(texts, n):
+        vocab = collections.Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.strip()):
+                if w:
+                    vocab[tuple(w)] += 1
+        out = []
+        for r in range(1, n + 1):
+            stats = collections.Counter()
+            for sym, fq in vocab.items():
+                for i in range(len(sym) - 1):
+                    stats[(sym[i], sym[i + 1])] += fq
+            if not stats:
+                break
+            (a, b), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((r, a, b, a + b, cnt))
+            newv = collections.Counter()
+            for sym, fq in vocab.items():
+                ns, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(sym[i])
+                        i += 1
+                newv[tuple(ns)] += fq
+            vocab = newv
+        return out
+
+    texts = [
+        "low lower lowest newest newer new wide wider widest",
+        "aaaa aaa aa a banana bandana ananas",
+        "the theme there then these the the them",
+        "ababab abab ab ba",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = reference(texts, 10)
+    got = [tuple(r) for r in text.bpe_train(df, n_merges=10).orderBy("rank").collect()]
+    assert got == want
+
+
 def test_set_signature_dedup_and_partitioning_invariant(spark):
     from graphchidb_scala_spark.functions import sketches
 
