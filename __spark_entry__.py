@@ -1470,6 +1470,27 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     )
 
 
+def _q_bpe_encode(spark, sf):
+    """Tokenize the corpus with the 8 trained merges (text.bpe_encode_counts):
+    the trainer's final vocab-table symbolization exploded into one
+    map-side-combined count — top-30 subword frequencies."""
+    return text.bpe_encode_counts(_docs(spark, sf), n_merges=8, k=30)
+
+
+def _bpe_encode_sql(n_merges: int = 8, k: int = 30) -> str:
+    """Twin of bpe_encode_counts: the SAME unrolled trainer CTEs as
+    _bpe_train_sql, finalized by exploding w{n}'s symbol lists into
+    freq-weighted counts."""
+    train = _bpe_train_sql(n_merges)
+    ctes = train[: train.rindex("\nSELECT CAST(rank")]
+    return (
+        ctes
+        + f"\nSELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest(sym) AS token, freq FROM w{n_merges}) "
+        f"GROUP BY token ORDER BY cnt DESC, token LIMIT {k}"
+    )
+
+
 def _q_doc_tfidf_search(spark, sf):
     """Keyword retrieval: top-20 docs by smoothed TF-IDF for a 3-term query.
     The term IN-filter sits on the exploded tokens before any shuffle, so
@@ -3068,6 +3089,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_top20": _q_bpe_pairs,
         # iterative BPE trainer (r9: n merge rounds over the vocab table)
         "bpe_train_merges": _q_bpe_train,
+        # tokenizer application: subword counts under the trained merges
+        "bpe_encode_top30": _q_bpe_encode,
         # rows-only: greedy-MIS equality pytest-gated (see _q_mis docstring)
         "mis_seeded": _q_mis,
         "maximal_matching_seeded": _q_maximal_matching,
@@ -3192,8 +3215,7 @@ _GRADED_WINDOW = [
     # oldest-graded fillers (last independent grade: round 3)
     "als_recommend", "als_rmse",
     # round-9 new keys land here (swapped in as they are added)
-    "containment_cluster_members", "bpe_train_merges",
-    "out_neighbors_joined",
+    "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
     "edge_get", "edge_mutations",
 ]
 
@@ -4368,6 +4390,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"
         ),
         "bpe_train_merges": _bpe_train_sql(),
+        "bpe_encode_top30": _bpe_encode_sql(),
         "jaccard_top20": _gsql(
             "  WITH deg AS (SELECT a, count(*) AS deg FROM (SELECT a, b FROM und WHERE a <> b) u GROUP BY a),\n"
             "       nu AS (SELECT b AS w FROM und WHERE a = 1 AND a <> b),\n"

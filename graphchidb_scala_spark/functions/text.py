@@ -357,6 +357,19 @@ def bpe_train(
     Reference: no tokenizer exists in the reference (this is the
     beyond-reference LLM-pipeline tier); the loop shape mirrors the
     repo's other driver-iterated fixpoints (pregel.py)."""
+    merges_df, _ = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    return merges_df
+
+
+def _bpe_train_full(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(merges DF, final (sym, freq) vocab table) — the trainer loop with
+    its end-state symbolization exposed, so :func:`bpe_encode_counts`
+    tokenizes without re-applying merges (each round's table is already
+    materialized per-round via cut_lineage; re-applying as chained folds
+    in one projection would nest the aggregate HOF ~4^n expression
+    nodes deep)."""
     from graphchidb_scala_spark.checkpoint import cut_lineage
 
     spark = df.sparkSession
@@ -388,8 +401,36 @@ def bpe_train(
         words = cut_lineage(
             words.select(_bpe_apply_merge("sym", a, b).alias("sym"), "freq")
         )
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, cnt bigint"
+    )
+    return merges_df, words
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    n_merges: int = 8,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges (:func:`bpe_train`) and tokenize the
+    corpus with them: DF(token, cnt) — the top-``k`` subword frequencies
+    under the trained vocabulary, (cnt DESC, token ASC). The
+    tokenizer-application side of the trainer: what a pipeline runs to
+    size a vocab / inspect segmentation before committing to it.
+
+    Scale shape: the trainer's per-round (sym, freq) vocab table IS the
+    tokenized end state — this just explodes it into one
+    map-side-combined count (token counts weight by word freq, identical
+    to tokenizing the raw corpus). The corpus is touched once, by the
+    trainer."""
+    _, words = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    return (
+        words.select(F.explode("sym").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(int(k))
     )
 
 

@@ -1543,6 +1543,35 @@ def test_bpe_train_matches_reference_trainer(spark):
     got = [tuple(r) for r in text.bpe_train(df, n_merges=10).orderBy("rank").collect()]
     assert got == want
 
+    # encode side: token counts under the trained merges == tokenizing
+    # every word with the reference trainer's end-state vocab
+    def reference_counts(texts, n):
+        merges = [(m[1], m[2]) for m in reference(texts, n)]
+        cnts = collections.Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.strip()):
+                if not w:
+                    continue
+                sym = list(w)
+                for a, b in merges:
+                    ns, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                            ns.append(a + b)
+                            i += 2
+                        else:
+                            ns.append(sym[i])
+                            i += 1
+                    sym = ns
+                cnts.update(sym)
+        return sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+
+    got_enc = [
+        (r["token"], r["cnt"])
+        for r in text.bpe_encode_counts(df, n_merges=10, k=30).collect()
+    ]
+    assert got_enc == reference_counts(texts, 10)
+
 
 def test_set_signature_dedup_and_partitioning_invariant(spark):
     from graphchidb_scala_spark.functions import sketches
@@ -2137,6 +2166,43 @@ def test_estimate_tier_arm_matches_exact(spark, monkeypatch):
     # both near-identical docs match the existing copy; the tier (active at
     # floor 0) must not drop either true pair
     assert cross == {(1, 10), (2, 10)}
+
+
+def test_members_engage_floor_matches_pairs_path(spark, monkeypatch):
+    """Advisor r9 item #1: the estimate-tier engage gate must flip on the
+    SAME corpora in minhash_cluster_members(verify=True) as in
+    minhash_lsh_exact_pairs — both count SHINGLED docs (len(text) >= k),
+    so sub-k-length docs straddling the floor cannot make one path prune
+    while the other verifies everything. Floor forced to the shingled-doc
+    count: members engages iff pairs engages, and the clusterings agree."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    rows = [(1, base), (2, base.replace("quick", "slow")), (3, "unrelated words here")]
+    # sub-k-length docs: shingle-free, must NOT count toward the floor
+    rows += [(100 + i, "ab") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_shingled = 3
+    # floor exactly at the shingled count: engage condition is strict (>),
+    # so BOTH paths must skip the tier here; raw df.count()=8 would engage
+    # the members path alone — the advisor's divergence scenario
+    monkeypatch.setattr(dedup, "_ESTIMATE_TIER_MIN_DOCS", n_shingled)
+    pairs = dedup.minhash_lsh_exact_pairs(df, threshold=0.5).select("id_a", "id_b")
+    cc = {r["id"]: r["cluster"] for r in dedup.near_duplicate_clusters(pairs).collect()}
+    want = {i: cc.get(i, i) for i, _ in rows}
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.minhash_cluster_members(df, threshold=0.5, verify=True).collect()
+    }
+    assert got == want
+    # one below the floor: both paths engage the tier — still identical
+    monkeypatch.setattr(dedup, "_ESTIMATE_TIER_MIN_DOCS", n_shingled - 1)
+    pairs2 = dedup.minhash_lsh_exact_pairs(df, threshold=0.5).select("id_a", "id_b")
+    cc2 = {r["id"]: r["cluster"] for r in dedup.near_duplicate_clusters(pairs2).collect()}
+    want2 = {i: cc2.get(i, i) for i, _ in rows}
+    got2 = {
+        r["id"]: r["cluster"]
+        for r in dedup.minhash_cluster_members(df, threshold=0.5, verify=True).collect()
+    }
+    assert got2 == want2 == want
 
 
 def test_quantize_int8_roundtrip_bound(spark):

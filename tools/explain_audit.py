@@ -504,6 +504,22 @@ CHECKS = {
         ),
         ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
     ),
+    # containment members (r9): the star round + crossing repair must keep
+    # their numbered pins (round-robin after the star distinct, hash-on-
+    # bucket-key before the repair self-join) and never degrade to a
+    # cartesian; the verify joins stay equi-joins on id.
+    "containment_members_pinned_no_cartesian": (
+        lambda g, docs, emb: dedup.containment_cluster_members(
+            docs, block_col="source", k=5, threshold=0.8
+        ),
+        ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
+    ),
+    # bpe encode (r9): token counts must partial-aggregate below the
+    # exchange (map-side combine over the vocab-bounded explode)
+    "bpe_encode_partial_agg": (
+        lambda g, docs, emb: text.bpe_encode_counts(docs, n_merges=2, k=10),
+        ["partial_sum"],
+    ),
     "crosscorpus_band_join_equi": (
         lambda g, docs, emb: dedup.cross_corpus_neardup_pairs(
             docs.filter(F.col("doc_id") % 2 == 0),
