@@ -198,9 +198,13 @@ class EdgeStore:
         )
         if not src_rows:
             return None
-        pre = self._union_raw().filter(F.col("_v") < version)
-        if len(src_rows) <= _PROBE_MAX_IDS:
-            pre = pre.filter(_src_probe_predicate([r["src"] for r in src_rows]))
+        srcs = [r["src"] for r in src_rows]
+        bounded = len(src_rows) <= _PROBE_MAX_IDS
+        pre = self._union_raw(probe_srcs=srcs if bounded else None).filter(
+            F.col("_v") < version
+        )
+        if bounded:
+            pre = pre.filter(_src_probe_predicate(srcs))
         else:
             # Huge batch: no driver-side id list. The src semi-join lets the
             # planner/AQE pick the join shape (runtime bloom filter / shuffle)
@@ -232,13 +236,39 @@ class EdgeStore:
             f.startswith("_b=") for f in os.listdir(self.base_dir)
         )
 
-    def _union_raw(self) -> DataFrame:
-        """base ∪ appends with the ``_v`` version column intact (no dedupe)."""
+    def _union_raw(self, probe_srcs: list[int] | None = None) -> DataFrame:
+        """base ∪ appends with the ``_v`` version column intact (no dedupe).
+
+        ``probe_srcs``: when the caller knows the exact src set it will
+        filter on (the existing-key probe) and the base is bucket-
+        partitioned, the srcs' bucket set — computed with a tiny LOCAL
+        job, so the bucket assignment is engine-exact by construction —
+        becomes a ``_b IN (...)`` partition filter on the base scan. At
+        num_buckets in the tens this saves footer reads; at the 100 TB
+        layout (thousands of bucket directories) it is the difference
+        between listing the whole base and opening the one directory a
+        point batch touches. Bounded: only computed for src sets at or
+        under ``_PROBE_IN_CHUNK`` (beyond that the bucket set approaches
+        all-buckets anyway and the row-group stats already prune)."""
         dfs = []
         if self._exists(self.base_dir):
             # the base is schema-uniform — no mergeSchema, or every probe
             # would pay a footer-merge pass over the whole (100 TB) base
-            dfs.append(self._read_base())
+            base = self.spark.read.parquet(self.base_dir)
+            if "_b" in base.columns:
+                if probe_srcs is not None and 0 < len(probe_srcs) <= _PROBE_IN_CHUNK:
+                    bks = sorted(
+                        r["b"]
+                        for r in self.spark.createDataFrame(
+                            [(int(s),) for s in set(probe_srcs)], "src bigint"
+                        )
+                        .select(self._bucket_of().alias("b"))
+                        .distinct()
+                        .collect()
+                    )
+                    base = base.filter(F.col("_b").isin(bks))
+                base = base.drop("_b")
+            dfs.append(base)
         if self._exists(self.appends_dir):
             # mergeSchema ONLY here: tombstone files carry just the key
             # columns, edge files the full property set — the merged schema

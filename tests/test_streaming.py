@@ -703,6 +703,61 @@ def test_bucket_local_compact_removes_emptied_bucket_dir(spark, tmp_path):
     assert st.edges().filter(FF.col("src") == solo["src"]).count() == 0
 
 
+def test_probe_base_read_is_bucket_pruned(spark, tmp_path):
+    """The existing-key probe's base scan must carry a PartitionFilters
+    _b IN-set derived from the batch's srcs — at a 100 TB bucket count the
+    probe opens the touched directories, not every footer."""
+    st = EdgeStore(spark, str(tmp_path / "probe_prune"), num_buckets=8)
+    st.init_base(
+        spark.createDataFrame(
+            [(0, s, s + 100, 1.0) for s in range(1, 33)],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    pre = st._union_raw(probe_srcs=[5])
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_b" in plan
+    # the single-src bucket set is a single directory: exactly bucket(5)
+    b5 = (
+        spark.createDataFrame([(5,)], "src bigint")
+        .select(st._bucket_of().alias("b"))
+        .collect()[0]["b"]
+    )
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "_b" in pf.group(0) and str(b5) in pf.group(0), plan[:800]
+    # pruned read still returns exactly bucket(5)'s rows
+    rows = pre.select("src").distinct().collect()
+    got_buckets = {
+        r["b"]
+        for r in spark.createDataFrame(rows)
+        .select(st._bucket_of().alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert got_buckets == {b5}
+    # end-to-end: degree-maintained add_batch goes through the pruned probe
+    st2 = EdgeStore(
+        spark, str(tmp_path / "probe_prune_deg"), num_buckets=8, maintain_degrees=True
+    )
+    st2.init_base(
+        spark.createDataFrame(
+            [(0, s, s + 100, 1.0) for s in range(1, 9)],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    st2.add_batch(
+        spark.createDataFrame(
+            [(0, 3, 103, 9.0), (0, 3, 999, 1.0)],
+            "etype int, src bigint, dst bigint, weight double",
+        )
+    )
+    got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st2.degrees_view().collect()}
+    want = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st2.graph().degrees().collect()}
+    assert got == want
+
+
 def test_maybe_compact_threshold(store, spark):
     # tiny appends below the threshold: no compaction
     small = spark.createDataFrame(
