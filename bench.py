@@ -202,6 +202,12 @@ def main() -> None:
             "dedup_members_clusters": lambda: dedup.minhash_cluster_members(
                 docs, threshold=0.5
             ).count(),
+            # r9 flagship: pair-free CONTAINMENT clustering (verified shingle
+            # -bucket stars + one crossing-only repair; the undirected
+            # containment graph == overlap |A∩B|/min >= τ)
+            "dedup_containment_clusters": lambda: dedup.containment_cluster_members(
+                docs, block_col="source", k=5, threshold=0.8
+            ).count(),
             "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
             "embed_neardup": lambda: similarity.cosine_pairs_lsh(
                 emb, dim=64, threshold=0.3, n_planes=6, seed=42
