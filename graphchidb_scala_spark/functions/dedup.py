@@ -971,6 +971,30 @@ def minhash_cluster_members(
     )
 
 
+def shingle_bucket_star_edges(
+    occ: DataFrame, bucket_key: list[str], parallelism: int
+) -> DataFrame:
+    """Spanning star edges of the shingle-bucket collision graph: per
+    bucket (a df≥2 shingle, optionally block-scoped), bucket-min id ↔
+    each other member — DISTINCT rows bounded by the posting-list size,
+    same connectivity as the full bucket cliques (a star spans its
+    clique). The :func:`containment_cluster_members` seam, split out so
+    the plan shape is directly auditable (the operator's own plan hides
+    it behind cut_lineage materialization). Round-robin NUMBERED
+    repartition after the distinct — a hash pin on the distinct's own
+    keys is elided at parallelism == shuffle.partitions (the r8
+    pin-elision class) and the downstream verify is CPU-heavy on a
+    bytes-small input (the AQE coalescing trap)."""
+    reps = occ.groupBy(*bucket_key).agg(F.min("id").alias("rep"))
+    return (
+        occ.join(reps, bucket_key)
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+        .repartition(parallelism)
+    )
+
+
 def containment_cluster_members(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1041,18 +1065,10 @@ def containment_cluster_members(
     occ = cut_lineage(
         expl.join(dfreq, bucket_key).filter(F.col("_df") >= 2)
     )
-    # ---- star round: per df>=2 shingle bucket, min-id rep <-> member.
-    # DISTINCT (rep, member) is bounded by the posting-list row count;
-    # round-robin spread before the verify (the AQE bytes-small trap —
-    # a hash pin on the distinct's own keys would be elided).
-    reps = occ.groupBy(*bucket_key).agg(F.min("id").alias("rep"))
-    stars = (
-        occ.join(reps, bucket_key)
-        .filter(F.col("id") != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
-        .distinct()
-        .repartition(parallelism)
-    )
+    # ---- star round: per df>=2 shingle bucket, min-id rep <-> member
+    # (the seam is split out for direct plan audit, like
+    # band_bucket_star_edges — the pins live behind cut_lineage here)
+    stars = shingle_bucket_star_edges(occ, bucket_key, parallelism)
     sh_v = _broadcast_if_small(base.select("id", "sh_arr", "n"))
 
     def _verify(cand: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:

