@@ -291,13 +291,20 @@ def _q_doc_chunk_dedup(spark, sf):
 
 
 def _q_drop_neardups_keep_best(spark, sf):
-    """Near-dedup drop with quality-aware survivor rule: cluster MinHash-LSH
-    pairs, keep the member with the most chars (ties → lowest id) —
-    the keep-cleanest-crawl variant of drop_near_duplicates."""
+    """Near-dedup drop with quality-aware survivor rule: keep the cluster
+    member with the most chars (ties → lowest id) — the
+    keep-cleanest-crawl variant of drop_near_duplicates. Clusters come
+    from the PAIR-FREE members mode (verify=True), which EQUALS the
+    pairs→CC clustering (the r8 fixpoint equivalence — pytest +
+    property-tested), so the pair-based DuckDB twin below stays exact
+    while the Spark side never materializes the pair list: the r9 sf1
+    sweep caught the pairs formulation OOMing a 16g heap on the dup-dense
+    replica (54.4M pairs through a localCheckpoint — the exact Θ(Σ group²)
+    class members mode removes)."""
     docs = _docs(spark, sf)
-    pairs = dedup.minhash_lsh_exact_pairs(docs, threshold=0.5)
+    clusters = dedup.minhash_cluster_members(docs, threshold=0.5, verify=True)
     return dedup.drop_near_duplicates_keep_best(
-        docs, pairs.select("id_a", "id_b"), score_col="n_chars"
+        docs, clusters=clusters, score_col="n_chars"
     ).select("doc_id", "source", "n_chars")
 
 

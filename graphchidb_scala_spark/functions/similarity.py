@@ -337,6 +337,17 @@ def knn_graph_ivf(
     quadratic term divided by the cell count, with cell skew handled by
     AQE. Top-k per vector is one Window over the join's own partitioning.
 
+    **K must grow with N.** The N·nprobe·(N/K) term is only sub-quadratic
+    while K ≈ sqrt(N): a FIXED codebook (e.g. the default label centroids
+    when the corpus carries ~tens of labels) turns 10× data into 100×
+    join work — the r9 sf1 sweep measured exactly that (739.9 s at the
+    10× replica vs 6.7 s at sf0.1), and an explicit
+    ``codebook=kmeans_codebook(df, k≈sqrt(N))`` restored linearity
+    (13.2 s, 56× faster). The label-centroid default is the
+    oracle-parity/gate path; at production scale pass the k-means
+    codebook (or an unlabeled frame, where default_codebook already
+    picks K ≈ sqrt(N)).
+
     With ``codebook=None`` the quantizer comes from :func:`default_codebook`
     (label centroids when a label column exists, else k-means K≈sqrt(N) —
     the scale-safe default); codebooks past ``_LITERAL_CODEBOOK_MAX`` cells
@@ -418,7 +429,15 @@ def semantic_dedup(
     With ``codebook=None`` the quantizer comes from :func:`default_codebook`
     (label centroids when a label column exists, else k-means K≈sqrt(N) —
     the scale-safe default, killing the N²/|labels| cliff); large codebooks
-    assign via the Arrow matmul path."""
+    assign via the Arrow matmul path.
+
+    **On a LABELED corpus, pass the k-means codebook explicitly at scale**:
+    label centroids keep K fixed, so 10× data is 100× within-cell work —
+    the r9 sf1 sweep measured 321.3 s at the 10× replica (vs 3.4 s at
+    sf0.1); ``codebook=kmeans_codebook(df, k≈sqrt(N))`` brought it to
+    3.6 s (89× faster). Label centroids remain the oracle-parity/gate
+    default because they are SQL-recomputable; they are not the 100 TB
+    configuration."""
     if codebook is None:
         codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
     if len(codebook) > _LITERAL_CODEBOOK_MAX:
