@@ -160,6 +160,65 @@ def test_members_verify_equals_pairs_cc_on_random_corpora(spark, seed):
 
 @PROP
 @given(seed=st.integers(0, 2**31 - 1))
+def test_bucket_local_compact_equals_model_on_random_op_sequences(spark, seed, tmp_path_factory):
+    """EdgeStore under random add/delete/compact sequences == a plain dict
+    model keyed by (etype, src, dst) — with the r9 bucket-local compaction
+    taking its dirty-subset path whenever the appends touch a strict
+    bucket subset. Every read between ops must agree with the model."""
+    import random as _random
+
+    from graphchidb_scala_spark.streaming.ingest import EdgeStore
+
+    rng = _random.Random(seed)
+    path = str(tmp_path_factory.mktemp("prop_store") / f"s{seed % 100000}")
+    st_ = EdgeStore(spark, path, num_buckets=4)
+    model: dict[tuple, float] = {}
+    base_rows = [(0, rng.randrange(8), rng.randrange(8) + 10, float(i)) for i in range(6)]
+    for e, s, d, w in base_rows:
+        model[(e, s, d)] = w  # later init rows win in the model...
+    # ...but init_base dedupes nothing: keep last-write-wins consistent by
+    # deduping the init batch itself
+    base_rows = [(e, s, d, model[(e, s, d)]) for (e, s, d) in model]
+    st_.init_base(
+        spark.createDataFrame(base_rows, "etype int, src bigint, dst bigint, weight double")
+    )
+    for _ in range(rng.randint(2, 4)):
+        op = rng.choice(["add", "delete", "compact"])
+        if op == "add":
+            rows = [
+                (0, rng.randrange(8), rng.randrange(8) + 10, float(rng.randrange(100)))
+                for _ in range(rng.randint(1, 3))
+            ]
+            # within one batch the newest-wins window breaks version ties by
+            # key order nondeterministically — dedupe the batch like a real
+            # producer would
+            dedup_rows = {}
+            for e, s, d, w in rows:
+                dedup_rows[(e, s, d)] = w
+            rows = [(e, s, d, w) for (e, s, d), w in dedup_rows.items()]
+            st_.add_batch(
+                spark.createDataFrame(rows, "etype int, src bigint, dst bigint, weight double")
+            )
+            model.update({(e, s, d): w for e, s, d, w in rows})
+        elif op == "delete":
+            if model:
+                k = rng.choice(sorted(model))
+                st_.delete_batch(spark.createDataFrame([k], "etype int, src bigint, dst bigint"))
+                model.pop(k)
+        else:
+            st_.compact()  # bucket-local whenever dirty ⊂ buckets
+        got = {
+            (r["etype"], r["src"], r["dst"]): r["weight"]
+            for r in st_.edges().collect()
+        }
+        assert got == model
+    st_.compact()
+    got = {(r["etype"], r["src"], r["dst"]): r["weight"] for r in st_.edges().collect()}
+    assert got == model
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
 def test_containment_members_equals_pairs_cc_on_random_corpora(spark, seed):
     """The r9 equivalence claim, property-tested: containment_cluster_members
     (verified stars + one crossing-only repair pass) partitions documents
