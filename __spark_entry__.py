@@ -2471,6 +2471,43 @@ def _q_crosscorpus_neardup(spark, sf):
     )
 
 
+def _q_crosscorpus_filter(spark, sf):
+    """Incremental-crawl FILTER (dedup.drop_cross_corpus_duplicates): the
+    new half survives iff it has NO near-dup in the existing half — the
+    membership consumer of the cross-corpus pair machinery; the pair list
+    (27.2M rows at the dup-dense sf1 replica) never leaves the plan."""
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    return dedup.drop_cross_corpus_duplicates(
+        docs.filter(cond), docs.filter(~cond), threshold=0.5
+    ).select("doc_id", "source")
+
+
+_CROSSCORPUS_FILTER_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, regexp_matches(source, '^src[0-9]$') AS is_a,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                               i -> substr(text, CAST(i AS INT), 5))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.is_a AND NOT b.is_a
+  GROUP BY a.doc_id, b.doc_id
+),
+dup AS (
+  SELECT DISTINCT id_a FROM inter
+  JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d
+WHERE regexp_matches(d.source, '^src[0-9]$')
+  AND d.doc_id NOT IN (SELECT id_a FROM dup)
+""".strip()
+
+
 _CROSSCORPUS_SQL = """
 WITH sh AS (
   SELECT DISTINCT doc_id, regexp_matches(source, '^src[0-9]$') AS is_a,
@@ -3158,6 +3195,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp_parents4": _q_weighted_sssp_parents,
         # incremental-crawl dedup: new half vs existing half, cross-only LSH
         "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
+        # incremental-crawl filter: membership, never the pair list (r9)
+        "doc_crosscorpus_filter": _q_crosscorpus_filter,
         # batch personalized PageRank (the multi-BFS shape for PPR)
         "ppr_multi3": _q_ppr_multi,
         # exact-substring dedup spans (Lee et al. 2022 sliding-window repeats)
@@ -3223,7 +3262,7 @@ _GRADED_WINDOW = [
     "als_recommend", "als_rmse",
     # round-9 new keys land here (swapped in as they are added)
     "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
-    "edge_get", "edge_mutations",
+    "doc_crosscorpus_filter", "edge_mutations",
 ]
 
 
@@ -4516,6 +4555,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "events_interarrival": _EVENTS_INTERARRIVAL_SQL,
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
+        "doc_crosscorpus_filter": _CROSSCORPUS_FILTER_SQL,
         "ppr_multi3": _ppr_multi_sql(),
         "doc_repeated_substrings": _REPEATED_SUBSTRINGS_SQL,
         "doc_contamination_spans": _CONTAMINATION_SPANS_SQL,

@@ -1871,6 +1871,39 @@ def test_cross_corpus_neardup_pairs(spark):
     assert (1, 3) not in got2 and (3, 10) in got2
 
 
+def test_drop_cross_corpus_duplicates_filter(spark):
+    """The incremental-crawl filter: new docs with ANY near-dup in the
+    reference are dropped, everything else survives with its full row;
+    the reference side is never filtered."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    new = spark.createDataFrame(
+        [
+            (1, base, "crawl2"),                                     # exact dup of ref
+            (2, base.replace("quick", "slow"), "crawl2"),            # near dup
+            (3, "totally unrelated text about query engines", "crawl2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    ref = spark.createDataFrame(
+        [(10, base), (11, "noch ein anderer text")],
+        "doc_id bigint, text string",
+    )
+    kept = dedup.drop_cross_corpus_duplicates(new, ref, threshold=0.4).collect()
+    assert [(r["doc_id"], r["source"]) for r in kept] == [(3, "crawl2")]
+    # duplicates WITHIN the new side alone never drop anything (cross-only)
+    new2 = new.unionAll(
+        spark.createDataFrame(
+            [(4, "totally unrelated text about query engines", "crawl2")],
+            "doc_id bigint, text string, source string",
+        )
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup.drop_cross_corpus_duplicates(new2, ref, threshold=0.4).collect()
+    )
+    assert kept2 == [3, 4]
+
+
 # ---------------------------------------------- scale-safe default codebook
 
 def _unlabeled_vectors(spark, n, dim=8):
