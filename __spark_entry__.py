@@ -2471,6 +2471,57 @@ def _q_crosscorpus_neardup(spark, sf):
     )
 
 
+def _q_neardup_screen_indexed(spark, sf):
+    """Persisted near-dup screening index (dedup.save/append/screen_
+    neardup_index): the existing half is indexed in TWO increments (build
+    + append — the incremental-crawl add path is part of the graded
+    plan), then the new half is screened: (id, dup_of=min indexed id
+    sharing any band bucket). Portable md5 family — the oracle recomputes
+    the exact same buckets."""
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    ref = docs.filter(~cond)
+    path = _scratch_index_dir("neardup", sf)
+    half = F.col("doc_id") % 2 == 0
+    dedup.save_neardup_index(ref.filter(half), path)
+    dedup.append_neardup_index(ref.filter(~half), path)
+    return dedup.screen_neardup_index(docs.filter(cond), path)
+
+
+def _neardup_screen_sql(num_hashes: int = 64, bands: int = 32) -> str:
+    """Twin of _q_neardup_screen_indexed: portable signatures + band
+    buckets per side (the _minhash_members_sql idiom), then
+    MIN(ref id) per new doc over the bucket equi-join."""
+    P = 2_147_483_647
+    rows_per_band = max(num_hashes // bands, 1)
+    mins = ", ".join(
+        f"MIN(({2 * i + 1} * h + {7919 * i}) % {P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        vals = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(f"'{b}' || ',' || {vals}")
+    return (
+        "WITH shd AS MATERIALIZED (SELECT DISTINCT doc_id AS id,"
+        " regexp_matches(source, '^src[0-9]$') AS is_a,"
+        " ('0x' || substr(md5(g), 1, 15))::BIGINT % "
+        f"{P} AS h FROM ("
+        "SELECT doc_id, source, unnest(list_transform(range(1, greatest(length(text) - 3, 1)),"
+        " i -> substr(text, CAST(i AS INT), 5))) AS g FROM documents)),\n"
+        f"sigs AS MATERIALIZED (SELECT id, BOOL_OR(is_a) AS is_a, {mins} FROM shd GROUP BY id),\n"
+        "bkts AS MATERIALIZED (SELECT id, is_a, unnest(["
+        + ", ".join(band_exprs)
+        + "]) AS bkt FROM sigs)\n"
+        "SELECT CAST(a.id AS BIGINT) AS id, CAST(MIN(b.id) AS BIGINT) AS dup_of\n"
+        "FROM bkts a JOIN bkts b ON a.bkt = b.bkt AND a.is_a AND NOT b.is_a\n"
+        "GROUP BY a.id"
+    )
+
+
 def _q_crosscorpus_filter(spark, sf):
     """Incremental-crawl FILTER (dedup.drop_cross_corpus_duplicates): the
     new half survives iff it has NO near-dup in the existing half — the
@@ -3197,6 +3248,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
         # incremental-crawl filter: membership, never the pair list (r9)
         "doc_crosscorpus_filter": _q_crosscorpus_filter,
+        # persisted near-dup screening index: build + append + screen (r9)
+        "doc_neardup_screen_indexed": _q_neardup_screen_indexed,
         # batch personalized PageRank (the multi-BFS shape for PPR)
         "ppr_multi3": _q_ppr_multi,
         # exact-substring dedup spans (Lee et al. 2022 sliding-window repeats)
@@ -3262,7 +3315,7 @@ _GRADED_WINDOW = [
     "als_recommend", "als_rmse",
     # round-9 new keys land here (swapped in as they are added)
     "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
-    "doc_crosscorpus_filter", "edge_mutations",
+    "doc_crosscorpus_filter", "doc_neardup_screen_indexed",
 ]
 
 
@@ -4556,6 +4609,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
         "doc_crosscorpus_filter": _CROSSCORPUS_FILTER_SQL,
+        "doc_neardup_screen_indexed": _neardup_screen_sql(),
         "ppr_multi3": _ppr_multi_sql(),
         "doc_repeated_substrings": _REPEATED_SUBSTRINGS_SQL,
         "doc_contamination_spans": _CONTAMINATION_SPANS_SQL,

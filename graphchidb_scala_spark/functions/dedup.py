@@ -706,6 +706,109 @@ def portable_minhash_signatures(
     return expl.groupBy("id").agg(*aggs)
 
 
+def portable_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """DF(id, bkt): each document's ``bands`` LSH bucket strings over the
+    cross-engine :func:`portable_minhash_signatures` family — bkt =
+    "band,h_i,..,h_j". The shared banding of
+    :func:`minhash_cluster_members` (verify=False) and the persisted
+    near-dup index; docs shorter than ``k`` produce no buckets."""
+    rows_per_band = max(num_hashes // bands, 1)
+    sigs = portable_minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+    )
+    bucket_cols = []
+    for b in range(bands):
+        vals = [
+            F.col(f"_h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bucket_cols.append(F.concat_ws(",", F.lit(str(b)), *vals))
+    return sigs.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
+
+
+_NEARDUP_INDEX_P_DIRS = 64
+
+
+def save_neardup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's banded MinHash buckets as a screening index:
+    narrow (id, bkt) rows partitioned into ``_p = md5(bkt) mod 64``
+    directories — the postings-index layout (search.py) applied to
+    near-dup state. The incremental-crawl loop the 100 TB pipeline runs:
+    index the accepted corpus ONCE (docs·bands rows — orders smaller than
+    the text), then :func:`screen_neardup_index` each new crawl batch and
+    :func:`append_neardup_index` its survivors. Built on the portable
+    md5-based family, so screening verdicts are oracle-exact
+    (SlimPajama-style bucket-collision semantics, the
+    minhash_cluster_members verify=False tier)."""
+    bkts = portable_band_buckets(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, k=k,
+    ).withColumn("_p", F.pmod(md5_hash60(F.col("bkt")), F.lit(_NEARDUP_INDEX_P_DIRS)))
+    (
+        bkts.repartition(_NEARDUP_INDEX_P_DIRS, "_p")
+        .write.mode(mode)
+        .partitionBy("_p")
+        .parquet(path)
+    )
+
+
+def append_neardup_index(df: DataFrame, path: str, **kw) -> None:
+    """Incrementally add documents to a :func:`save_neardup_index` store
+    (append into the same ``_p`` directories — no rewrite of prior state)."""
+    save_neardup_index(df, path, mode="append", **kw)
+
+
+def screen_neardup_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """Screen a batch against a persisted near-dup index: DF(id, dup_of) —
+    one row per new document sharing ANY band bucket with an indexed
+    document, dup_of = the minimum such indexed id (deterministic).
+    Batch-side buckets are computed once (lineage cut — the _p collect and
+    the join both consume them), the index scan is pruned to the batch's
+    ``_p`` directories (a point screen touches ≤ bands of 64 dirs), and
+    the join output collapses map-side to one row per new doc."""
+    spark = df_new.sparkSession
+    nb = cut_lineage(
+        portable_band_buckets(
+            df_new, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, k=k,
+        ).withColumn(
+            "_p", F.pmod(md5_hash60(F.col("bkt")), F.lit(_NEARDUP_INDEX_P_DIRS))
+        )
+    )
+    plist = sorted(r["_p"] for r in nb.select("_p").distinct().collect())
+    idx = spark.read.parquet(path)
+    if len(plist) < _NEARDUP_INDEX_P_DIRS:
+        idx = idx.filter(F.col("_p").isin(plist))
+    hits = nb.join(
+        idx.select(F.col("id").alias("_ref"), "bkt", "_p"), ["_p", "bkt"]
+    )
+    return hits.groupBy("id").agg(F.min("_ref").alias("dup_of"))
+
+
 def band_bucket_star_edges(bkts: DataFrame, parallelism: int) -> DataFrame:
     """Spanning star edges of the band-collision graph: per (band, bucket),
     bucket-min id ↔ each other member — ≤ |bkts| rows total, same
@@ -807,17 +910,10 @@ def minhash_cluster_members(
             sig_arr.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
         )
     else:
-        sigs = portable_minhash_signatures(
-            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+        bkts = portable_band_buckets(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, k=k,
         )
-        bucket_cols = []
-        for b in range(bands):
-            vals = [
-                F.col(f"_h{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]
-            bucket_cols.append(F.concat_ws(",", F.lit(str(b)), *vals))
-        bkts = sigs.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     edges = band_bucket_star_edges(bkts, parallelism)
     if verify:

@@ -1904,6 +1904,51 @@ def test_drop_cross_corpus_duplicates_filter(spark):
     assert kept2 == [3, 4]
 
 
+def test_neardup_index_incremental_equals_oneshot(spark, tmp_path):
+    """Persisted near-dup screening index: building in N appends yields the
+    SAME screen verdicts as one-shot indexing (incremental-crawl loop
+    parity); the screen's index scan is pruned to the batch's _p dirs;
+    exact dups hit with dup_of = min indexed id, unrelated docs miss."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    ref_rows = [
+        (10, base),
+        (11, base.replace("quick", "slow")),
+        (12, "noch ein anderer text ganz ohne ueberlappung hier"),
+        (13, base),
+    ]
+    new_rows = [
+        (1, base),                                        # exact dup
+        (2, "totally unrelated text about query engines"),
+        (3, "ab"),                                        # sub-k: no buckets
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+
+    p1 = str(tmp_path / "oneshot")
+    dedup.save_neardup_index(ref, p1)
+    one = {r["id"]: r["dup_of"] for r in dedup.screen_neardup_index(new, p1).collect()}
+
+    p2 = str(tmp_path / "incremental")
+    dedup.save_neardup_index(ref.filter(F.col("doc_id") <= 11), p2)
+    dedup.append_neardup_index(ref.filter(F.col("doc_id") > 11), p2)
+    inc = {r["id"]: r["dup_of"] for r in dedup.screen_neardup_index(new, p2).collect()}
+
+    assert one == inc
+    assert one[1] == 10          # exact dup: min indexed id wins
+    assert 2 not in one and 3 not in one
+    # the screen's base scan is partition-pruned to the batch's _p dirs
+    nb = dedup.portable_band_buckets(new, "doc_id", "text").withColumn(
+        "_p", F.pmod(dedup.md5_hash60(F.col("bkt")), F.lit(64))
+    )
+    n_p = nb.select("_p").distinct().count()
+    if n_p < 64:
+        idx = spark.read.parquet(p1).filter(
+            F.col("_p").isin([r["_p"] for r in nb.select("_p").distinct().collect()])
+        )
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_p" in plan
+
+
 # ---------------------------------------------- scale-safe default codebook
 
 def _unlabeled_vectors(spark, n, dim=8):
