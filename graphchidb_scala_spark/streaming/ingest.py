@@ -613,3 +613,69 @@ def stream_edges_from_events(
         store.add_batch(batch_df)
 
     return edges.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+
+
+def stream_neardup_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    k: int = 5,
+):
+    """Structured-Streaming incremental near-dup ingestion — the
+    crawl-loop composition of the persisted screening index
+    (functions.dedup.save/append/screen_neardup_index) as one foreachBatch
+    sink: each micro-batch is (1) deduped WITHIN itself (pair-free members
+    clustering, verify=False — keep each group's min id), (2) screened
+    against the index built from every prior batch (docs with any band
+    collision are dropped), and (3) its survivors are appended to the
+    accepted-corpus parquet and their buckets to the index. Invariant
+    (pytest-asserted): no two accepted documents ever share a band bucket,
+    within or across batches; earlier batches win.
+
+    Scale shape per micro-batch: the members clustering is docs·bands
+    rows, the screen prunes the index scan to the batch's _p directories,
+    and the index append rewrites nothing. Returns the StreamingQuery;
+    caller owns awaitTermination/stop."""
+    from graphchidb_scala_spark.functions.dedup import (
+        append_neardup_index,
+        minhash_cluster_members,
+        screen_neardup_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cl = minhash_cluster_members(
+            batch_df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, k=k,
+        ).filter(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+        keep = batch_df.join(F.broadcast(cl), id_col, "semi")
+        if EdgeStore._exists(index_path):
+            dups = screen_neardup_index(
+                keep, index_path, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, bands=bands, k=k,
+            ).select(F.col("id").alias(id_col))
+            keep = keep.join(_broadcast_ids_if_any(dups), id_col, "left_anti")
+        keep = keep.localCheckpoint(eager=True)
+        keep.write.mode("append").parquet(accepted_path)
+        append_neardup_index(
+            keep, index_path, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, k=k,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _broadcast_ids_if_any(ids_df: DataFrame) -> DataFrame:
+    """Micro-batch drop sets are batch-bounded — broadcast unless huge."""
+    from graphchidb_scala_spark.functions.dedup import _broadcast_if_small_ids
+
+    return _broadcast_if_small_ids(ids_df)

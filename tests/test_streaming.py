@@ -87,6 +87,57 @@ def test_stream_from_events(store, spark, tmp_path):
     assert g.edge_exists(1, 101, 201)
 
 
+def test_stream_neardup_ingest_invariant(spark, tmp_path):
+    """Streaming incremental near-dup ingestion: across forced micro-batches
+    (maxFilesPerTrigger=1), exactly one representative of every duplicate
+    group is accepted, unrelated docs all survive, and NO two accepted
+    documents share a band bucket (the cross-batch invariant the
+    persisted index enforces)."""
+    from graphchidb_scala_spark.functions.dedup import portable_band_buckets
+    from graphchidb_scala_spark.streaming.ingest import stream_neardup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    other = "ein voellig anderes dokument ueber verteilte datenbanken und parkett"
+    b0 = [(1, base), (2, other), (3, base)]                    # 3 dups 1 in-batch
+    b1 = [(10, base), (11, "yet another unrelated piece of text entirely")]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    import time as _t
+
+    # coalesce(1): one part file per intended batch, or maxFilesPerTrigger=1
+    # would split them into finer micro-batches
+    spark.createDataFrame(b0, "doc_id bigint, text string").coalesce(1).write.json(
+        str(src / "b0")
+    )
+    _t.sleep(1.1)  # FileStreamSource orders by mtime: keep batches ordered
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.json(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    idx = str(tmp_path / "nd_index")
+    acc = str(tmp_path / "accepted")
+    q = stream_neardup_ingest(stream, idx, acc)
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    # one of {1,3,10} (the base-dup group), plus 2 and 11 — batch order puts
+    # 1 first (min id of the first batch's cluster)
+    assert got == [1, 2, 11], got
+    # invariant: accepted docs pairwise share no band bucket
+    accepted = spark.read.parquet(acc)
+    bk = portable_band_buckets(accepted, "doc_id", "text")
+    clash = (
+        bk.alias("x")
+        .join(bk.alias("y"), "bkt")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .count()
+    )
+    assert clash == 0
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: session boundaries must match
     the batch twin (functions.events.sessionize) once the watermark closes
