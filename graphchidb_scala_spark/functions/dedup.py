@@ -774,6 +774,33 @@ def append_neardup_index(df: DataFrame, path: str, **kw) -> None:
     save_neardup_index(df, path, mode="append", **kw)
 
 
+def compact_neardup_index(spark, path: str) -> None:
+    """Rewrite an append-accumulated near-dup index into one balanced file
+    per ``_p`` directory (appends leave a file per batch per dir — a
+    long-running crawl loop accumulates thousands of small files, and the
+    screen's pruned scan pays a footer read per file). Same atomic
+    tmp-then-swap discipline as EdgeStore compaction; verdicts are
+    unchanged (the index is a bag of (id, bkt) rows — dedup is safe and
+    shrinks re-appended docs to one row per bucket)."""
+    import os
+    import shutil
+
+    idx = spark.read.parquet(path).dropDuplicates(["id", "bkt"])
+    tmp = path + ".tmp"
+    (
+        idx.repartition(_NEARDUP_INDEX_P_DIRS, "_p")
+        .write.mode("overwrite")
+        .partitionBy("_p")
+        .parquet(tmp)
+    )
+    bak = path + ".bak"
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def screen_neardup_index(
     df_new: DataFrame,
     path: str,

@@ -1947,6 +1947,18 @@ def test_neardup_index_incremental_equals_oneshot(spark, tmp_path):
         )
         plan = idx._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "_p" in plan
+    # compaction: many small append files fold to one per _p dir; verdicts
+    # unchanged, re-appended docs dedupe to one row per bucket
+    import os
+
+    dedup.append_neardup_index(ref.filter(F.col("doc_id") == 10), p2)  # re-add
+    dedup.compact_neardup_index(spark, p2)
+    post = {r["id"]: r["dup_of"] for r in dedup.screen_neardup_index(new, p2).collect()}
+    assert post == inc
+    for d in os.listdir(p2):
+        if d.startswith("_p="):
+            files = [f for f in os.listdir(os.path.join(p2, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
 
 
 # ---------------------------------------------- scale-safe default codebook
