@@ -254,6 +254,41 @@ def _q_events_outliers(spark, sf):
     return events.value_outliers(_events(spark, sf), z_threshold=2.5)
 
 
+def _q_events_changepoint(spark, sf):
+    """Per-user CUSUM mean-shift changepoint (Page 1954): where each
+    user's value level shifted — |cumsum(value − mean)| peak normalized by
+    σ·√n, ties to the earliest event; one user-key shuffle (shared mean/σ
+    and ordered-cumsum windows) + a struct-max argmax."""
+    return events.cusum_changepoint(_events(spark, sf), min_events=8)
+
+
+_EVENTS_CHANGEPOINT_SQL = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS n
+  FROM events WINDOW w AS (PARTITION BY user_id)
+),
+c AS (
+  SELECT user_id, ts, n, sd,
+         round(abs(sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts, value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               / (sd * sqrt(n)), 4) AS stat
+  FROM m
+),
+f AS (SELECT * FROM c WHERE sd > 0 AND n >= 8),
+r AS (
+  SELECT user_id, n, ts, stat,
+         row_number() OVER (PARTITION BY user_id ORDER BY stat DESC, ts) AS rn
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_events,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts, stat AS cusum_stat
+FROM r WHERE rn = 1
+""".strip()
+
+
 def _q_events_transitions(spark, sf):
     """First-order Markov next-event transition matrix: per-user lead()
     pairs, counts + row-normalized probabilities — one user-key shuffle
@@ -3178,6 +3213,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal snapshot + anomaly flags
         "graph_asof_counts": _q_graph_asof,
         "events_value_outliers": _q_events_outliers,
+        # CUSUM mean-shift changepoint per user (r9)
+        "events_changepoint": _q_events_changepoint,
         # weighted shortest paths (Bellman-Ford rounds)
         "weighted_sssp4": _q_weighted_sssp,
         # tokenizer-training statistic (first BPE merge pair counts)
@@ -3311,8 +3348,9 @@ _GRADED_WINDOW = [
     "ann_topk_int8", "doc_containment_pairs", "minhash_cluster_members",
     "ann_topk_ivf_int8_indexed", "dedup_rate_by_source",
     "doc_dedup_normalized", "mmr_topk",
-    # oldest-graded fillers (last independent grade: round 3)
-    "als_recommend", "als_rmse",
+    # oldest-graded filler (last independent grade: round 3); its twin
+    # als_rmse ceded its slot to the new oracle-backed events_changepoint
+    "als_recommend", "events_changepoint",
     # round-9 new keys land here (swapped in as they are added)
     "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
     "doc_crosscorpus_filter", "doc_neardup_screen_indexed",
@@ -4511,6 +4549,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "CAST(count(DISTINCT src) AS BIGINT) AS n_src "
             "FROM edges WHERE ts <= DATE '1995-06-30' GROUP BY etype"
         ),
+        "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
         "events_value_outliers": (
             "WITH z AS (\n"
             "  SELECT event_id, user_id,\n"

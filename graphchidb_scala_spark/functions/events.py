@@ -465,6 +465,72 @@ def value_outliers(
     )
 
 
+def cusum_changepoint(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_events: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-key CUSUM mean-shift detection (Page 1954): for each user, the
+    cumulative sum of value deviations from the user's mean, normalized by
+    σ·√n — the classic offline changepoint statistic (where a metric's
+    level shifted: deploy regressions, sensor drift, behavioral breaks).
+    DF(user_id, n_events, cp_ts, cusum_stat): the event time at which
+    |CUSUM| peaks (ties → earliest), with the normalized peak value
+    (rounded — the rounded value is the cross-engine comparison key, the
+    value_outliers discipline). Keys with fewer than ``min_events`` events
+    or zero variance are excluded (no meaningful statistic).
+
+    Scale shape: ONE shuffle on the user key — the per-key mean/σ/count
+    windows and the ordered cumulative-sum window share the partition key,
+    so Spark plans a single exchange + sort; the argmax is a struct-max
+    aggregation (map-side combined). Under readStream the same statistic
+    is maintainable as running (Σx, Σx², cusum) state per key."""
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(user_col)
+    w_ord = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = F.avg(value_col).over(w_all)
+    sd = F.stddev_pop(value_col).over(w_all)
+    n = F.count(F.lit(1)).over(w_all)
+    dev = F.col(value_col) - mu
+    cusum = F.sum(dev).over(w_ord)
+    stat = F.round(F.abs(cusum) / (sd * F.sqrt(n)), round_dp)
+    scored = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        sd.alias("_sd"),
+        n.alias("n_events"),
+        stat.alias("_stat"),
+    ).filter((F.col("_sd") > 0) & (F.col("n_events") >= int(min_events)))
+    # argmax by (stat DESC, ts ASC): struct max of (stat, -epoch, ts)
+    best = (
+        scored.groupBy(user_col, "n_events")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_stat"),
+                    (-F.unix_timestamp("_ts")).alias("_nts"),
+                    F.date_format("_ts", "yyyy-MM-dd HH:mm:ss").alias("_tss"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            user_col,
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("_b._tss").alias("cp_ts"),
+            F.col("_b._stat").alias("cusum_stat"),
+        )
+    )
+    return best
+
+
 def extract_props(
     events: DataFrame, keys: tuple[str, ...] = ("k",), props_col: str = "props"
 ) -> DataFrame:

@@ -1476,6 +1476,52 @@ def test_value_outliers_matches_python(spark):
     assert len(got) == 1  # only user 1's spike
 
 
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """CUSUM must peak at the planted mean-shift boundary: user 1's level
+    jumps 5→15 after event 9 of 20, so |cumsum(value − mean)| maxes at the
+    last pre-shift event; a no-shift user scores low; short/zero-variance
+    users are excluded. Stat matches the python fold exactly."""
+    import math
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    shift_vals = [5.0 + 0.1 * (i % 3) for i in range(10)] + [
+        15.0 + 0.1 * (i % 3) for i in range(10)
+    ]
+    for i, v in enumerate(shift_vals):
+        rows.append((1, base + timedelta(hours=i), v))
+    for i in range(10):  # user 2: stationary noise
+        rows.append((2, base + timedelta(hours=i), 7.0 + (i % 4) * 0.01))
+    for i in range(3):  # user 3: too short
+        rows.append((3, base + timedelta(hours=i), float(i)))
+    for i in range(9):  # user 4: zero variance
+        rows.append((4, base + timedelta(hours=i), 2.0))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["cp_ts"], r["cusum_stat"])
+        for r in events.cusum_changepoint(df, min_events=8).collect()
+    }
+    assert set(got) == {1, 2}  # 3 too short, 4 zero variance
+
+    def model(vals):
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+        best, s = (-1.0, None), 0.0
+        for i, v in enumerate(vals):
+            s += v - mu
+            stat = round(abs(s) / (sd * math.sqrt(len(vals))), 4)
+            if stat > best[0]:
+                best = (stat, i)
+        return best
+
+    stat1, idx1 = model(shift_vals)
+    assert got[1][2] == pytest.approx(stat1)
+    assert got[1][1] == (base + timedelta(hours=idx1)).strftime("%Y-%m-%d %H:%M:%S")
+    assert idx1 == 9  # the last pre-shift event
+    assert got[1][2] > 3 * got[2][2]  # planted shift dominates noise
+
+
 # ------------------------------------------------------------------ PCA
 
 def test_pca_recovers_planted_subspace(spark):
