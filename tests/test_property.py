@@ -219,6 +219,65 @@ def test_bucket_local_compact_equals_model_on_random_op_sequences(spark, seed, t
 
 @PROP
 @given(seed=st.integers(0, 2**31 - 1))
+def test_neardup_index_screen_matches_python_bucket_model(spark, seed, tmp_path_factory):
+    """screen_neardup_index == a pure-Python reimplementation of the
+    portable banding (md5-60 shingle hash -> (2i+1)h+7919i mod 2^31-1
+    permutations -> min per doc -> band strings -> min colliding ref id)
+    on random template corpora: every verdict and every dup_of id exact."""
+    import hashlib
+    import random as _random
+
+    from graphchidb_scala_spark.functions.dedup import (
+        save_neardup_index,
+        screen_neardup_index,
+    )
+
+    P = 2_147_483_647
+    NH, BANDS, K = 64, 32, 5
+    rpb = NH // BANDS
+
+    def buckets(text):
+        sh = {text[i:i + K] for i in range(max(len(text) - K + 1, 0))}
+        if not sh:
+            return set()
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P for g in sh]
+        sig = [min(((2 * i + 1) * h + 7919 * i) % P for h in hs) for i in range(NH)]
+        return {
+            ",".join([str(b)] + [str(sig[b * rpb + r]) for r in range(rpb)])
+            for b in range(BANDS)
+        }
+
+    rng = _random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    ref_rows, new_rows = [], []
+    did = 0
+    for _ in range(rng.randint(2, 4)):
+        t = " ".join(rng.choices(words, k=rng.randint(6, 12)))
+        ref_rows.append((did, t)); did += 1
+        if rng.random() < 0.7:  # a near/exact copy lands in the new side
+            new_rows.append((did, t + (" tail" if rng.random() < 0.5 else "")))
+            did += 1
+    for _ in range(rng.randint(1, 3)):
+        new_rows.append((did, " ".join(rng.choices(words, k=rng.randint(2, 6)))))
+        did += 1
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    path = str(tmp_path_factory.mktemp("nd_prop") / f"i{seed % 100000}")
+    save_neardup_index(ref, path)
+    got = {r["id"]: r["dup_of"] for r in screen_neardup_index(new, path).collect()}
+
+    ref_bk = {i: buckets(t) for i, t in ref_rows}
+    want = {}
+    for i, t in new_rows:
+        bk = buckets(t)
+        hits = [rid for rid, rbk in ref_bk.items() if bk & rbk]
+        if hits:
+            want[i] = min(hits)
+    assert got == want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
 def test_containment_members_equals_pairs_cc_on_random_corpora(spark, seed):
     """The r9 equivalence claim, property-tested: containment_cluster_members
     (verified stars + one crossing-only repair pass) partitions documents
