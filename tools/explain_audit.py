@@ -528,6 +528,22 @@ CHECKS = {
         lambda g, docs, emb: text.bpe_encode_counts(docs, n_merges=2, k=10),
         ["partial_sum"],
     ),
+    # cusum changepoint (r9): mean/sigma/count + ordered cumsum share the
+    # user partition key and the argmax is an aggregation — NO join-back
+    # anywhere in the plan (the one-shuffle claim's plan signature)
+    "cusum_changepoint_no_join_back": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.events", fromlist=["events"]
+        ).cusum_changepoint(
+            docs.select(
+                F.col("doc_id").alias("user_id"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+                F.col("n_chars").cast("double").alias("value"),
+            ),
+            min_events=1,
+        ),
+        ["!SortMergeJoin", "!BroadcastHashJoin", "partial_max"],
+    ),
     "crosscorpus_band_join_equi": (
         lambda g, docs, emb: dedup.cross_corpus_neardup_pairs(
             docs.filter(F.col("doc_id") % 2 == 0),
