@@ -641,6 +641,7 @@ def stream_neardup_ingest(
     and the index append rewrites nothing. Returns the StreamingQuery;
     caller owns awaitTermination/stop."""
     from graphchidb_scala_spark.functions.dedup import (
+        _broadcast_if_small_ids,
         append_neardup_index,
         minhash_cluster_members,
         screen_neardup_index,
@@ -659,7 +660,8 @@ def stream_neardup_ingest(
                 keep, index_path, id_col=id_col, text_col=text_col,
                 num_hashes=num_hashes, bands=bands, k=k,
             ).select(F.col("id").alias(id_col))
-            keep = keep.join(_broadcast_ids_if_any(dups), id_col, "left_anti")
+            # micro-batch drop sets are batch-bounded: count-gated broadcast
+            keep = keep.join(_broadcast_if_small_ids(dups), id_col, "left_anti")
         keep = keep.localCheckpoint(eager=True)
         keep.write.mode("append").parquet(accepted_path)
         append_neardup_index(
@@ -672,10 +674,3 @@ def stream_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
-
-
-def _broadcast_ids_if_any(ids_df: DataFrame) -> DataFrame:
-    """Micro-batch drop sets are batch-bounded — broadcast unless huge."""
-    from graphchidb_scala_spark.functions.dedup import _broadcast_if_small_ids
-
-    return _broadcast_if_small_ids(ids_df)
