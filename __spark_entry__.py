@@ -347,13 +347,20 @@ def _q_pca(spark, sf):
     """PCA-reduce the embedding corpus to 8 dims. Rows-only by policy:
     the eigendecomposition has no ANSI-SQL twin (DuckDB has no eigh);
     the pytest gate asserts planted-subspace recovery, orthonormality,
-    and numpy projection parity."""
+    and numpy projection parity. The 8 components are emitted as SCALAR
+    columns pc0..pc7 (not an array) — the driver's pandas canonicalizer
+    sorts over every column and cannot hash list cells (the r9
+    `unhashable type: 'list'` err; registry outputs must stay
+    scalar-column frames, see README "Driver-window rotation")."""
     emb = _emb(spark, sf)
     mean, comps, _ = similarity.pca_train(emb)
     out = similarity.pca_project(emb, mean, comps, k=8)
     return out.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.transform(F.col("pca"), lambda x: F.round(x, 4)).alias("pca"),
+        *[
+            F.round(F.element_at(F.col("pca"), i + 1), 4).alias(f"pc{i}")
+            for i in range(8)
+        ],
     )
 
 
@@ -1283,7 +1290,7 @@ def _containment_members_sql(cc_iters: int = 30, threshold: float = 0.8) -> str:
         "WITH\n"
         + ",\n".join(parts)
         + f",\nallc AS ({allc}),\n"
-        + f"kstar AS (SELECT COALESCE(MIN(k), {cc_iters}) AS k FROM allc WHERE c = 0),\n"
+        + f"kstar AS (SELECT CASE WHEN MIN(k) IS NULL THEN CAST(error('min-label CC not converged in {cc_iters} rounds') AS INT) ELSE MIN(k) END AS k FROM allc WHERE c = 0),\n"
         + f"alll AS ({alll}),\n"
         + "conv AS (SELECT id, lbl FROM alll WHERE k = (SELECT k FROM kstar))\n"
         + "SELECT CAST(d.doc_id AS BIGINT) AS id,"
@@ -2561,7 +2568,19 @@ def _q_crosscorpus_filter(spark, sf):
     """Incremental-crawl FILTER (dedup.drop_cross_corpus_duplicates): the
     new half survives iff it has NO near-dup in the existing half — the
     membership consumer of the cross-corpus pair machinery; the pair list
-    (27.2M rows at the dup-dense sf1 replica) never leaves the plan."""
+    (27.2M rows at the dup-dense sf1 replica) never leaves the plan.
+
+    Cross-engine flake class (ADVICE r9, documented): the Spark side
+    inherits banded-LSH recall (~1e-4 miss at J≈0.5) plus the estimate-tier
+    prune (~3e-5) from cross_corpus_neardup_pairs, while the
+    _CROSSCORPUS_FILTER_SQL twin is exhaustive-exact. On the PAIRS key a
+    miss drops one row of many; here a single missed pair FLIPS a
+    document's survival, so a grading mismatch on this key with exactly
+    one extra Spark survivor whose best cross-Jaccard sits in [0.5, ~0.52]
+    is the known banding-miss signature, not a logic bug (same recall
+    argument as doc_crosscorpus_neardup; fixtures have passed every
+    sweep — the gap is between templated dups J≈0.8+ and unrelated docs
+    J≈0.1, far from the banding's soft zone)."""
     docs = _docs(spark, sf)
     cond = F.col("source").rlike(_SIDE_A_RE)
     return dedup.drop_cross_corpus_duplicates(
@@ -2944,7 +2963,7 @@ def _minhash_members_sql(
         "WITH\n"
         + ",\n".join(parts)
         + f",\nallc AS ({allc}),\n"
-        + f"kstar AS (SELECT COALESCE(MIN(k), {cc_iters}) AS k FROM allc WHERE c = 0),\n"
+        + f"kstar AS (SELECT CASE WHEN MIN(k) IS NULL THEN CAST(error('min-label CC not converged in {cc_iters} rounds') AS INT) ELSE MIN(k) END AS k FROM allc WHERE c = 0),\n"
         + f"alll AS ({alll}),\n"
         + "conv AS (SELECT id, lbl FROM alll WHERE k = (SELECT k FROM kstar))\n"
         + "SELECT CAST(d.doc_id AS BIGINT) AS id,"
@@ -3548,7 +3567,7 @@ def _cc_converged_sql(max_iters: int = 30, k: int = 20) -> str:
         "WITH\n" + GRAPH_SQL_CTES + ",\n"
         + ",\n".join(parts) + ",\n"
         + f"allc AS ({allc}),\n"
-        + f"kstar AS (SELECT COALESCE(MIN(k), {max_iters}) AS k FROM allc WHERE c = 0),\n"
+        + f"kstar AS (SELECT CASE WHEN MIN(k) IS NULL THEN CAST(error('min-label CC not converged in {max_iters} rounds') AS INT) ELSE MIN(k) END AS k FROM allc WHERE c = 0),\n"
         + f"alll AS ({alll}),\n"
         + "conv AS (SELECT id, lbl FROM alll WHERE k = (SELECT k FROM kstar))\n"
         + "SELECT lbl AS cc, CAST(count(*) AS BIGINT) AS size FROM conv "

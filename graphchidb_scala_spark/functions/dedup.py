@@ -797,7 +797,17 @@ def compact_neardup_index(spark, path: str) -> None:
     if os.path.isdir(bak):
         shutil.rmtree(bak)
     os.rename(path, bak)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # two renames are not one atomic swap: if the second fails (or a
+        # crash lands between them) a reader would find NO index at
+        # ``path`` with the data parked at .bak — roll the old index back
+        # into place so the visible-index invariant holds and re-raise
+        # (ADVICE r9). A hard crash between the renames still needs the
+        # manual step `mv <path>.bak <path>`; .bak present = recovery due.
+        os.rename(bak, path)
+        raise
     shutil.rmtree(bak, ignore_errors=True)
 
 

@@ -69,9 +69,22 @@ class EdgeStore:
         each write task emits one file into its own bucket directory."""
         return F.pmod(F.hash(F.col(col)), F.lit(self.num_buckets))
 
+    @staticmethod
+    def _src_bigint(df: DataFrame) -> DataFrame:
+        """Pin ``src`` to BIGINT on every write path. Spark's murmur3 hash
+        is dtype-sensitive (hash(1::int) != hash(1::bigint)), and the probe
+        bucket set in :meth:`_union_raw` is computed from a hard-coded
+        bigint frame — a store initialized with an IntegerType src would
+        get wrong ``_b IN (...)`` partition filters, so the existing-key
+        probe would silently miss keys and the degree deltas would drift.
+        Normalizing at the write boundary makes stored dtype == probe dtype
+        by construction for any caller-supplied frame."""
+        return df.withColumn("src", F.col("src").cast("bigint"))
+
     def init_base(self, edges: DataFrame) -> None:
         (
-            edges.withColumn("_v", F.lit(0).cast("long"))
+            self._src_bigint(edges)
+            .withColumn("_v", F.lit(0).cast("long"))
             .withColumn("_b", self._bucket_of())
             .repartition(self.num_buckets, "src")
             .sortWithinPartitions("src", "dst")
@@ -103,9 +116,9 @@ class EdgeStore:
         not the whole of it. The base is never shuffled."""
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
-        batch = edges.withColumn("_v", F.lit(version).cast("long")).withColumn(
-            "_del", F.lit(False)
-        )
+        batch = self._src_bigint(edges).withColumn(
+            "_v", F.lit(version).cast("long")
+        ).withColumn("_del", F.lit(False))
         if self.maintain_degrees:
             batch = cut_lineage(batch)
         batch.write.mode("append").parquet(self.appends_dir)
@@ -136,7 +149,7 @@ class EdgeStore:
         self._batch_seq += 1
         version = int(time.time() * 1000) * 1000 + self._batch_seq
         tomb = (
-            keys.select(*EDGE_KEY)
+            self._src_bigint(keys.select(*EDGE_KEY))
             .distinct()
             .withColumn("_v", F.lit(version).cast("long"))
             .withColumn("_del", F.lit(True))
