@@ -1450,6 +1450,101 @@ def test_kmeans_codebook_feeds_ivf_consumers(spark):
     assert res.count() == 400  # 200 vectors × 2 neighbors, all cells populated
 
 
+def test_kmeans_codebook_portable_matches_python_model(spark):
+    """kmeans_codebook_portable == an independent pure-Python replay of its
+    contract (md5-ordered sample, first-K-distinct init, Lloyd with argmin
+    ties by cell / empty-keeps-centroid / half-away rounding each round) —
+    the same model the DuckDB oracle twin implements, so this pins the
+    semantics the graded knn_graph_kmeans / semantic_dedup_kmeans keys
+    depend on (duplicate vectors included: they must dedupe pre-rounding)."""
+    import hashlib
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(150)]
+    rows += [(200 + i, list(rows[i][1])) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    K, ITERS, DP = 12, 3, 6
+    got = similarity.kmeans_codebook_portable(df, k=K, iterations=ITERS, round_dp=DP)
+    assert got == similarity.kmeans_codebook_portable(
+        df, k=K, iterations=ITERS, round_dp=DP
+    )  # deterministic
+
+    # ---- independent model (float32 round-trip like the parquet/collect path)
+    import numpy as np
+
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    order = sorted(f32, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    rnd = similarity._round_half_away
+    seen, cent = set(), []
+    for i in order:
+        t = tuple(f32[i])
+        if t not in seen:
+            seen.add(t)
+            cent.append([rnd(x, DP) for x in f32[i]])
+            if len(cent) == K:
+                break
+    x = [f32[i] for i in order]
+    for _ in range(ITERS):
+        assign = []
+        for v in x:
+            best = min(
+                range(len(cent)),
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c),
+            )
+            assign.append(best)
+        for c in range(len(cent)):
+            mem = [v for v, a in zip(x, assign) if a == c]
+            if mem:
+                cent[c] = [
+                    rnd(sum(col) / len(mem), DP) for col in zip(*mem)
+                ]
+    want = [(c, cent[c]) for c in range(len(cent))]
+    assert got == want
+
+
+def test_knn_graph_portable_kmeans_codebook_recall(spark):
+    """The PORTABLE trainer (first-K-distinct init instead of farthest-
+    point) must hold the same recall bar as kmeans_codebook on the
+    planted-cluster corpus — init is immaterial for IVF blocking after
+    the Lloyd rounds."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim, per = 8, 12
+    rows = []
+    for c in range(5):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(per):
+            rows.append(
+                (c * per + j, [x + rng.uniform(-0.05, 0.05) for x in center], 0)
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cb = similarity.kmeans_codebook_portable(emb, k=8, iterations=4)
+    got = {}
+    for r in similarity.knn_graph_ivf(emb, k=3, nprobe=2, codebook=cb).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    vecs = {i: v for i, v, _ in rows}
+    hits = total = 0
+    for q, v in vecs.items():
+        brute = sorted(
+            ((cos(v, w), j) for j, w in vecs.items() if j != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        total += 3
+        hits += sum(1 for _, j in brute if j in got.get(q, set()))
+    assert hits / total >= 0.8
+
+
 def test_value_outliers_matches_python(spark):
     import statistics
 
