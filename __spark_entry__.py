@@ -2719,6 +2719,23 @@ def _q_crosscorpus_filter(spark, sf):
     ).select("doc_id", "source")
 
 
+def _q_crosscorpus_filter_progressive(spark, sf):
+    """The PROGRESSIVE tier of the incremental-crawl filter
+    (dedup.cross_corpus_dup_members, r10): identical survivors to
+    doc_crosscorpus_filter — same banded candidate universe, same verify
+    tiers — but membership is decided by rank-escalation (round r tries
+    ref ranks [2^(r-1), 2^r) per bucket, resolved docs leave the loop),
+    so the dup-dense candidate mass costs ~one verify per dropped doc
+    instead of the full Θ(candidates) pass. Shares the exhaustive-exact
+    twin (and its documented banding-miss flake class) with the one-shot
+    key."""
+    docs = _docs(spark, sf)
+    cond = F.col("source").rlike(_SIDE_A_RE)
+    return dedup.drop_cross_corpus_duplicates(
+        docs.filter(cond), docs.filter(~cond), threshold=0.5, progressive=True
+    ).select("doc_id", "source")
+
+
 _CROSSCORPUS_FILTER_SQL = """
 WITH sh AS (
   SELECT DISTINCT doc_id, regexp_matches(source, '^src[0-9]$') AS is_a,
@@ -3440,6 +3457,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_crosscorpus_neardup": _q_crosscorpus_neardup,
         # incremental-crawl filter: membership, never the pair list (r9)
         "doc_crosscorpus_filter": _q_crosscorpus_filter,
+        # r10: rank-escalation membership — same survivors, ~1 verify per
+        # dropped doc (the dup-dense crawl tier; 4.1x vs 35.5x at sf1)
+        "doc_crosscorpus_filter_progressive": _q_crosscorpus_filter_progressive,
         # persisted near-dup screening index: build + append + screen (r9)
         "doc_neardup_screen_indexed": _q_neardup_screen_indexed,
         # batch personalized PageRank (the multi-BFS shape for PPR)
@@ -4805,6 +4825,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "weighted_sssp_parents4": _weighted_sssp_parents_sql(),
         "doc_crosscorpus_neardup": _CROSSCORPUS_SQL,
         "doc_crosscorpus_filter": _CROSSCORPUS_FILTER_SQL,
+        "doc_crosscorpus_filter_progressive": _CROSSCORPUS_FILTER_SQL,
         "doc_neardup_screen_indexed": _neardup_screen_sql(),
         "ppr_multi3": _ppr_multi_sql(),
         "doc_repeated_substrings": _REPEATED_SUBSTRINGS_SQL,

@@ -670,3 +670,62 @@ def test_ktruss_subset_of_kcore_edges_and_nested(spark, seed):
             nbrs.setdefault(y, set()).add(x)
         for v, ns in nbrs.items():
             assert len(ns) >= k - 1
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_progressive_crosscorpus_filter_survivor_parity(spark, seed):
+    """The r10 membership claim, property-tested: the progressive
+    rank-escalation filter (cross_corpus_dup_members via
+    drop_cross_corpus_duplicates(progressive=True)) keeps EXACTLY the
+    documents the one-shot pairs-based filter keeps, on random two-corpus
+    template sets with planted cross-dup groups, new-side-only dup groups
+    (must survive: a transitive new-new link is not a ref partner — the
+    over-drop trap a clustering formulation would hit), and noise docs.
+    Membership is schedule-independent, so both escalation factors agree."""
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    new_rows, ref_rows = [], []
+    did = 0
+    # planted cross groups: template appears on both sides
+    for _ in range(rng.randint(1, 3)):
+        base = " ".join(rng.choices(words, k=rng.randint(8, 14)))
+        for r in range(rng.randint(1, 3)):
+            new_rows.append((did, base + (" tail" if r % 2 else "")))
+            did += 1
+        for r in range(rng.randint(1, 3)):
+            ref_rows.append((did, base + (" coda" if r % 2 else "")))
+            did += 1
+    # new-side-only dup group: near-dups of each other, absent from ref
+    base = " ".join(rng.choices(words, k=rng.randint(8, 14))) + " unseen marker"
+    for r in range(rng.randint(2, 3)):
+        new_rows.append((did, base + (" tail" if r % 2 else "")))
+        did += 1
+    # noise on both sides
+    for _ in range(rng.randint(1, 3)):
+        new_rows.append((did, " ".join(rng.choices(words, k=rng.randint(3, 6)))))
+        did += 1
+        ref_rows.append((did, " ".join(rng.choices(words, k=rng.randint(3, 6)))))
+        did += 1
+    dn = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    dr = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    want = sorted(
+        r["doc_id"]
+        for r in dedup.drop_cross_corpus_duplicates(dn, dr, threshold=0.5).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.drop_cross_corpus_duplicates(
+            dn, dr, threshold=0.5, progressive=True
+        ).collect()
+    )
+    assert got == want
+    # schedule independence: a different escalation factor, same membership
+    got2 = sorted(
+        r["id"]
+        for r in dedup.cross_corpus_dup_members(
+            dn, dr, threshold=0.5, escalation=2
+        ).collect()
+    )
+    dup_want = sorted(set(i for i, _ in new_rows) - set(want))
+    assert got2 == dup_want
