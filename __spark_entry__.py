@@ -3496,39 +3496,37 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-9 driver-window rotation (judge r8 "Next round" #1): the driver
-# grades only the FIRST 50 queries() keys, so the window rotates each round
-# until every registry key has an independent CORRECTNESS_r{N} grade. After
-# r8, the union of CORRECTNESS_r01-r08 covers 102 of 145 keys; this window
-# is exactly the 43 never-driver-graded keys (r7-late/r8 tier — graph
-# analytics, int8 ANN, containment/substring dedup, sketches, r8 flagship
-# minhash_cluster_members) in registry order, the two oldest-graded keys
-# (als_recommend/als_rmse, last graded r3), and round 9's new keys. With
-# this rotation every pre-r9 registry key has been driver-graded at least
-# once; from round 10 on the window re-cycles by oldest grade first (see
-# README "Driver-window rotation").
+# Round-10 driver-window rotation (README "Driver-window rotation": from
+# r10 on, the 50-key window re-cycles by OLDEST driver grade first).
+# Composition, computed from the union of CORRECTNESS_r01–r09:
+#   - the 3 r10-new keys (the K≈sqrt(N) kmeans-codebook ANN pair — judge
+#     r9 'Next round' #1 — and the progressive cross-corpus filter, #4);
+#   - embedding_pca (the one r9 `err` cell: its array<double> output broke
+#     the driver canonicalizer; regraded now that it emits pc0..pc7);
+#   - als_rmse (stalest grade in the registry, r3 — judge item #5);
+#   - the 6 r9-new keys (kept in per the same item: each new key gets a
+#     second consecutive independent grade before rotating out);
+#   - 39 of the 50 keys last graded r7 (the oldest cohort — no current
+#     registry key has an older surviving grade), in registry order; the
+#     remaining 11 r7 keys lead the r11 window, then the r8 cohort.
 _GRADED_WINDOW = [
-    "token_bigram_pmi", "mis_seeded", "maximal_matching_seeded",
-    "embedding_pca", "events_resample_ffill", "corpus_overlap_minhash",
-    "doc_bloom_contamination", "ktruss4_copurchase", "clustering_coeff",
-    "betweenness_d3", "label_prop4", "pagerank_weighted3", "katz3",
-    "pseudo_diameter", "events_quantiles_sampled", "events_ab_ttest",
-    "powerlaw_alpha", "graph_diff_window", "edge_betweenness_d3",
-    "doc_build_vocab", "modularity_vtype", "conductance_vtype",
-    "msf_weighted", "dag_layers", "reciprocity", "token_zipf_alpha",
-    "events_interarrival", "weighted_sssp_parents4",
-    "doc_crosscorpus_neardup", "ppr_multi3", "doc_repeated_substrings",
-    "doc_contamination_spans", "doc_split_leakage_safe",
-    "doc_shuffle_shards", "embed_quantize_int8", "knn_classify",
-    "ann_topk_int8", "doc_containment_pairs", "minhash_cluster_members",
-    "ann_topk_ivf_int8_indexed", "dedup_rate_by_source",
-    "doc_dedup_normalized", "mmr_topk",
-    # oldest-graded filler (last independent grade: round 3); its twin
-    # als_rmse ceded its slot to the new oracle-backed events_changepoint
-    "als_recommend", "events_changepoint",
-    # round-9 new keys land here (swapped in as they are added)
+    "knn_graph_kmeans", "semantic_dedup_kmeans",
+    "doc_crosscorpus_filter_progressive", "embedding_pca", "als_rmse",
     "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
     "doc_crosscorpus_filter", "doc_neardup_screen_indexed",
+    "events_changepoint",
+    # r7-graded cohort, registry order
+    "neighbors_point", "neighbors_multi", "out_neighbors_joined",
+    "edge_get", "edge_mutations", "vertex_delete", "vertex_delete_online",
+    "categorical_encode", "degrees", "graph_counts", "out_degrees_salted",
+    "degree_quantiles", "induced_subgraph", "fof_counts", "fof_excl",
+    "ego_net", "triangle_count", "frontier_algebra", "shortest_path_st",
+    "sssp_tree", "multi_bfs", "pagerank3", "cc5", "bfs_vertex_program",
+    "gather_apply_wsum", "vertex_get", "vertex_writes",
+    "vertex_select_scan", "autofill_defaults", "incremental_degrees",
+    "random_vertex", "random_walks", "motif_census", "doc_dedup_exact",
+    "doc_text_profile", "doc_quality_filter", "doc_ngram_neardup",
+    "doc_wordgram_neardup", "minhash_lsh_neardup",
 ]
 
 
