@@ -209,6 +209,14 @@ def main() -> None:
                 docs, block_col="source", k=5, threshold=0.8
             ).count(),
             "ann_cosine_top10": lambda: similarity.cosine_topk(emb, qvec, k=10).collect(),
+            # r10 flagship: batch kNN graph on the graded K≈sqrt(N)
+            # portable k-means codebook (the scale-safe ANN plan — the
+            # label-centroid form is quadratic at 10x and stays a
+            # diagnostic key only)
+            "knn_graph_kmeans": lambda: similarity.knn_graph_ivf(
+                emb, k=5, nprobe=2,
+                codebook=similarity.kmeans_codebook_portable(emb),
+            ).count(),
             "embed_neardup": lambda: similarity.cosine_pairs_lsh(
                 emb, dim=64, threshold=0.3, n_planes=6, seed=42
             ).count(),

@@ -1317,41 +1317,105 @@ def k_truss(
     step stronger than k-core (cohesion via triangles, not raw degree).
     DF(x, y) of surviving canonical undirected edges.
 
-    Iterative support peel: each round recomputes per-edge support on the
-    surviving edges (degree-ordered triangle enumeration — see
-    :func:`edge_support`) and drops edges below k-2. ``rounds=None`` runs
-    to fixpoint (the true k-truss; converges in O(E) rounds, in practice a
-    handful — the cheap count-based convergence check costs one extra
-    action per round). A fixed ``rounds=r`` runs exactly r peel rounds —
-    deterministic from above (every true k-truss edge survives any number
-    of rounds), which is what the bounded-unroll SQL oracle mirrors.
+    DELTA peel (r10 — the fix the r9 sf1 sweep profile asked for): the
+    FIRST round computes full per-edge support (degree-ordered triangle
+    enumeration — see :func:`edge_support`) and drops edges below k-2;
+    every later round only enumerates the triangles DESTROYED by the
+    previous round's removals (common-neighbor probe seeded by the
+    removed set — removed·avg-degree candidate rows, not the full wedge
+    pass) and decrements the survivors' counters. Identical peel sequence
+    to recompute-per-round: support within E_{r+1} = support within E_r
+    minus triangles containing a removed edge (each destroyed triangle
+    subtracted once per surviving edge — the sorted-triple distinct
+    handles triangles losing 2 or 3 edges in one round); pytest asserts
+    equality with a per-round edge_support recompute on random graphs.
+    At the 12M-edge sf1 co-purchase replica the rounds after the first
+    drop from a ~40 s full recompute to seconds (the removed sets are
+    0.4%/0.2% of the surviving edges — recomputing 11.3M supports to
+    retire 22k edges was the waste).
 
-    Scale: each round is the triangle pipeline (two shuffles) plus one
-    filter; no collect, no per-edge loop. Reference analogue: the induced
-    subgraph + triangle machinery (SURVEY §2.5, §2.8) composed iteratively.
-    """
+    ``rounds=None`` runs to fixpoint (the true k-truss; the convergence
+    check is the removed-set emptiness the loop already materializes). A
+    fixed ``rounds=r`` runs exactly r peel rounds — deterministic from
+    above (every true k-truss edge survives any number of rounds), which
+    is what the bounded-unroll SQL oracle mirrors.
+
+    Scale: round 0 is the triangle pipeline (two shuffles); each later
+    round shuffles only removed-seeded candidates and a counter join. No
+    collect, no per-edge loop. Reference analogue: the induced subgraph +
+    triangle machinery (SURVEY §2.5, §2.8) composed iteratively."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
     e = db._typed(etype).select("src", "dst")
     cur = _canonical_undirected(e)
-    # carry the previous round's count forward: one count action per round
-    before = cur.count() if rounds is None else None
-    r = 0
+    if rounds is not None and rounds == 0:
+        return cur
+    # round 0: full support, one peel. kept carries sup-within-prev.
+    sup_tbl = cut_lineage(edge_support(cur))
+    kept = sup_tbl.filter(F.col("sup") >= F.lit(k - 2))
+    removed = cut_lineage(
+        cur.join(kept.select("x", "y"), ["x", "y"], "left_anti")
+    )
+    prev = cur  # the set kept's sup was counted in
+    r = 1
     while rounds is None or r < rounds:
-        sup = edge_support(cur)
-        nxt = cut_lineage(
-            sup.filter(F.col("sup") >= F.lit(k - 2)).select("x", "y")
+        if removed.isEmpty():
+            break  # fixpoint: further peels are no-ops
+        # destroyed triangles: within prev, containing >=1 removed edge —
+        # common neighbors n of a removed (a, b) probed through prev's
+        # adjacency, third edge (b, n) closed by canonical equi semi-join
+        adj = prev.select(F.col("x").alias("a"), F.col("y").alias("n")).unionAll(
+            prev.select(F.col("y").alias("a"), F.col("x").alias("n"))
         )
-        if rounds is None:
-            after = nxt.count()
-            cur = nxt
-            if after == before:
-                break
-            before = after
-        else:
-            cur = nxt
+        cand = (
+            removed.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .join(adj, "a")
+            .filter(F.col("n") != F.col("b"))
+            .withColumn("p", F.least("b", "n"))
+            .withColumn("q", F.greatest("b", "n"))
+        )
+        closed = cand.join(
+            prev.select(F.col("x").alias("p"), F.col("y").alias("q")),
+            ["p", "q"],
+            "semi",
+        )
+        # one row per destroyed triangle (a triangle with 2 removed edges
+        # is found from each — dedupe before decrementing the third)
+        tris = (
+            closed.select(F.array_sort(F.array("a", "b", "n")).alias("t"))
+            .select(
+                F.col("t")[0].alias("t1"),
+                F.col("t")[1].alias("t2"),
+                F.col("t")[2].alias("t3"),
+            )
+            .distinct()
+        )
+        dec = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("t1").alias("x"), F.col("t2").alias("y")),
+                        F.struct(F.col("t1").alias("x"), F.col("t3").alias("y")),
+                        F.struct(F.col("t2").alias("x"), F.col("t3").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select("e.x", "e.y")
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        nxt = cut_lineage(
+            kept.join(dec, ["x", "y"], "left").select(
+                "x",
+                "y",
+                (F.col("sup") - F.coalesce("_d", F.lit(0))).alias("sup"),
+            )
+        )
+        prev = kept.select("x", "y")  # the set nxt's sup is now within
+        kept = nxt.filter(F.col("sup") >= F.lit(k - 2))
+        removed = cut_lineage(nxt.filter(F.col("sup") < F.lit(k - 2)).select("x", "y"))
         r += 1
-    return cur
+    return kept.select("x", "y")
 
 
 def betweenness_bounded(

@@ -729,3 +729,54 @@ def test_progressive_crosscorpus_filter_survivor_parity(spark, seed):
     )
     dup_want = sorted(set(i for i, _ in new_rows) - set(want))
     assert got2 == dup_want
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_ktruss_delta_peel_equals_recompute(spark, seed):
+    """The r10 delta peel == the per-round edge_support recompute it
+    replaced, for both the fixpoint and every fixed round count, on random
+    graphs dense enough to carry triangles through several peels."""
+    from graphchidb_scala_spark.checkpoint import cut_lineage
+    from graphchidb_scala_spark.operators import graph_queries as gq
+
+    rng = random.Random(seed)
+    n = 12
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(55)
+            for a, b in [sorted((rng.randrange(n), rng.randrange(n)))]
+            if a != b
+        }
+    )
+    db = GraphDB(
+        spark.createDataFrame(
+            [(0, a, b) for a, b in pairs], "etype int, src bigint, dst bigint"
+        )
+    )
+
+    def recompute_truss(k, rounds):
+        cur = gq._canonical_undirected(db._typed(None).select("src", "dst"))
+        before = cur.count() if rounds is None else None
+        r = 0
+        while rounds is None or r < rounds:
+            sup = gq.edge_support(cur)
+            nxt = cut_lineage(sup.filter(F.col("sup") >= k - 2).select("x", "y"))
+            if rounds is None:
+                after = nxt.count()
+                cur = nxt
+                if after == before:
+                    break
+                before = after
+            else:
+                cur = nxt
+            r += 1
+        return sorted((r_["x"], r_["y"]) for r_ in cur.collect())
+
+    for k, rounds in ((3, None), (4, None), (4, 1), (4, 2), (4, 3)):
+        want = recompute_truss(k, rounds)
+        got = sorted(
+            (r_["x"], r_["y"]) for r_ in gq.k_truss(db, k, rounds=rounds).collect()
+        )
+        assert got == want, (k, rounds)

@@ -310,6 +310,22 @@ CHECKS = {
         lambda g, docs, emb: similarity.semantic_dedup(emb, threshold=0.25),
         ["Join", "!BroadcastNestedLoop", "!CartesianProduct"],
     ),
+    # r10 graded scale path: same join discipline under the K≈sqrt(N)
+    # portable k-means codebook, and the NUMBERED cell-join repartition
+    # must survive to the physical plan (AQE-coalesce exemption — the
+    # bytes-small-input/expansion-output trap)
+    "knn_graph_kmeans_cell_equi_join_pinned": (
+        lambda g, docs, emb: similarity.knn_graph_ivf(
+            emb, k=5, nprobe=2, codebook=similarity.kmeans_codebook_portable(emb)
+        ),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct", "REPARTITION_BY_NUM"],
+    ),
+    "semantic_dedup_kmeans_cell_equi_join_pinned": (
+        lambda g, docs, emb: similarity.semantic_dedup(
+            emb, threshold=0.25, codebook=similarity.kmeans_codebook_portable(emb)
+        ),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct", "REPARTITION_BY_NUM"],
+    ),
     # PII report: a pure map pass — no exchange anywhere, and column pruning
     # reaches the scan (only doc_id + text read)
     "pii_report_pure_projection": (
