@@ -1034,13 +1034,11 @@ def minhash_cluster_members(
         # documented pairs->CC equivalence by the prune's ~3e-5 tier.
         n_docs = sh.filter(F.col("n") > 0).count()
         sig_prune = None
+        sigs_broadcast = False
         if n_docs > _ESTIMATE_TIER_MIN_DOCS:
             sigs_m = cut_lineage(sig_arr.select("id", "sig"))
-            sigs_v = (
-                F.broadcast(sigs_m)
-                if n_docs * (num_hashes * 8 + 48) < (64 << 20)
-                else sigs_m
-            )
+            sigs_broadcast = n_docs * (num_hashes * 8 + 48) < (64 << 20)
+            sigs_v = F.broadcast(sigs_m) if sigs_broadcast else sigs_m
             est_agree = F.aggregate(
                 F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
                 F.lit(0),
@@ -1108,30 +1106,68 @@ def minhash_cluster_members(
         # LABEL graph (≤ one node per still-split cluster, tiny) rather
         # than re-running CC over a doc-level edge set.
         #
-        # numbered repartition on the join key (the AQE bytes-small trap,
-        # the same pre-join spread lsh_candidate_pairs pins): the labeled
-        # bucket table is 3 narrow columns, but the self-join's output is
-        # the crossing-candidate expansion
+        # the numbered pre-join repartitions live on the SALTED keys below
+        # (the AQE bytes-small trap: the labeled bucket table is 3 narrow
+        # columns, but the self-join's output is the crossing-candidate
+        # expansion)
         lb = cut_lineage(
             bkts_m.join(_broadcast_if_small_ids(labels), "id").select(
                 "id", "bkt", F.col("cluster").alias("_lbl")
             )
-        ).repartition(parallelism, "bkt")
-        a, b = lb.alias("a"), lb.alias("b")
+        )
+        # SALTED BLOCK SELF-JOIN + estimate-prune-in-stage (r10 — the
+        # keep_best sf1 profile): on a dup-dense corpus where many star
+        # edges fail verify, the label-inequality join's raw output is
+        # Θ(Σ bucket²) — 430.6M rows at the 10× replica — and it is also
+        # SKEWED: one hot bucket's whole cross product lands in a single
+        # task, because AQE's skew-split does not apply to user-specified
+        # repartitions (the numbered pin that saves us from the
+        # bytes-small coalescing trap simultaneously opts us out of
+        # OptimizeSkewedJoin). Shuffling the raw mass through
+        # distinct+repartition cost 374 s + a 649 s straggler-bound
+        # estimate pass. Fix both at once:
+        #   - salt: each side replicated G ways, join key (bkt, sa, sb) —
+        #     the hot bucket's product spreads over G² tasks; each
+        #     unordered pair matches exactly once (left salt = salt(id_a),
+        #     right salt = salt(id_b), id_a < id_b keeps one orientation);
+        #   - prune in-stage: with the signature table broadcast-resident,
+        #     the estimate fold runs as two map-side hash joins inside the
+        #     (now spread) join stage, so the 430M raw rows are never
+        #     exchanged; the distinct sees estimate survivors only.
+        # Pair-deterministic prune ⇒ prune∘distinct == distinct∘prune: the
+        # verified edge set (and the pairs→CC equivalence) is unchanged —
+        # pytest property test re-run green.
+        G = 8
+        sa_ = F.pmod(F.hash("id"), F.lit(G))
+        a = (
+            lb.withColumn("_sa", sa_)
+            .withColumn("_sb", F.explode(F.array(*[F.lit(i) for i in range(G)])))
+            .alias("a")
+        )
+        b = (
+            lb.withColumn("_sb", sa_)
+            .withColumn("_sa", F.explode(F.array(*[F.lit(i) for i in range(G)])))
+            .alias("b")
+        )
+        a = a.repartition(parallelism, "bkt", "_sa", "_sb")
+        b = b.repartition(parallelism, "bkt", "_sa", "_sb")
+        cross = a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a._sa") == F.col("b._sa"))
+            & (F.col("a._sb") == F.col("b._sb"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a._lbl") != F.col("b._lbl")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._lbl").alias("_la"),
+            F.col("b._lbl").alias("_lb"),
+        )
+        if sig_prune is not None and sigs_broadcast:
+            cross = sig_prune(cross)
         cross = (
-            a.join(
-                b,
-                (F.col("a.bkt") == F.col("b.bkt"))
-                & (F.col("a.id") < F.col("b.id"))
-                & (F.col("a._lbl") != F.col("b._lbl")),
-            )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a._lbl").alias("_la"),
-                F.col("b._lbl").alias("_lb"),
-            )
-            .distinct()
+            cross.distinct()
             # round-robin — the hash form on the distinct's own keys is
             # elided at parallelism == shuffle.partitions (pin lost)
             .repartition(parallelism)
