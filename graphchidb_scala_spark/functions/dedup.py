@@ -985,8 +985,16 @@ def minhash_cluster_members(
         # portable family — which only the verify=False semantics needs
         # (there the buckets ARE the result, so the oracle must recompute
         # them; here every edge is exactly re-verified anyway)
-        sig_arr = minhash_signatures(
-            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+        # cut the signature table ITSELF (r10): it has two downstream
+        # consumers with their own cuts — the bucket explode here and the
+        # estimate tier's sigs_m below — and each cut_lineage materializes
+        # its full input plan, so an uncut sig_arr ran the whole
+        # shingle→64-min pipeline twice (~50 s of the keep_best sf1
+        # profile's setup phase)
+        sig_arr = cut_lineage(
+            minhash_signatures(
+                df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+            )
         )
         bucket_cols = [
             F.concat_ws(
@@ -1036,7 +1044,9 @@ def minhash_cluster_members(
         sig_prune = None
         sigs_broadcast = False
         if n_docs > _ESTIMATE_TIER_MIN_DOCS:
-            sigs_m = cut_lineage(sig_arr.select("id", "sig"))
+            # sig_arr is already checkpointed above — a narrow select off
+            # the checkpoint needs no second cut
+            sigs_m = sig_arr.select("id", "sig")
             sigs_broadcast = n_docs * (num_hashes * 8 + 48) < (64 << 20)
             sigs_v = F.broadcast(sigs_m) if sigs_broadcast else sigs_m
             est_agree = F.aggregate(
