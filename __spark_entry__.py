@@ -1721,15 +1721,24 @@ WHERE d.vec_id IS NULL
 _KMEANS_CB_ITERS = 4
 
 
-def _kmeans_cb_ctes(iterations: int = _KMEANS_CB_ITERS, dp: int = 6) -> str:
+def _kmeans_cb_ctes(
+    iterations: int = _KMEANS_CB_ITERS, dp: int = 6, k: int | None = None
+) -> str:
     """CTE chain ending in ``cb(cell, c)`` = kmeans_codebook_portable(
-    embeddings, iterations=...): md5-ordered sample (cap = max(16384,
-    32·K), a no-op below 16k rows but kept for twin fidelity), first-K-
-    distinct init, then ``iterations`` unrolled Lloyd rounds — assignment
-    argmin ties by cell id, empty cells keep their centroid, every
-    centroid rounded half-away to ``dp`` (both engines re-quantize each
-    round, so FP noise in the means never accumulates)."""
-    K = "least(4096, greatest(16, CAST(floor(sqrt(n)) AS INT)))"
+    embeddings, iterations=..., k=...): md5-ordered sample (cap =
+    max(16384, 32·K), a no-op below 16k rows but kept for twin fidelity),
+    first-K-distinct init, then ``iterations`` unrolled Lloyd rounds —
+    assignment argmin ties by cell id, empty cells keep their centroid,
+    every centroid rounded half-away to ``dp`` (both engines re-quantize
+    each round, so FP noise in the means never accumulates). ``k=None``
+    (default) keeps K data-driven — clamped floor(sqrt(N)) via scalar
+    subquery; an explicit ``k`` pins it (the Arrow-path graded key uses
+    k=150 to force the >128-literal assign/probe tier at gate scale)."""
+    K = (
+        "least(4096, greatest(16, CAST(floor(sqrt(n)) AS INT)))"
+        if k is None
+        else str(int(k))
+    )
     parts = [
         "nn AS (SELECT count(*) AS n FROM embeddings)",
         f"km AS (SELECT {K} AS k, greatest(16384, 32 * {K}) AS cap FROM nn)",
@@ -1780,6 +1789,57 @@ def _q_knn_graph_kmeans(spark, sf):
 def _knn_graph_kmeans_sql(k: int = 5, nprobe: int = 2) -> str:
     return (
         "WITH\n" + _kmeans_cb_ctes() + """,
+cells AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT cb.cell FROM cb
+          ORDER BY list_distance(cb.c, e.embedding::DOUBLE[]), cb.cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+probes AS (
+  SELECT cl.vec_id AS qid, cl.v AS qv, cb.cell AS cell
+  FROM cells cl, cb
+  QUALIFY row_number() OVER (PARTITION BY cl.vec_id
+    ORDER BY list_distance(cb.c, cl.v), cb.cell) <= """ + str(nprobe) + """
+),
+pairs AS (
+  SELECT p.qid, c2.vec_id AS nid,
+         round(list_cosine_similarity(p.qv, c2.v), 4) AS cos_sim
+  FROM probes p JOIN cells c2 ON c2.cell = p.cell
+  WHERE c2.vec_id <> p.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= """
+        + str(k)
+    ).strip()
+
+
+_ARROW_PATH_K = 150  # > similarity._LITERAL_CODEBOOK_MAX: forces Arrow tier
+
+
+def _q_knn_graph_kmeans_arrow(spark, sf):
+    """The same kNN graph under a K=150 portable k-means codebook — K is
+    deliberately past the 128-literal codegen ceiling, so the GRADED plan
+    exercises the ARROW matmul assignment/probe tier
+    (assign_cells_arrow / probe_cells_arrow: |batch|×K float64 distance
+    matmuls, stable argsort ties → lowest cell) that production K≈sqrt(N)
+    runs engage at scale. The oracle replays the identical trainer with K
+    pinned at 150, proving the Arrow tier is cross-engine bit-compatible
+    (same centroids, same assignment/probe tie-breaks) — the literal-path
+    keys alone never grade this tier because the gate corpus keeps
+    sqrt(N) under the ceiling."""
+    emb = _emb(spark, sf)
+    cb = similarity.kmeans_codebook_portable(
+        emb, k=_ARROW_PATH_K, iterations=_KMEANS_CB_ITERS
+    )
+    assert len(cb) > similarity._LITERAL_CODEBOOK_MAX
+    return similarity.knn_graph_ivf(emb, k=5, nprobe=2, codebook=cb)
+
+
+def _knn_graph_kmeans_arrow_sql(k: int = 5, nprobe: int = 2) -> str:
+    return (
+        "WITH\n" + _kmeans_cb_ctes(k=_ARROW_PATH_K) + """,
 cells AS MATERIALIZED (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
          (SELECT cb.cell FROM cb
@@ -3368,6 +3428,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-parity diagnostics; these are the 100 TB configuration)
         "knn_graph_kmeans": _q_knn_graph_kmeans,
         "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
+        # r10: K past the literal ceiling -> the graded plan runs the
+        # ARROW matmul assign/probe tier (the production K~sqrt(N) path)
+        "knn_graph_kmeans_arrow": _q_knn_graph_kmeans_arrow,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "ppr3": _q_ppr3,
@@ -3499,8 +3562,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-10 driver-window rotation (README "Driver-window rotation": from
 # r10 on, the 50-key window re-cycles by OLDEST driver grade first).
 # Composition, computed from the union of CORRECTNESS_r01–r09:
-#   - the 3 r10-new keys (the K≈sqrt(N) kmeans-codebook ANN pair — judge
-#     r9 'Next round' #1 — and the progressive cross-corpus filter, #4);
+#   - the 4 r10-new keys (the K≈sqrt(N) kmeans-codebook ANN pair — judge
+#     r9 'Next round' #1 — plus the Arrow-tier sibling, and the
+#     progressive cross-corpus filter, #4);
 #   - embedding_pca (the one r9 `err` cell: its array<double> output broke
 #     the driver canonicalizer; regraded now that it emits pc0..pc7);
 #   - als_rmse (stalest grade in the registry, r3 — judge item #5);
@@ -3508,9 +3572,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     second consecutive independent grade before rotating out);
 #   - 39 of the 50 keys last graded r7 (the oldest cohort — no current
 #     registry key has an older surviving grade), in registry order; the
-#     remaining 11 r7 keys lead the r11 window, then the r8 cohort.
+#     remaining 12 r7 keys lead the r11 window, then the r8 cohort.
 _GRADED_WINDOW = [
-    "knn_graph_kmeans", "semantic_dedup_kmeans",
+    "knn_graph_kmeans", "semantic_dedup_kmeans", "knn_graph_kmeans_arrow",
     "doc_crosscorpus_filter_progressive", "embedding_pca", "als_rmse",
     "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
     "doc_crosscorpus_filter", "doc_neardup_screen_indexed",
@@ -3526,7 +3590,7 @@ _GRADED_WINDOW = [
     "vertex_select_scan", "autofill_defaults", "incremental_degrees",
     "random_vertex", "random_walks", "motif_census", "doc_dedup_exact",
     "doc_text_profile", "doc_quality_filter", "doc_ngram_neardup",
-    "doc_wordgram_neardup", "minhash_lsh_neardup",
+    "doc_wordgram_neardup",
 ]
 
 
@@ -4622,6 +4686,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         ),
         "knn_graph_ivf": _knn_graph_sql(k=5, nprobe=2),
         "knn_graph_kmeans": _knn_graph_kmeans_sql(k=5, nprobe=2),
+        "knn_graph_kmeans_arrow": _knn_graph_kmeans_arrow_sql(k=5, nprobe=2),
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(threshold=0.25),
         # integer week = floor(days since 2024-01-01 / 7); Spark's datediff
         # uses the date part of the timestamp, mirrored by CAST(ts AS DATE)

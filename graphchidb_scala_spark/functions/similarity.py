@@ -594,6 +594,8 @@ def kmeans_codebook_portable(
         .collect()
     )
     x = np.asarray([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        return []  # empty corpus: empty codebook (consumers must handle)
     seen: set[tuple] = set()
     seeds = []
     for row in x:  # first-K-distinct in sample order (dedupe BEFORE rounding)
