@@ -926,6 +926,47 @@ def band_bucket_star_edges(bkts: DataFrame, parallelism: int) -> DataFrame:
     )
 
 
+def salted_label_crossing_candidates(
+    lb: DataFrame, parallelism: int, salts: int = 8
+) -> DataFrame:
+    """Salted block self-join of a labeled bucket table DF(id, bkt, _lbl):
+    all (id_a < id_b) pairs sharing a bucket with DIFFERENT labels, as
+    DF(id_a, id_b, _la, _lb) — RAW (not distinct; callers prune then
+    dedupe). The :func:`minhash_cluster_members` repair seam, split out
+    so the plan shape is directly auditable (the operator's own plan
+    hides it behind cut_lineage materialization).
+
+    Why salted: AQE's skew split does not apply to user-specified
+    repartitions, so the numbered pin that defeats bytes-small AQE
+    coalescing simultaneously opts the join out of OptimizeSkewedJoin —
+    a hot bucket's whole Θ(bucket²) product would run in one task (the
+    r10 keep_best profile: a 649 s single-core straggler). Each side is
+    replicated ``salts`` ways and the join key becomes (bkt, sa, sb):
+    pair (x, y) matches exactly once, at (salt(x), salt(y)) with
+    x < y keeping one orientation, and the hot bucket spreads over
+    salts² tasks."""
+    G = int(salts)
+    salt = F.pmod(F.hash("id"), F.lit(G))
+    blocks = F.explode(F.array(*[F.lit(i) for i in range(G)]))
+    a = lb.withColumn("_sa", salt).withColumn("_sb", blocks).alias("a")
+    b = lb.withColumn("_sb", salt).withColumn("_sa", blocks).alias("b")
+    a = a.repartition(parallelism, "bkt", "_sa", "_sb")
+    b = b.repartition(parallelism, "bkt", "_sa", "_sb")
+    return a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a._sa") == F.col("b._sa"))
+        & (F.col("a._sb") == F.col("b._sb"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a._lbl") != F.col("b._lbl")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a._lbl").alias("_la"),
+        F.col("b._lbl").alias("_lb"),
+    )
+
+
 def minhash_cluster_members(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1125,55 +1166,17 @@ def minhash_cluster_members(
                 "id", "bkt", F.col("cluster").alias("_lbl")
             )
         )
-        # SALTED BLOCK SELF-JOIN + estimate-prune-in-stage (r10 — the
-        # keep_best sf1 profile): on a dup-dense corpus where many star
-        # edges fail verify, the label-inequality join's raw output is
-        # Θ(Σ bucket²) — 430.6M rows at the 10× replica — and it is also
-        # SKEWED: one hot bucket's whole cross product lands in a single
-        # task, because AQE's skew-split does not apply to user-specified
-        # repartitions (the numbered pin that saves us from the
-        # bytes-small coalescing trap simultaneously opts us out of
-        # OptimizeSkewedJoin). Shuffling the raw mass through
-        # distinct+repartition cost 374 s + a 649 s straggler-bound
-        # estimate pass. Fix both at once:
-        #   - salt: each side replicated G ways, join key (bkt, sa, sb) —
-        #     the hot bucket's product spreads over G² tasks; each
-        #     unordered pair matches exactly once (left salt = salt(id_a),
-        #     right salt = salt(id_b), id_a < id_b keeps one orientation);
-        #   - prune in-stage: with the signature table broadcast-resident,
-        #     the estimate fold runs as two map-side hash joins inside the
-        #     (now spread) join stage, so the 430M raw rows are never
-        #     exchanged; the distinct sees estimate survivors only.
-        # Pair-deterministic prune ⇒ prune∘distinct == distinct∘prune: the
-        # verified edge set (and the pairs→CC equivalence) is unchanged —
-        # pytest property test re-run green.
-        G = 8
-        sa_ = F.pmod(F.hash("id"), F.lit(G))
-        a = (
-            lb.withColumn("_sa", sa_)
-            .withColumn("_sb", F.explode(F.array(*[F.lit(i) for i in range(G)])))
-            .alias("a")
-        )
-        b = (
-            lb.withColumn("_sb", sa_)
-            .withColumn("_sa", F.explode(F.array(*[F.lit(i) for i in range(G)])))
-            .alias("b")
-        )
-        a = a.repartition(parallelism, "bkt", "_sa", "_sb")
-        b = b.repartition(parallelism, "bkt", "_sa", "_sb")
-        cross = a.join(
-            b,
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a._sa") == F.col("b._sa"))
-            & (F.col("a._sb") == F.col("b._sb"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a._lbl") != F.col("b._lbl")),
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a._lbl").alias("_la"),
-            F.col("b._lbl").alias("_lb"),
-        )
+        # salted block self-join (seam above: hot buckets spread over
+        # salts² tasks — the numbered pin opted the join out of AQE skew
+        # split, r10 keep_best profile) + ESTIMATE-PRUNE-IN-STAGE: with
+        # the signature table broadcast-resident, the τ/2 agreement fold
+        # runs as two map-side hash joins inside the (spread) join stage,
+        # so the raw Θ(Σ bucket²) candidate mass (430.6M rows at the 10×
+        # replica) is never exchanged — the distinct sees estimate
+        # survivors only. Pair-deterministic prune ⇒ prune∘distinct ==
+        # distinct∘prune: the verified edge set (and the pairs→CC
+        # equivalence) is unchanged — property test green.
+        cross = salted_label_crossing_candidates(lb, parallelism)
         if sig_prune is not None and sigs_broadcast:
             cross = sig_prune(cross)
         cross = (

@@ -326,6 +326,20 @@ CHECKS = {
         ),
         ["Join", "!BroadcastNestedLoop", "!CartesianProduct", "REPARTITION_BY_NUM"],
     ),
+    # r10 salted crossing repair seam: the (bkt, sa, sb) keys must compile
+    # to an equi hash join (inequalities as residual filters, never a
+    # nested loop) and BOTH numbered salted repartitions must survive —
+    # the pin is what opted the join out of AQE skew split, the salt is
+    # what makes that safe
+    "members_salted_crossing_equi_pinned": (
+        lambda g, docs, emb: dedup.salted_label_crossing_candidates(
+            docs.selectExpr(
+                "doc_id as id", "source as bkt", "doc_id % 7 as _lbl"
+            ),
+            32,
+        ),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct", "REPARTITION_BY_NUM"],
+    ),
     # PII report: a pure map pass — no exchange anywhere, and column pruning
     # reaches the scan (only doc_id + text read)
     "pii_report_pure_projection": (
