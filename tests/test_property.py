@@ -780,3 +780,30 @@ def test_ktruss_delta_peel_equals_recompute(spark, seed):
             (r_["x"], r_["y"]) for r_ in gq.k_truss(db, k, rounds=rounds).collect()
         )
         assert got == want, (k, rounds)
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_salted_crossing_candidates_enumerate_each_pair_once(spark, seed):
+    """salted_label_crossing_candidates == the unsalted brute-force pair
+    set, with NO duplicates from the salting (each unordered pair must
+    match at exactly one (salt(a), salt(b)) block), on random labeled
+    bucket tables with hot buckets."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(8, 25)):
+        for b in rng.sample(["b0", "b1", "b2", "hot"], rng.randint(1, 3)):
+            rows.append((i, b, i % rng.randint(2, 4)))
+    lb = spark.createDataFrame(rows, "id bigint, bkt string, _lbl bigint")
+    got_rows = dedup.salted_label_crossing_candidates(lb, 4, salts=3).collect()
+    got = [(r["id_a"], r["id_b"], r["_la"], r["_lb"]) for r in got_rows]
+    want = []
+    seenb = {}
+    for i, b, l in set(rows):
+        seenb.setdefault(b, []).append((i, l))
+    for b, mem in seenb.items():
+        for (i, li) in mem:
+            for (j, lj) in mem:
+                if i < j and li != lj:
+                    want.append((i, j, li, lj))
+    assert sorted(got) == sorted(want)  # equality AND multiplicity
