@@ -1962,6 +1962,72 @@ def _q_doc_dsir(spark, sf):
     )
 
 
+def _q_doc_quality_nb(spark, sf):
+    """Hashed-unigram Naive-Bayes quality classifier (pipeline.
+    nb_quality_scores): weak labels from the heuristic quality gate
+    (rounded quality_score >= 0.5), 256 md5 buckets, add-1 smoothing.
+    Train counts are one map-side-combined shuffle; the <=256-row llr
+    model broadcasts; scoring is a broadcast join + per-doc sum."""
+    return pipeline.nb_quality_scores(_docs(spark, sf), buckets=256)
+
+
+def _nb_quality_sql(buckets: int = 256, alpha: float = 1.0, tau: float = 0.5) -> str:
+    # mirrors pipeline.nb_quality_scores: heuristic weak label (the
+    # doc_text_stats quality formula), md5-hash60 % buckets, add-alpha
+    # smoothing over the dense grid, class prior, rounded llr decides pred
+    punct = "text"
+    for ch in text.PUNCT_CHARS:
+        punct = f"replace({punct}, '{ch}', '')"
+    return f"""
+WITH lab AS (
+  SELECT doc_id, text,
+    CASE WHEN round(
+      least(1.0, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 50.0)
+      * (1.0 - CAST(length(text) - length({punct}) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0)), 4) >= {tau}
+    THEN 1 ELSE 0 END AS lbl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lbl, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM lab
+),
+tb AS (
+  SELECT doc_id, lbl,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM tok WHERE tok <> ''
+),
+grid AS (SELECT CAST(range AS BIGINT) AS b FROM range({buckets})),
+sm AS (
+  SELECT g.b,
+         COALESCE(c.n1, 0) + {alpha} AS c1,
+         COALESCE(c.n0, 0) + {alpha} AS c0
+  FROM grid g LEFT JOIN (
+    SELECT b, sum(lbl) AS n1, count(*) - sum(lbl) AS n0 FROM tb GROUP BY b
+  ) c ON c.b = g.b
+),
+ratio AS (
+  SELECT b, ln(c1 / (SELECT sum(c1) FROM sm)) - ln(c0 / (SELECT sum(c0) FROM sm)) AS lr
+  FROM sm
+),
+prior AS (
+  SELECT ln((sum(lbl) + {alpha}) / (count(*) - sum(lbl) + {alpha})) AS lp FROM lab
+),
+s AS (
+  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(r.lr) AS sl
+  FROM tb JOIN ratio r ON r.b = tb.b
+  GROUP BY tb.doc_id
+)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(COALESCE(s.sl, 0) + (SELECT lp FROM prior), 4) AS nb_llr,
+       CAST(CASE WHEN round(COALESCE(s.sl, 0) + (SELECT lp FROM prior), 4) > 0
+            THEN 1 ELSE 0 END AS INT) AS nb_pred
+FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id
+""".strip()
+
+
 def _dsir_sql(buckets: int = 256, target_source: str = "src0") -> str:
     # mirrors pipeline.dsir_weights: md5-hash60 % buckets bucketing,
     # add-1 smoothing over a dense bucket grid, ln-ratio vs the corpus
@@ -3556,6 +3622,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_normalized": _q_doc_dedup_normalized,
         # MMR diversified retrieval (bounded re-rank window greedy)
         "mmr_topk": _q_mmr_topk,
+        # model-based quality tier: hashed-unigram Naive Bayes on weak
+        # labels from the heuristic gate (r11)
+        "doc_quality_nb": _q_doc_quality_nb,
     }
 
 
@@ -3602,6 +3671,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: base[k] for k in _GRADED_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
+
+
+def rows_only_keys() -> dict[str, str]:
+    """The rows-only policy, machine-readable (judge r10 'Next round #3'):
+    every registry key that intentionally has NO ``oracle_sql()`` entry,
+    mapped to why + its stronger-than-rows local gate. The driver records
+    these as rows-only (``err: "no_oracle"`` cells in CORRECTNESS are this
+    policy, not a failure). Keys absent from this dict MUST have an oracle
+    twin — ``tests/test_entry.py`` asserts exactly that partition."""
+    return {
+        "als_recommend": (
+            "iterative ALS matrix factorization — no closed-form SQL twin "
+            "(alternating ridge solves over latent factors); gated by "
+            "tests/test_als.py (planted low-rank recovery, RMSE decreases "
+            "with iterations, recommendation ranking sanity)"
+        ),
+        "als_rmse": (
+            "same ALS model surface as als_recommend (training-fit RMSE); "
+            "gated by tests/test_als.py"
+        ),
+        "embedding_pca": (
+            "Gram-matrix eigendecomposition (power iteration with "
+            "deflation) — eigenvectors are sign/rotation-ambiguous and "
+            "have no DuckDB twin; gated by tests/test_functions.py "
+            "(planted-subspace recovery, projection matches numpy)"
+        ),
+    }
 
 
 # ------------------------------------------------------------------ oracle SQL
@@ -4876,6 +4972,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "minhash_cluster_members": _minhash_members_sql(),
         "dedup_rate_by_source": _dedup_rate_sql(),
         "mmr_topk": _mmr_sql(),
+        "doc_quality_nb": _nb_quality_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

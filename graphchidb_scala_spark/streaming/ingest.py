@@ -688,8 +688,16 @@ def stream_neardup_ingest(
             )
         )
         if EdgeStore._exists(index_path):
-            dups = screen_neardup_index_buckets(bkts, index_path).select(
-                F.col("id").alias(id_col)
+            # the drop set is lineage-cut FIRST so the index screen join
+            # runs exactly once per micro-batch — uncut, its plan would
+            # re-execute under each consumer (the broadcast count gate,
+            # the accepted write's anti-join, and the index append's),
+            # and the append would read index_path inside its own write
+            # lineage (advisor r10)
+            dups = cut_lineage(
+                screen_neardup_index_buckets(bkts, index_path).select(
+                    F.col("id").alias(id_col)
+                )
             )
             # micro-batch drop sets are batch-bounded: count-gated broadcast
             dropped = _broadcast_if_small_ids(dups)

@@ -267,6 +267,96 @@ def test_dsir_weights_partitioning_invariant(spark):
     assert a == b
 
 
+def test_nb_quality_planted_vocabulary_separation(spark):
+    """nb_quality_scores vs a pure-python NB model (same md5 bucketing,
+    same add-1 smoothing, same prior): scores match to float tolerance,
+    and the classifier separates planted vocabularies — high-quality docs
+    use vocab A, junk uses vocab B, and a BORDERLINE doc written in vocab
+    A must be predicted positive even though its heuristic label is 0
+    (the generalize-past-the-heuristic property the model tier exists for)."""
+    import hashlib
+    import math
+
+    from graphchidb_scala_spark.functions.text import PUNCT_CHARS
+
+    good_vocab = ["theorem", "proof", "lemma", "corollary", "axiom", "deduce"]
+    junk_vocab = ["click", "winner", "free", "prize", "now"]
+    rows = []
+    for i in range(20):
+        # 60 clean tokens -> quality 1.0 -> label 1
+        toks = [good_vocab[(i + j) % len(good_vocab)] for j in range(60)]
+        rows.append((i, " ".join(toks)))
+    for i in range(20, 40):
+        # short + punct-heavy -> quality < 0.5 -> label 0
+        toks = [junk_vocab[(i + j) % len(junk_vocab)] + "!!!" for j in range(5)]
+        rows.append((i, " ".join(toks)))
+    # borderline: vocab-A doc too short for a positive heuristic label
+    rows.append((99, "theorem proof lemma axiom deduce"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nb_llr"], r["nb_pred"])
+        for r in pipeline.nb_quality_scores(df, buckets=64).collect()
+    }
+    assert len(got) == len(rows)
+
+    # --- pure-python model with the identical spec ---
+    B, A = 64, 1.0
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    def quality(text):
+        t = len(text.split())
+        c = len(text)
+        p = sum(text.count(ch) for ch in PUNCT_CHARS)
+        return round(min(1.0, t / 50.0) * (1.0 - p / max(c, 1.0)), 4)
+
+    labeled = [(i, t, 1 if quality(t) >= 0.5 else 0) for i, t in rows]
+    c1, c0 = [0] * B, [0] * B
+    n1 = sum(l for _, _, l in labeled)
+    n0 = len(labeled) - n1
+    for _, t, l in labeled:
+        for tok in t.split():
+            (c1 if l else c0)[bkt(tok)] += 1
+    t1 = sum(c1) + A * B
+    t0 = sum(c0) + A * B
+    lr = [math.log((c1[b] + A) / t1) - math.log((c0[b] + A) / t0) for b in range(B)]
+    lp = math.log((n1 + A) / (n0 + A))
+    for i, t, _ in labeled:
+        toks = t.split()
+        want = round(sum(lr[bkt(tok)] for tok in toks) + lp, 4)
+        nt, llr, pred = got[i]
+        assert nt == len(toks), i
+        assert abs(llr - want) <= 2e-4, (i, llr, want)
+        assert pred == (1 if llr > 0 else 0), i
+    # planted separation: every vocab-A doc positive, every junk doc negative
+    assert all(got[i][2] == 1 for i in range(20))
+    assert all(got[i][2] == 0 for i in range(20, 40))
+    # the heuristic would call doc 99 low-quality (5 tokens -> 0.1), but its
+    # vocabulary carries it: the model predicts positive
+    assert quality(rows[-1][1]) < 0.5 and got[99][2] == 1
+
+
+def test_nb_quality_explicit_labels_and_empty_docs(spark):
+    """Explicit label frame overrides the heuristic; token-less docs get
+    the prior alone with n_tokens=0."""
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "")]
+    labels = [(1, 1), (2, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lab = spark.createDataFrame(labels, "doc_id bigint, label int")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["nb_llr"])
+        for r in pipeline.nb_quality_scores(df, labels=lab, buckets=32).collect()
+    }
+    assert out[3][0] == 0
+    import math
+
+    # prior: ln((1+1)/(2+1))
+    assert abs(out[3][1] - round(math.log(2 / 3), 4)) <= 2e-4
+    # gamma appears only in the positive doc, delta only negative
+    assert out[1][1] > out[2][1]
+
+
 def test_curate_corpus_composes_stage_invariants(spark):
     rows = []
     # 3 sources x 20 docs of varied quality; doc 0/25/50 exact dupes

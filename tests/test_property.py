@@ -795,8 +795,6 @@ def test_salted_crossing_candidates_enumerate_each_pair_once(spark, seed):
         for b in rng.sample(["b0", "b1", "b2", "hot"], rng.randint(1, 3)):
             rows.append((i, b, i % rng.randint(2, 4)))
     lb = spark.createDataFrame(rows, "id bigint, bkt string, _lbl bigint")
-    got_rows = dedup.salted_label_crossing_candidates(lb, 4, salts=3).collect()
-    got = [(r["id_a"], r["id_b"], r["_la"], r["_lb"]) for r in got_rows]
     want = []
     seenb = {}
     for i, b, l in set(rows):
@@ -806,4 +804,37 @@ def test_salted_crossing_candidates_enumerate_each_pair_once(spark, seed):
             for (j, lj) in mem:
                 if i < j and li != lj:
                     want.append((i, j, li, lj))
-    assert sorted(got) == sorted(want)  # equality AND multiplicity
+    # salted (G=3) and degenerate (G=1, the adaptive probe's no-hot-bucket
+    # path) must BOTH equal the brute-force set — equality AND multiplicity
+    for g in (3, 1):
+        got_rows = dedup.salted_label_crossing_candidates(lb, 4, salts=g).collect()
+        got = [(r["id_a"], r["id_b"], r["_la"], r["_lb"]) for r in got_rows]
+        assert sorted(got) == sorted(want), g
+
+
+def test_crossing_salt_factor_probe(spark):
+    """crossing_salt_factor: G=1 on flat bucket tables, G=salts when one
+    bucket's pair mass dominates (both the absolute floor and the 4x
+    fair-share criterion must trip)."""
+    flat = spark.createDataFrame(
+        [(i, f"b{i % 64}", i % 7) for i in range(1024)],
+        "id bigint, bkt string, _lbl bigint",
+    )
+    assert dedup.crossing_salt_factor(flat, 32) == 1
+    # one hot bucket of 3000 members (9M pairs > 4M floor) vs a flat tail:
+    # fair share is ~9M*4/32 ≈ 1.1M < 9M -> hot
+    hot = spark.createDataFrame(
+        [(i, "hot", i % 7) for i in range(3000)]
+        + [(10_000 + i, f"b{i % 64}", i % 7) for i in range(1024)],
+        "id bigint, bkt string, _lbl bigint",
+    )
+    assert dedup.crossing_salt_factor(hot, 32) == 8
+    # big-but-balanced: every bucket the same size -> max² == tot/nbkts,
+    # fair-share criterion keeps G=1 even above the absolute floor
+    bal = spark.createDataFrame(
+        [(b * 10_000 + i, f"b{b}", i % 7) for b in range(32) for i in range(2048)],
+        "id bigint, bkt string, _lbl bigint",
+    )
+    assert dedup.crossing_salt_factor(bal, 32) == 1
+    empty = spark.createDataFrame([], "id bigint, bkt string, _lbl bigint")
+    assert dedup.crossing_salt_factor(empty, 32) == 1
