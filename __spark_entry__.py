@@ -1739,6 +1739,19 @@ def _kmeans_cb_ctes(
         if k is None
         else str(int(k))
     )
+
+    # Spark-exact HALF_UP rounding: F.round runs BigDecimal.valueOf(double)
+    # — HALF_UP over the SHORTEST decimal repr — while DuckDB round()
+    # rounds the binary double, and the two diverge exactly on doubles
+    # whose shortest repr terminates in '5' at dp+1 (measured: 4 of 207
+    # constructed boundary values, e.g. 2.4999999999999998e-06 → Spark
+    # 2e-06, DuckDB round() 3e-06 — the advisor-r10 flake class).
+    # CAST(double AS VARCHAR) in DuckDB emits the same shortest repr and
+    # the VARCHAR→DECIMAL cast applies HALF_UP to it, so this idiom equals
+    # F.round on every probed value (50,210 incl. all boundary cases —
+    # tests/test_functions.py::test_kmeans_rounding_boundary_cross_engine).
+    def pround(expr: str) -> str:
+        return f"CAST(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,{dp})) AS DOUBLE)"
     parts = [
         "nn AS (SELECT count(*) AS n FROM embeddings)",
         f"km AS (SELECT {K} AS k, greatest(16384, 32 * {K}) AS cap FROM nn)",
@@ -1751,7 +1764,7 @@ def _kmeans_cb_ctes(
         "sd AS (SELECT v, min(rn) AS rs FROM samp GROUP BY v)",
         (
             "c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY rs) - 1 AS cell, "
-            f"list_transform(v, x -> round(x, {dp})) AS c FROM sd "
+            f"list_transform(v, x -> {pround('x')}) AS c FROM sd "
             "QUALIFY row_number() OVER (ORDER BY rs) <= (SELECT k FROM km))"
         ),
     ]
@@ -1762,7 +1775,7 @@ def _kmeans_cb_ctes(
             f"ORDER BY list_distance(s.v, c.c), c.cell) = 1)"
         )
         parts.append(
-            f"m{r} AS (SELECT cell, list(round(m, {dp}) ORDER BY pos) AS c FROM ("
+            f"m{r} AS (SELECT cell, list({pround('m')} ORDER BY pos) AS c FROM ("
             f"SELECT cell, pos, avg(x) AS m FROM ("
             f"SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a{r}"
             f") GROUP BY cell, pos) GROUP BY cell)"

@@ -569,12 +569,20 @@ def kmeans_codebook_portable(
       recall pytest gate holds for both trainers.
     - **rounding**: centroids are rounded half-away to ``round_dp`` after
       init and after EVERY Lloyd update (``_round_half_away`` — Spark
-      F.round / DuckDB round semantics), so per-engine FP noise in the
-      means (pairwise vs sequential summation, ~1e-16) is quantized away
-      each round and both engines iterate on IDENTICAL centroids. The
-      remaining cross-engine surface is argmin near-ties between DISTINCT
-      centroids at <1e-15 distance gap — probability ~0 on real-valued
-      data; exact ties (duplicate centroids) break by cell id in both.
+      F.round's BigDecimal HALF_UP over the SHORTEST decimal repr), so
+      per-engine FP noise in the means (pairwise vs sequential summation,
+      ~1e-16) is quantized away each round and both engines iterate on
+      IDENTICAL centroids. NOTE (advisor r10): DuckDB's plain ``round()``
+      rounds the BINARY double and diverges from this exactly on doubles
+      whose shortest repr ends in '5' at dp+1 (e.g.
+      2.4999999999999998e-06) — the SQL twins therefore round via
+      ``CAST(CAST(x AS VARCHAR) AS DECIMAL(38,dp))``, which reproduces
+      F.round on every probed value incl. that class
+      (tests/test_functions.py::test_kmeans_rounding_boundary_cross_engine).
+      The remaining cross-engine surface is argmin near-ties between
+      DISTINCT centroids at <1e-15 distance gap — probability ~0 on
+      real-valued data; exact ties (duplicate centroids) break by cell id
+      in both.
     - **assignment** ties break by LOWEST cell id (numpy argmin first
       index == SQL ORDER BY dist, cell), **empty cells keep their
       previous centroid** (SQL: LEFT JOIN COALESCE).
