@@ -3641,38 +3641,43 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-10 driver-window rotation (README "Driver-window rotation": from
-# r10 on, the 50-key window re-cycles by OLDEST driver grade first).
-# Composition, computed from the union of CORRECTNESS_r01–r09:
-#   - the 4 r10-new keys (the K≈sqrt(N) kmeans-codebook ANN pair — judge
-#     r9 'Next round' #1 — plus the Arrow-tier sibling, and the
-#     progressive cross-corpus filter, #4);
-#   - embedding_pca (the one r9 `err` cell: its array<double> output broke
-#     the driver canonicalizer; regraded now that it emits pc0..pc7);
-#   - als_rmse (stalest grade in the registry, r3 — judge item #5);
-#   - the 6 r9-new keys (kept in per the same item: each new key gets a
-#     second consecutive independent grade before rotating out);
-#   - 39 of the 50 keys last graded r7 (the oldest cohort — no current
-#     registry key has an older surviving grade), in registry order; the
-#     remaining 12 r7 keys lead the r11 window, then the r8 cohort.
+# Round-11 driver-window rotation (README "Driver-window rotation": the
+# 50-key window re-cycles by OLDEST driver grade first). Composition,
+# computed from the union of CORRECTNESS_r01–r10 (judge r10 'Next round'
+# #7: ≥40 keys whose last driver grade is r8):
+#   - doc_quality_nb (r11-new — never graded);
+#   - 9 of the 12 keys last graded r7, the oldest surviving grades (r10's
+#     window note said "39 of the 50" r7 keys graded then — the correct
+#     count was 38 graded / 12 remaining, advisor r10); the 3 held out
+#     (token_histogram, token_bigrams, embedding_centroids — all
+#     pytest+FULLGATE-covered) lead the r12 window;
+#   - 40 of the 50 keys last graded r8, in that cohort's registry order,
+#     prioritizing drop_neardups_keep_best (its crossing-repair plan
+#     changed this round: adaptive salt + second-stage estimate tier);
+#     the 10 held out (bpe_pair_top20, hits4, harmonic_centrality8,
+#     degree_assortativity, scc, events_transitions, events_scd2,
+#     doc_logprob, doc_ppl_buckets, doc_chunk_dedup — none touched this
+#     round) follow the r7 leftovers in r12, then the r9 cohort.
 _GRADED_WINDOW = [
-    "knn_graph_kmeans", "semantic_dedup_kmeans", "knn_graph_kmeans_arrow",
-    "doc_crosscorpus_filter_progressive", "embedding_pca", "als_rmse",
-    "containment_cluster_members", "bpe_train_merges", "bpe_encode_top30",
-    "doc_crosscorpus_filter", "doc_neardup_screen_indexed",
-    "events_changepoint",
-    # r7-graded cohort, registry order
-    "neighbors_point", "neighbors_multi", "out_neighbors_joined",
-    "edge_get", "edge_mutations", "vertex_delete", "vertex_delete_online",
-    "categorical_encode", "degrees", "graph_counts", "out_degrees_salted",
-    "degree_quantiles", "induced_subgraph", "fof_counts", "fof_excl",
-    "ego_net", "triangle_count", "frontier_algebra", "shortest_path_st",
-    "sssp_tree", "multi_bfs", "pagerank3", "cc5", "bfs_vertex_program",
-    "gather_apply_wsum", "vertex_get", "vertex_writes",
-    "vertex_select_scan", "autofill_defaults", "incremental_degrees",
-    "random_vertex", "random_walks", "motif_census", "doc_dedup_exact",
-    "doc_text_profile", "doc_quality_filter", "doc_ngram_neardup",
-    "doc_wordgram_neardup",
+    "doc_quality_nb",
+    # r7-graded cohort (oldest grades), registry order
+    "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
+    "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
+    "ann_topk_lsh_indexed", "ann_topk_pq",
+    # r8-graded cohort, registry order
+    "multimodal_features", "events_window_hourly", "events_sessionize",
+    "events_props", "ann_topk_lsh", "pagerank_converged",
+    "cc_converged_stats", "events_asof", "events_rollup", "kcore_peel3",
+    "doc_split_hash", "doc_contamination", "doc_stratified_sample",
+    "doc_cap_per_source", "doc_pack_sequences", "doc_strip_boilerplate",
+    "doc_weighted_sample", "doc_repetition_stats", "doc_tfidf_search",
+    "doc_bm25_search", "doc_bm25_search_indexed", "doc_tfidf_search_indexed",
+    "doc_rebalance_mix", "knn_graph_ivf", "events_funnel",
+    "events_retention", "ppr3", "adamic_adar_top20", "semantic_dedup",
+    "doc_pii_scrub", "doc_dsir_weights", "events_window_sliding",
+    "events_hll_distinct", "jaccard_top20", "copurchase_top20",
+    "graph_asof_counts", "events_value_outliers", "weighted_sssp4",
+    "doc_curate_corpus", "drop_neardups_keep_best",
 ]
 
 
