@@ -106,6 +106,38 @@ def _broadcast_if_small(
     return F.broadcast(arrays_df) if est < cap_bytes else arrays_df
 
 
+# Broadcast cap for the EXACT-VERIFY side (the shingle-array table joined
+# under a candidate pair list). Deliberately 4× the generic 64 MB cap: a
+# verify join amplifies array bytes by candidates/docs (the dup-dense sf1
+# replica: 30.7M candidates over 50k docs — 600× — so losing the broadcast
+# re-ships every ~2.4 KB array per candidate row through TWO sort-merge
+# exchanges, ~150 GB of shuffle and 345 s of the r10 keep_best profile,
+# while the table itself is ~120 MB ONCE per executor). Spark's hint-based
+# broadcast allows 8 GB; a quarter-GB on a multi-GB executor is cheap
+# against any candidate amplification ≥ ~2×. Past the cap (true 100 TB
+# corpora) the sort-merge fallback remains correct — that is the regime
+# where the second-stage estimate tier (_EST2_HASHES below) earns its
+# keep by pruning candidates BEFORE the fat-array exchange.
+_VERIFY_BCAST_CAP = 256 << 20
+
+
+def _verify_side(
+    arrays_df: DataFrame, n_col: str = "n", cap_bytes: int = _VERIFY_BCAST_CAP
+) -> tuple[DataFrame, bool]:
+    """(maybe-broadcast frame, did-it-broadcast) for an exact-verify
+    shingle-array side — same estimated-size logic as
+    :func:`_broadcast_if_small`, higher cap (see ``_VERIFY_BCAST_CAP``),
+    and the decision is RETURNED so callers can gate the second-stage
+    estimate tier on the regime (prune only pays when the arrays will be
+    shuffled per candidate)."""
+    row = arrays_df.agg(
+        F.count(F.lit(1)).alias("r"), F.sum(n_col).alias("s")
+    ).collect()[0]
+    est = (row["s"] or 0) * 8 + row["r"] * 48
+    small = est < cap_bytes
+    return (F.broadcast(arrays_df) if small else arrays_df), small
+
+
 def _broadcast_if_small_ids(ids_df: DataFrame, cap_rows: int = 4_000_000) -> DataFrame:
     """Broadcast-hint a narrow (single-id-column) set iff its counted
     cardinality is small (~64 MB at the default cap). Same rationale as
@@ -170,12 +202,18 @@ _ESTIMATE_TIER_MIN_DOCS = 4096
 # above the banding's own (1−J²)^bands ≈ 1e-4 floor. 192 EXTRA hash rows
 # shrink σ to 0.0361, so a 4σ cut sits at τ−0.144 ≈ 0.356: ~3e-5 added
 # miss (same class as stage 1; prune total ~6e-5, still under the banding
-# floor) while candidates whose true J hovers at the stage-1 bar — the
-# 30.7M-for-127k mass of the dup-dense sf1 keep_best profile — mostly die
-# before the shingle-array intersection. Values are int32-truncated
-# (min over the low 32 bits of the same xxhash64 family, seeds offset past
-# stage 1's): equality collisions add 2^-32 per element — noise — and the
-# broadcast table halves to ~820 B/doc, keeping the 64 MB gate at ~80k docs.
+# floor). Values are int32-truncated (min over the top 32 bits of the same
+# xxhash64 family, seeds offset past stage 1's): equality collisions add
+# 2^-32 per element — noise — and the broadcast table halves to ~820 B/doc.
+#
+# REGIME GATE (measured r11, dup-dense sf1 replica): the tier engages only
+# when the shingle-array table does NOT broadcast (see _VERIFY_BCAST_CAP).
+# With the arrays broadcast-resident the exact intersection is map-side
+# CPU work of the same order as the 192-element agreement fold, and on
+# bar-hugging corpora (candidate J concentrated in [τ/2, τ)) the tier
+# prunes little — running it unconditionally cost +113 s (535 s vs 422 s)
+# for nothing. When the arrays must be SHUFFLED per candidate, every
+# pruned row saves ~5 KB of exchange — there the fold pays for itself.
 _EST2_HASHES = 192
 
 
@@ -344,7 +382,7 @@ def ngram_jaccard_pairs(
         # negligible shuffle at any scale and pins verify parallelism.
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
-    base_v = _broadcast_if_small(base)
+    base_v, _ = _verify_side(base)  # verify-side cap: see _VERIFY_BCAST_CAP
     va = base_v.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
     vb = base_v.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
     inter = cand.join(va, "id_a").join(vb, "id_b").withColumn(
@@ -442,7 +480,7 @@ def ngram_containment_pairs(
         .distinct()
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     )
-    base_v = _broadcast_if_small(base)
+    base_v, _ = _verify_side(base)  # verify-side cap: see _VERIFY_BCAST_CAP
     va = base_v.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
     vb = base_v.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
     out = (
@@ -677,6 +715,7 @@ def minhash_lsh_exact_pairs(
     # exact verify of every candidate costs less than the tier itself,
     # and the skip arm is the exact candidate set.
     n_docs = sh_base.count()
+    sh_base_v, _sh_bcast = _verify_side(sh_base)
     if n_docs > _ESTIMATE_TIER_MIN_DOCS:
         sigs_m = cut_lineage(sigs)
         # fixed-width rows (num_hashes longs + header): the doc count alone
@@ -704,18 +743,20 @@ def minhash_lsh_exact_pairs(
             .select("id_a", "id_b")
         )
         # second-stage estimate (see _EST2_HASHES): a 4σ cut over 192 extra
-        # int32 hash rows kills the stage-1-bar-hugging candidate mass
-        # before the shingle-array intersection — engaged with stage 1
-        # whenever the tighter bar exists (τ−4σ > τ/2) and the sig2 table
-        # broadcasts; stage-2 seeds continue the same xxhash64 family past
-        # stage 1's (here over the pre-hashed shingle longs, matching how
-        # this path's stage-1 signatures are derived)
-        if _est2_cut(float(threshold)) > float(threshold) / 2.0 + 1e-9 and n_docs * (
-            _EST2_HASHES * 4 + 48
-        ) < (64 << 20):
+        # int32 hash rows, engaged ONLY in the arrays-don't-broadcast
+        # regime where each pruned candidate saves a fat-array exchange
+        # row (regime gate — measured net-negative otherwise), when the
+        # tighter bar exists (τ−4σ > τ/2) and the sig2 table broadcasts;
+        # stage-2 seeds continue the same xxhash64 family past stage 1's
+        # (here over the pre-hashed shingle longs, matching how this
+        # path's stage-1 signatures are derived)
+        if (
+            not _sh_bcast
+            and _est2_cut(float(threshold)) > float(threshold) / 2.0 + 1e-9
+            and n_docs * (_EST2_HASHES * 4 + 48) < (64 << 20)
+        ):
             sig2 = _minhash_sig2_table(expl, seed_offset=num_hashes)
             cands = _sig2_prune(cands, F.broadcast(sig2), float(threshold))
-    sh_base_v = _broadcast_if_small(sh_base)
     va = sh_base_v.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
     vb = sh_base_v.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
     inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(
@@ -1211,7 +1252,8 @@ def minhash_cluster_members(
                 ).alias("_arr"),
             ).withColumn("n", F.size("_arr"))
         )
-        sh_v = _broadcast_if_small(sh).drop("n")
+        sh_v, _sh_bcast = _verify_side(sh)
+        sh_v = sh_v.drop("n")
         # the same estimate-tier prune as minhash_lsh_exact_pairs (same
         # engage floor, same τ/2 bar, same ~3e-5 added miss analysis): on
         # shared-vocabulary corpora the crossing candidate mass is much
@@ -1253,15 +1295,17 @@ def minhash_cluster_members(
                 )
 
         # second-stage estimate (see _EST2_HASHES): same engage floor as
-        # stage 1 and the same 4σ bar as the pairs path (equivalence holds
-        # per path: both the star-edge verify and the crossing repair run
-        # the identical prune chain, so the members fixpoint still equals
+        # stage 1, the same 4σ bar as the pairs path, and the same
+        # arrays-don't-broadcast REGIME GATE (equivalence holds per path:
+        # both the star-edge verify and the crossing repair run the
+        # identical prune chain, so the members fixpoint still equals
         # pairs→CC over this path's candidate decisions). Built over the
         # RAW string shingles — this path's stage-1 family hashes strings
         # directly (minhash_signatures), and stage 2 continues it.
         sig2_b = None
         if (
             sig_prune is not None
+            and not _sh_bcast
             and _est2_cut(float(threshold)) > float(threshold) / 2.0 + 1e-9
             and n_docs * (_EST2_HASHES * 4 + 48) < (64 << 20)
         ):
@@ -1486,7 +1530,10 @@ def containment_cluster_members(
     # (the seam is split out for direct plan audit, like
     # band_bucket_star_edges — the pins live behind cut_lineage here)
     stars = shingle_bucket_star_edges(occ, bucket_key, parallelism)
-    sh_v = _broadcast_if_small(base.select("id", "sh_arr", "n"))
+    # verify-side cap (see _VERIFY_BCAST_CAP): the containment repair joins
+    # these arrays under the crossing candidate list — same amplification
+    # class as the members repair
+    sh_v, _ = _verify_side(base.select("id", "sh_arr", "n"))
 
     def _verify(cand: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         return (
@@ -1988,10 +2035,15 @@ def cross_corpus_dup_members(
     sb = sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb"))
     if small_sigs:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
-    va = base_a.select(
+    # verify-side cap (see _VERIFY_BCAST_CAP): every escalation round joins
+    # these checkpointed ("huge"-stats) array tables under its candidate
+    # window — without the counted hint each round sort-merges fat arrays
+    base_a_v, _ = _verify_side(base_a)
+    base_b_v, _ = _verify_side(base_b)
+    va = base_a_v.select(
         F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na")
     )
-    vb = base_b.select(
+    vb = base_b_v.select(
         F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb")
     )
 
@@ -2280,10 +2332,16 @@ def cross_corpus_neardup_pairs(
             .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
             .select("id_a", "id_b")
         )
-    va = base_a.select(
+    # verify-side cap (see _VERIFY_BCAST_CAP): checkpointed array tables
+    # report "huge" stats, so without the counted hint the planner
+    # sort-merges — shipping every shingle array once PER CANDIDATE ROW
+    # through two exchanges instead of broadcasting the table once
+    base_a_v, _ = _verify_side(base_a)
+    base_b_v, _ = _verify_side(base_b)
+    va = base_a_v.select(
         F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na")
     )
-    vb = base_b.select(
+    vb = base_b_v.select(
         F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb")
     )
     inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(

@@ -354,6 +354,26 @@ CHECKS = {
         ),
         ["BroadcastHashJoin", "partial_"],
     ),
+    # NB quality scorer (r11): the <=buckets-row llr model must broadcast
+    # into the scoring join and the per-doc sum must partial-aggregate
+    # map-side — same shape contract as the dsir scorer it extends
+    "nb_quality_broadcast_model_partial_agg": (
+        lambda g, docs, emb: pipeline.nb_quality_scores(docs, buckets=64),
+        ["BroadcastHashJoin", "partial_"],
+    ),
+    # adaptive-salt degenerate arm (r11): G=1 must still be a plain
+    # bucket EQUI join with the numbered pin surviving — no nested-loop
+    # fallback, no lost REPARTITION_BY_NUM
+    "members_crossing_degenerate_g1_pinned": (
+        lambda g, docs, emb: dedup.salted_label_crossing_candidates(
+            docs.selectExpr(
+                "doc_id as id", "source as bkt", "doc_id % 7 as _lbl"
+            ),
+            32,
+            salts=1,
+        ),
+        ["Join", "!BroadcastNestedLoop", "!CartesianProduct", "REPARTITION_BY_NUM"],
+    ),
     # HLL sketch: register build is a map-side-combined (group,bucket) agg —
     # the shuffle carries partial maxima, and no join appears anywhere
     "hll_register_partial_agg": (

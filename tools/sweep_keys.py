@@ -10,7 +10,8 @@ in r7, the knn_classify quadratic seed set in r8, and the fixed-K IVF
 cliffs + keep_best OOM in r9). Timings are one rep and only trustworthy
 on a quiet machine; re-time suspicious keys before concluding anything.
 
-Usage: python tools/sweep_keys.py <sf_dir> <out.json>
+Usage: python tools/sweep_keys.py <sf_dir> <out.json> [key ...]
+(named keys restrict the sweep — the per-round changed-plan refresh)
 """
 
 from __future__ import annotations
@@ -32,6 +33,12 @@ def main() -> None:
 
     spark = get_spark(cpus=32, shuffle_partitions=32)
     qs = entry.queries()
+    only = set(sys.argv[3:])
+    if only:
+        missing = only - set(qs)
+        if missing:
+            raise SystemExit(f"unknown keys: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     res: dict[str, dict] = {}
     print(f"TOTAL {len(qs)} keys @ {sf}", flush=True)
     for name, fn in qs.items():
