@@ -1594,6 +1594,60 @@ def _q_doc_bm25_indexed(spark, sf):
     )
 
 
+def _q_doc_hybrid_rrf(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword pool
+    and the cosine embedding pool (vec_id == doc_id), the standard
+    two-tower production retrieval shape. Both pools end in
+    TakeOrderedAndProject, so fusion runs on ≤2·pool rows regardless of
+    corpus size."""
+    return search.hybrid_search_rrf(
+        _docs(spark, sf), _emb(spark, sf), _SEARCH_TERMS, _query_vec(spark, sf),
+        k=15, pool=50,
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    """DuckDB twin of hybrid_search_rrf: the bm25 pool CTE is the
+    doc_bm25_search oracle at LIMIT 50, the cosine pool is the ann_topk
+    oracle at LIMIT 50 (vec_id aliased to doc_id), ranks assigned over the
+    same rounded scores, and the fused rrf rounded via the shortest-repr
+    DECIMAL idiom (see the kmeans oracles) so HALF_UP matches F.round."""
+    return (
+        "WITH tok AS (\n"
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),\n"
+        "lens AS (\n"
+        "  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n"
+        "         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl FROM documents),\n"
+        "a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),\n"
+        "pairs AS (\n"
+        "  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok\n"
+        "  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok),\n"
+        "idf AS (\n"
+        "  SELECT tok, ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)) AS idf\n"
+        "  FROM (SELECT tok, count(*) AS df FROM pairs GROUP BY tok) d),\n"
+        "lex AS (\n"
+        "  SELECT doc_id,\n"
+        "         round(sum(idf * CAST(tf AS DOUBLE) * (1.2 + 1) /\n"
+        "               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / (SELECT avgdl FROM a)))), 6) AS score\n"
+        "  FROM pairs JOIN idf USING (tok) JOIN lens USING (doc_id)\n"
+        "  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),\n"
+        "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM lex),\n"
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),\n"
+        "sem AS (\n"
+        "  SELECT e.vec_id AS doc_id,\n"
+        "         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim\n"
+        "  FROM embeddings e, q ORDER BY cos_sim DESC, doc_id LIMIT 50),\n"
+        "semr AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank FROM sem),\n"
+        "f AS (SELECT doc_id, lex_rank, sem_rank FROM lexr FULL JOIN semr USING (doc_id))\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(lex_rank AS BIGINT) AS lex_rank,\n"
+        "       CAST(sem_rank AS BIGINT) AS sem_rank,\n"
+        "       CAST(CAST(CAST(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + sem_rank), 0)\n"
+        "            AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS rrf\n"
+        "FROM f ORDER BY rrf DESC, doc_id LIMIT 15"
+    )
+
+
 def _q_kcore3(spark, sf):
     """3 peel rounds toward the 3-core (fixed-round form so DuckDB can
     mirror the peels as unrolled CTEs; convergence form pytest-verified).
@@ -1876,6 +1930,36 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, cos_sim
 FROM pairs
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= """
         + str(k)
+    ).strip()
+
+
+def _q_embed_cluster_sample(spark, sf):
+    """Cluster-balanced curation sample over the K≈sqrt(N) portable
+    codebook: cap each semantic cell at 8 members (seeded-md5 draw) so
+    dense embedding regions can't dominate the curated set. Map-only
+    assignment + one cell-key window — the diversity sampler's whole cost
+    is a single sqrt(N)-rows-per-key shuffle."""
+    emb = _emb(spark, sf)
+    cb = similarity.kmeans_codebook_portable(emb, iterations=_KMEANS_CB_ITERS)
+    return similarity.cluster_balanced_sample(emb, n_per_cell=8, codebook=cb)
+
+
+def _embed_cluster_sample_sql(n_per_cell: int = 8) -> str:
+    return (
+        "WITH\n" + _kmeans_cb_ctes() + """,
+cells AS MATERIALIZED (
+  SELECT e.vec_id,
+         (SELECT cb.cell FROM cb
+          ORDER BY list_distance(cb.c, e.embedding::DOUBLE[]), cb.cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+)
+SELECT * FROM (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INTEGER) AS cell,
+         CAST(row_number() OVER (PARTITION BY cell
+              ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS pos
+  FROM cells
+) WHERE pos <= """ + str(int(n_per_cell))
     ).strip()
 
 
@@ -3638,6 +3722,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model-based quality tier: hashed-unigram Naive Bayes on weak
         # labels from the heuristic gate (r11)
         "doc_quality_nb": _q_doc_quality_nb,
+        # hybrid keyword+vector retrieval via reciprocal-rank fusion (r11)
+        "doc_hybrid_rrf": _q_doc_hybrid_rrf,
+        # cluster-balanced curation sample over the portable kmeans
+        # codebook (cap dense semantic regions, r11)
+        "embed_cluster_sample": _q_embed_cluster_sample,
     }
 
 
@@ -3645,7 +3734,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 50-key window re-cycles by OLDEST driver grade first). Composition,
 # computed from the union of CORRECTNESS_r01–r10 (judge r10 'Next round'
 # #7: ≥40 keys whose last driver grade is r8):
-#   - doc_quality_nb (r11-new — never graded);
+#   - doc_quality_nb, doc_hybrid_rrf, embed_cluster_sample (r11-new —
+#     never graded; the latter two displace weighted_sssp4 and
+#     events_value_outliers, both untouched this round and
+#     pytest+FULLGATE-covered, to the r12 window);
 #   - 9 of the 12 keys last graded r7, the oldest surviving grades (r10's
 #     window note said "39 of the 50" r7 keys graded then — the correct
 #     count was 38 graded / 12 remaining, advisor r10); the 3 held out
@@ -3659,7 +3751,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     doc_logprob, doc_ppl_buckets, doc_chunk_dedup — none touched this
 #     round) follow the r7 leftovers in r12, then the r9 cohort.
 _GRADED_WINDOW = [
-    "doc_quality_nb",
+    "doc_quality_nb", "doc_hybrid_rrf", "embed_cluster_sample",
     # r7-graded cohort (oldest grades), registry order
     "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
     "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
@@ -3676,7 +3768,7 @@ _GRADED_WINDOW = [
     "events_retention", "ppr3", "adamic_adar_top20", "semantic_dedup",
     "doc_pii_scrub", "doc_dsir_weights", "events_window_sliding",
     "events_hll_distinct", "jaccard_top20", "copurchase_top20",
-    "graph_asof_counts", "events_value_outliers", "weighted_sssp4",
+    "graph_asof_counts",
     "doc_curate_corpus", "drop_neardups_keep_best",
 ]
 
@@ -4991,6 +5083,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "dedup_rate_by_source": _dedup_rate_sql(),
         "mmr_topk": _mmr_sql(),
         "doc_quality_nb": _nb_quality_sql(),
+        "doc_hybrid_rrf": _hybrid_rrf_sql(),
+        "embed_cluster_sample": _embed_cluster_sample_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

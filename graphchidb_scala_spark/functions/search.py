@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graphchidb_scala_spark.functions.text import token_count
 
@@ -269,5 +269,70 @@ def bm25_search(
             ).alias("score")
         )
         .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    of a BM25 keyword pool and a cosine embedding pool over the same ids
+    (``vec_id == doc_id``).  rrf(d) = Σ_lists 1/(k_rrf + rank_list(d)),
+    summing only over the lists whose top-``pool`` contains d.  Returns
+    DF(id, lex_rank, sem_rank, rrf) ordered by (rrf DESC, id ASC), top-k,
+    rrf rounded to 6 for cross-engine hashing.
+
+    Scale shape: each retriever ends in a TakeOrderedAndProject, so
+    everything after the two corpus passes operates on ≤2·pool rows — the
+    rank windows and the full-outer fusion join run on a driver-sized
+    frame no matter the corpus size.  Ranks are assigned over the ROUNDED
+    retriever scores (the same 6/4-dp keys the bm25/ann oracles hash on),
+    with the id as tie-break, so rank assignment is engine-portable even
+    when two pool members tie after rounding."""
+    lex = bm25_search(docs, terms, k=pool, id_col=id_col, text_col=text_col)
+    # pool-sized frames: a partition-less window over ≤pool rows is fine
+    lex_r = lex.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    # local import: similarity imports nothing from search, no cycle risk
+    from graphchidb_scala_spark.functions.similarity import cosine_topk
+
+    sem = cosine_topk(emb, query_vec, k=pool, id_col=vec_id_col, vec_col=vec_col)
+    sem_r = sem.select(
+        F.col(vec_id_col).cast("bigint").alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc(vec_id_col)))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    fused = lex_r.join(sem_r, id_col, "full_outer")
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            id_col,
+            "lex_rank",
+            "sem_rank",
+            # fixed two-term sum: addition order is literal in the plan,
+            # so the double result is bit-identical across engines
+            F.round(contrib("lex_rank") + contrib("sem_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(int(k))
     )

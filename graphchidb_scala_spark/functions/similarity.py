@@ -1577,3 +1577,45 @@ def recall_at_k(
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
         ).alias("recall"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_per_cell: int,
+    codebook: list[tuple[int, list[float]]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving curation sample ("cluster-then-cap"): assign
+    every vector to its nearest codebook cell and keep the first
+    ``n_per_cell`` members of each cell in seeded-md5 order — the standard
+    semantic-coverage sampler for training-data curation (cap redundant
+    regions of embedding space instead of sampling uniformly, where dense
+    clusters would dominate the draw). Returns DF(id, cell, pos) with
+    ``pos`` the 1-based within-cell sample rank.
+
+    Scale shape: assignment is a map-only pass (codegen literals under
+    ``_LITERAL_CODEBOOK_MAX`` cells, one Arrow matmul per batch above);
+    the ONLY shuffle is the cell-key exchange for the within-cell window,
+    and with K ≈ sqrt(N) cells the window input per key is ~sqrt(N) rows.
+    The md5 sample key is engine-portable (same idiom as
+    pipeline.stratified_sample), so the draw is deterministic and
+    reproducible across runs and engines."""
+    if codebook is None:
+        codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
+    base = df.select(F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col))
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        cells = assign_cells_arrow(base, codebook, vec_col=vec_col, out_col="_cell")
+    else:
+        cells = base.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
+    skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("_cell").orderBy(skey, F.asc(id_col))
+    return (
+        cells.select(
+            id_col,
+            F.col("_cell").cast("int").alias("cell"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= int(n_per_cell))
+    )

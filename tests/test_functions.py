@@ -2766,3 +2766,39 @@ def test_ngram_containment_pairs_directed(spark):
     # sanity: jaccard at 0.5 would NOT find this pair
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+
+def test_cluster_balanced_sample_caps_and_order(spark):
+    """cluster_balanced_sample vs a python model: nearest-centroid
+    assignment (lowest cell on tie), per-cell cap, seeded-md5 draw order —
+    and the cap actually rebalances a skewed corpus."""
+    import hashlib
+
+    # 20 vectors near (0,0), 3 near (10,10): a skewed two-cluster corpus
+    rows = [(i, [0.0 + (i % 5) * 0.01, 0.0 + (i // 5) * 0.01]) for i in range(20)]
+    rows += [(100 + i, [10.0 + i * 0.01, 10.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    got = similarity.cluster_balanced_sample(
+        emb, n_per_cell=4, codebook=cb, seed=42
+    ).collect()
+
+    def cell_of(v):
+        d = [(sum((x - c) ** 2 for x, c in zip(v, cent)), cell) for cell, cent in cb]
+        return min(d)[1]
+
+    def skey(i):
+        return (hashlib.md5(f"42:{i}".encode()).hexdigest(), i)
+
+    expect = []
+    for cell in (0, 1):
+        members = sorted(
+            (i for i, v in rows if cell_of(v) == cell), key=skey
+        )
+        expect += [(i, cell, p + 1) for p, i in enumerate(members[:4])]
+    assert sorted((r["vec_id"], r["cell"], r["pos"]) for r in got) == sorted(expect)
+    # the dense cluster is capped at 4; the sparse one keeps all 3
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    assert len(by_cell[0]) == 4 and len(by_cell[1]) == 3

@@ -76,3 +76,60 @@ def test_postings_index_matches_live_search(spark, corpus, tmp_path):
     assert idx_b == live_b
     with pytest.raises(ValueError, match="non-empty"):
         search.tfidf_search_indexed(spark, path, [], k=5)
+
+
+def test_hybrid_rrf_fusion_semantics(spark, corpus):
+    """RRF vs a python model: ranks from the two retrievers, fused as
+    1/(k_rrf+rank) summed over the lists containing the doc; docs in only
+    one pool still surface (full-outer semantics)."""
+    # embeddings: doc 5 is closest to the query, docs 0/3 match keywords
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7, 0.7, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.5, 0.0, 0.5]),
+        (5, [0.99, 0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    terms = ["spark", "merge", "window"]
+    qv = [1.0, 0.05, 0.0]
+    got = search.hybrid_search_rrf(
+        corpus, emb, terms, qv, k=6, pool=3, k_rrf=60
+    ).collect()
+
+    # python model
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    bm = _py_scores(rows, terms, "bm25")
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(bm.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        )
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 4)
+
+    sims = sorted(((d, cos(v, qv)) for d, v in vecs), key=lambda kv: (-kv[1], kv[0]))
+    sem_rank = {d: i + 1 for i, (d, _) in enumerate(sims[:3])}
+    expect = {
+        d: round(
+            (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0)
+            + (1.0 / (60 + sem_rank[d]) if d in sem_rank else 0.0),
+            6,
+        )
+        for d in set(lex_rank) | set(sem_rank)
+    }
+    got_map = {r["doc_id"]: r["rrf"] for r in got}
+    assert got_map == expect
+    # ranks surfaced correctly, nulls for absent-pool docs
+    for r in got:
+        assert (r["lex_rank"] is None) == (r["doc_id"] not in lex_rank)
+        assert (r["sem_rank"] is None) == (r["doc_id"] not in sem_rank)
+    # ordering: rrf desc, id asc
+    keys = [(-r["rrf"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
