@@ -138,3 +138,49 @@ def test_blocked_cosine_join_parallelism_pinned(spark):
     )
     plan = plans.explain_str(similarity.cosine_pairs_blocked(df, "label", 0.5))
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_hybrid_rrf_pools_are_topk_not_sorts(spark):
+    """hybrid_search_rrf's two retriever pools must each end in a global
+    top-k (TakeOrderedAndProject), never a full Sort — at 100 TB the pools
+    are the only corpus-sized stages and the fusion join must see ≤2·pool
+    rows. The tiny fused frames then join broadcast-style (no sort-merge
+    over corpus-sized exchanges)."""
+    from graphchidb_scala_spark.functions import search
+
+    docs = spark.createDataFrame(
+        [(i, f"spark merge window alpha {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    df = search.hybrid_search_rrf(docs, emb, ["spark", "merge"], [1.0, 0.0, 0.0], k=5, pool=10)
+    plan = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_cluster_balanced_sample_single_shuffle(spark):
+    """cluster_balanced_sample must be one map-only assignment projection
+    plus exactly ONE exchange (the cell-key window) — cell assignment may
+    not join or shuffle, and no second exchange may follow the window."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cb = [(0, [0.0, 0.0]), (1, [2.0, 4.0])]
+    df = similarity.cluster_balanced_sample(emb, n_per_cell=4, codebook=cb)
+    plan = plans.explain_str(df)
+    # formatted mode prints each node twice (tree + detail); "Exchange ("
+    # matches only the tree line
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan
+    # rank-limit pushdown: the per-cell cap must run map-side BEFORE the
+    # exchange too (Partial WindowGroupLimit), so at most n rows per cell
+    # per input partition ever cross the wire
+    assert "WindowGroupLimit" in plan and "Partial" in plan
