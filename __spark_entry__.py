@@ -318,6 +318,61 @@ def _q_doc_ppl_buckets(spark, sf):
     return text.perplexity_buckets(_docs(spark, sf), n_buckets=3)
 
 
+def _q_doc_lm_xent(spark, sf):
+    """Reference-trained bigram-LM cross-entropy (text.bigram_lm_scores):
+    add-0.1-smoothed bigram model trained on the lang='en' slice, every
+    document scored by mean -ln p(w_i | w_{i-1}) with <unk> OOV mapping —
+    the KenLM/CCNet quality tier above the self-trained unigram proxy
+    (doc_logprob). Trainer = two map-side-combined counts over reference
+    events; scoring = three token-key equi-joins + one doc aggregation."""
+    return text.bigram_lm_scores(_docs(spark, sf), ref_lang="en", alpha=0.1)
+
+
+def _lm_xent_sql(alpha: float = 0.1, ref_lang: str = "en") -> str:
+    # mirrors text.bigram_lm_scores exactly: <s>-prefixed zipped events,
+    # vocabulary = reference tokens, <unk> OOV map on the scored side only,
+    # add-alpha smoothing over V+1, +5e-10 pre-round shift at 6dp
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+),
+ev AS (
+  SELECT doc_id, lang,
+    unnest(list_prepend('<s>', tk[1:len(tk)-1])) AS ctx,
+    unnest(tk) AS w
+  FROM tok WHERE len(tk) >= 1
+),
+vocab AS (SELECT DISTINCT w AS v FROM ev WHERE lang = '{ref_lang}'),
+vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS vsz FROM vocab),
+c2 AS (SELECT ctx, w, count(*) AS n FROM ev WHERE lang = '{ref_lang}' GROUP BY ctx, w),
+c1 AS (SELECT ctx, count(*) AS n FROM ev WHERE lang = '{ref_lang}' GROUP BY ctx),
+em AS (
+  SELECT e.doc_id,
+    CASE WHEN e.ctx = '<s>' THEN '<s>'
+         WHEN vc.v IS NULL THEN '<unk>' ELSE e.ctx END AS ctx,
+    CASE WHEN vw.v IS NULL THEN '<unk>' ELSE e.w END AS w
+  FROM ev e
+  LEFT JOIN vocab vc ON vc.v = e.ctx
+  LEFT JOIN vocab vw ON vw.v = e.w
+),
+s AS (
+  SELECT em.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(ln((COALESCE(c2.n, 0) + {alpha}) / (COALESCE(c1.n, 0) + {alpha} * (SELECT vsz FROM vs)))) AS lp
+  FROM em
+  LEFT JOIN c2 ON c2.ctx = em.ctx AND c2.w = em.w
+  LEFT JOIN c1 ON c1.ctx = em.ctx
+  GROUP BY em.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(-s.lp / s.n_tokens + 5e-10, 6) AS lm_xent
+FROM tok t LEFT JOIN s ON s.doc_id = t.doc_id
+""".strip()
+
+
 def _q_doc_chunk_dedup(spark, sf):
     """Chunk-level exact dedup (C4 duplicate-line rule over 10-token
     chunks): keep the globally first occurrence of each chunk, reassemble
@@ -1960,6 +2015,49 @@ SELECT * FROM (
               ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS pos
   FROM cells
 ) WHERE pos <= """ + str(int(n_per_cell))
+    ).strip()
+
+
+def _q_cluster_topic_terms(spark, sf):
+    """Topic labels for the portable-kmeans semantic clusters
+    (similarity.cluster_top_terms): top-5 distinctive terms per cell by
+    tf·icf (cell term count × ln(cells / cells-containing-term)) over the
+    documents joined to their embeddings. Map-only assignment + one id
+    equi-join + one (cell, term) map-side-combined count; the scoring and
+    top-k window run on vocabulary-bounded TYPE rows."""
+    emb = _emb(spark, sf)
+    docs = _docs(spark, sf)
+    cb = similarity.kmeans_codebook_portable(emb, iterations=_KMEANS_CB_ITERS)
+    return similarity.cluster_top_terms(emb, docs, k=5, codebook=cb)
+
+
+def _cluster_topic_terms_sql(k: int = 5) -> str:
+    return (
+        "WITH\n" + _kmeans_cb_ctes() + """,
+cells AS MATERIALIZED (
+  SELECT e.vec_id,
+         (SELECT cb.cell FROM cb
+          ORDER BY list_distance(cb.c, e.embedding::DOUBLE[]), cb.cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+tok AS (
+  SELECT c.cell, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS term
+  FROM cells c JOIN documents d ON d.doc_id = c.vec_id
+),
+tc AS (SELECT cell, term, CAST(count(*) AS BIGINT) AS cnt
+       FROM tok WHERE term <> '' GROUP BY cell, term),
+cf AS (SELECT term, count(*) AS ncells FROM tc GROUP BY term),
+kc AS (SELECT CAST(count(DISTINCT cell) AS DOUBLE) AS k FROM tc),
+scored AS (
+  SELECT tc.cell, tc.term, tc.cnt,
+         round(tc.cnt * ln((SELECT k FROM kc) / cf.ncells) + 5e-10, 6) AS score
+  FROM tc JOIN cf USING (term)
+)
+SELECT CAST(cell AS INTEGER) AS cell, term, cnt, score, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY cell
+          ORDER BY score DESC, term) AS rnk FROM scored)
+WHERE rnk <= """ + str(int(k))
     ).strip()
 
 
@@ -3727,6 +3825,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster-balanced curation sample over the portable kmeans
         # codebook (cap dense semantic regions, r11)
         "embed_cluster_sample": _q_embed_cluster_sample,
+        # reference-trained bigram-LM cross-entropy scoring (the
+        # KenLM/CCNet tier above the unigram doc_logprob proxy, r11)
+        "doc_lm_xent": _q_doc_lm_xent,
+        # per-semantic-cluster topic labels by tf*icf over the portable
+        # kmeans cells (r11)
+        "cluster_topic_terms": _q_cluster_topic_terms,
     }
 
 
@@ -3752,14 +3856,18 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     round) follow the r7 leftovers in r12, then the r9 cohort.
 _GRADED_WINDOW = [
     "doc_quality_nb", "doc_hybrid_rrf", "embed_cluster_sample",
+    # r11-new (session B): bigram-LM cross-entropy scoring + semantic
+    # cluster topic labels — displace events_props and events_asof (both
+    # untouched this round, pytest+FULLGATE-covered) to r12
+    "doc_lm_xent", "cluster_topic_terms",
     # r7-graded cohort (oldest grades), registry order
     "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
     "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
     "ann_topk_lsh_indexed", "ann_topk_pq",
     # r8-graded cohort, registry order
     "multimodal_features", "events_window_hourly", "events_sessionize",
-    "events_props", "ann_topk_lsh", "pagerank_converged",
-    "cc_converged_stats", "events_asof", "events_rollup", "kcore_peel3",
+    "ann_topk_lsh", "pagerank_converged",
+    "cc_converged_stats", "events_rollup", "kcore_peel3",
     "doc_split_hash", "doc_contamination", "doc_stratified_sample",
     "doc_cap_per_source", "doc_pack_sequences", "doc_strip_boilerplate",
     "doc_weighted_sample", "doc_repetition_stats", "doc_tfidf_search",
@@ -5085,6 +5193,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_quality_nb": _nb_quality_sql(),
         "doc_hybrid_rrf": _hybrid_rrf_sql(),
         "embed_cluster_sample": _embed_cluster_sample_sql(),
+        "doc_lm_xent": _lm_xent_sql(alpha=0.1, ref_lang="en"),
+        "cluster_topic_terms": _cluster_topic_terms_sql(k=5),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

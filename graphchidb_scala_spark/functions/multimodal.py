@@ -260,22 +260,79 @@ def png_pixel_decoder(payload: bytes, kind: str = "image") -> list[float]:
     ]
 
 
+def bmp_pixel_decoder(payload: bytes, kind: str = "image") -> list[float]:
+    """REAL in-container image decode for uncompressed (BI_RGB) 24/32-bit
+    BMP (pure stdlib): parses the BITMAPFILEHEADER/BITMAPINFOHEADER, walks
+    the BGR(A) pixel rows — bottom-up by default, top-down when height is
+    negative, 4-byte row padding — and returns the SAME stats surface as
+    :func:`ppm_pixel_decoder`: ``[width, height, mean_r, mean_g, mean_b,
+    luma_mean, luma_std, maxval]`` (alpha ignored)."""
+    import math
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_sz,) = struct.unpack("<I", payload[14:18])
+    if hdr_sz < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    bits, comp = struct.unpack("<HI", payload[28:34])
+    if comp != 0 or bits not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BMP supported (bits={bits}, comp={comp})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    bpp = bits // 8
+    stride = (w * bpp + 3) // 4 * 4
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    sums = [0, 0, 0]
+    luma_sum = 0.0
+    luma_sq = 0.0
+    for row in range(h):
+        src = row if top_down else h - 1 - row
+        base = data_off + src * stride
+        for x in range(w):
+            o = base + x * bpp
+            b, g, r = payload[o], payload[o + 1], payload[o + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            luma_sum += y
+            luma_sq += y * y
+    n = w * h
+    mr, mg, mb = (s / n / 255.0 for s in sums)
+    lm = luma_sum / n
+    lvar = max(luma_sq / n - lm * lm, 0.0)
+    return [
+        float(w), float(h), mr, mg, mb,
+        lm / 255.0, math.sqrt(lvar) / 255.0, 255.0,
+    ]
+
+
 def builtin_decoder(payload: bytes, kind: str) -> list[float]:
     """Magic-byte dispatch over the formats decodable with pure stdlib:
     RIFF/WAVE → :func:`wav_pcm_decoder`, P6 PPM → :func:`ppm_pixel_decoder`,
-    PNG → :func:`png_pixel_decoder`; anything else raises with the
-    inject-a-decoder contract (compressed codecs like JPEG/MP3/H.264 still
-    need PIL/librosa/ffmpeg)."""
+    PNG → :func:`png_pixel_decoder`, BMP → :func:`bmp_pixel_decoder`;
+    anything else raises with the inject-a-decoder contract (compressed
+    codecs like JPEG/MP3/H.264 still need PIL/librosa/ffmpeg)."""
     if payload[:4] == b"RIFF":
         return wav_pcm_decoder(payload, kind)
     if payload[:2] == b"P6":
         return ppm_pixel_decoder(payload, kind)
     if payload[:8] == _PNG_SIG:
         return png_pixel_decoder(payload, kind)
+    if payload[:2] == b"BM":
+        return bmp_pixel_decoder(payload, kind)
     raise NotImplementedError(
-        "builtin_decoder handles uncompressed WAV (16-bit PCM), P6 PPM, and "
-        "non-interlaced 8-bit RGB(A) PNG; other codecs require "
-        "PIL/librosa/ffmpeg — inject via decoder="
+        "builtin_decoder handles uncompressed WAV (16-bit PCM), P6 PPM, "
+        "non-interlaced 8-bit RGB(A) PNG, and uncompressed 24/32-bit BMP; "
+        "other codecs require PIL/librosa/ffmpeg — inject via decoder="
     )
 
 

@@ -1619,3 +1619,78 @@ def cluster_balanced_sample(
         )
         .filter(F.col("pos") <= int(n_per_cell))
     )
+
+
+def cluster_top_terms(
+    emb: DataFrame,
+    docs: DataFrame,
+    k: int = 5,
+    codebook: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Topic labels for semantic clusters: assign every embedding to its
+    nearest codebook cell, join each cell's documents, and surface the
+    ``k`` most DISTINCTIVE terms per cell by tf·icf — term count within
+    the cell × ln(cells / cells-containing-term), the inverse-CLUSTER
+    -frequency analogue of tf-idf (a term every cluster uses scores 0
+    however frequent). The standard "what is this cluster about?"
+    inspection step after any embedding clustering (curation audits,
+    mixture design). DF(cell, term, cnt, score, rank), rank 1..k per cell
+    by (rounded score DESC, term ASC) — a total order, so both engines
+    select identical rows.
+
+    Scale shape: assignment is the map-only codegen/Arrow pass shared with
+    :func:`cluster_balanced_sample`; the doc join is one id equi-join; term
+    counting is one map-side-combined (cell, term) aggregation; everything
+    downstream (cell-frequency, the top-k window) runs on (cell, term)
+    TYPE rows — vocabulary-bounded, not corpus-bounded. The rounded score
+    carries the +5e-10 pre-round shift (cross-engine boundary idiom)."""
+    if codebook is None:
+        codebook = default_codebook(emb, id_col=id_col, vec_col=vec_col)
+    base = emb.select(F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col))
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        cells = assign_cells_arrow(base, codebook, vec_col=vec_col, out_col="_cell")
+    else:
+        cells = base.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
+    tok = (
+        cells.select(F.col(id_col).alias(doc_id_col), "_cell")
+        .join(
+            docs.select(
+                F.col(doc_id_col).cast("bigint").alias(doc_id_col), F.col(text_col)
+            ),
+            doc_id_col,
+        )
+        .select(
+            "_cell",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tc = tok.groupBy("_cell", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cf = tc.groupBy("term").agg(F.count(F.lit(1)).alias("_ncells"))
+    kc = tc.agg(F.count_distinct(F.col("_cell")).cast("double").alias("_k"))
+    scored = (
+        tc.join(cf, "term")
+        .crossJoin(F.broadcast(kc))
+        .select(
+            "_cell",
+            "term",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.log(F.col("_k") / F.col("_ncells")) + F.lit(5e-10),
+                round_dp,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_cell").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("_cell").cast("int").alias("cell"), "term", "cnt", "score", "rank")
+    )

@@ -637,6 +637,123 @@ def perplexity_buckets(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    ref_lang: str = "en",
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reference-trained bigram language-model cross-entropy per document —
+    the KenLM/CCNet-style quality tier above :func:`unigram_logprob` (which
+    scores each corpus against its OWN unigram frequencies): train an
+    add-``alpha`` smoothed bigram LM on a trusted reference slice (default:
+    the ``ref_lang`` documents, the "Wikipedia" stand-in), then score EVERY
+    document by mean negative ln p(w_i | w_{i-1}) — low cross-entropy =
+    reads like the reference, high = noise/boilerplate/other-language.
+    DF(id, n_tokens, lm_xent); docs with no tokens carry NULL lm_xent.
+
+    Model: vocabulary = every reference token; out-of-vocabulary tokens map
+    to a single ``<unk>`` symbol at scoring time (reference tokens are
+    in-vocabulary by construction, so only the scored side needs the map);
+    each document is prefixed with a ``<s>`` context so every token yields
+    exactly one event; p(w|c) = (c2(c,w)+α) / (c1(c)+α·(V+1)) with V+1
+    covering ``<unk>``. Everything is count arithmetic + ln, so the DuckDB
+    oracle replays the model EXACTLY — no sampling, no hashing. (For
+    corpora whose vocabulary itself explodes, the hashed-feature siblings
+    — :func:`~..pipeline.nb_quality_scores` / ``dsir_weights`` — bound the
+    model table by construction; this operator keeps real tokens because a
+    bigram LM's value IS its vocabulary.)
+
+    Scale shape: the trainer is two map-side-combined counts over the
+    exploded reference events (bounded by distinct bigram/unigram TYPES,
+    not corpus size); scoring is three token-key equi-joins (vocab map,
+    bigram counts, context counts) + one per-doc aggregation. All joins are
+    fresh aggregation outputs with live Catalyst stats, so AQE broadcasts
+    them whenever they fit — no hint needed, and at true 100 TB vocabulary
+    the sort-merge fallback stays correct. The rounded score uses the
+    +5e-10 pre-round shift (:func:`unigram_logprob`'s cross-engine
+    boundary idiom)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (add-alpha smoothing)")
+    if ref is None:
+        ref = df.filter(F.col(lang_col) == ref_lang)
+    a = float(alpha)
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+    def _events(frame: DataFrame, keep: list[str]) -> DataFrame:
+        ctx = F.concat(
+            F.array(F.lit("<s>")), F.slice(F.col("_tk"), 1, F.size("_tk") - 1)
+        )
+        return (
+            frame.select(*keep, toks.alias("_tk"))
+            .filter(F.size("_tk") >= 1)
+            .select(
+                *keep,
+                F.explode(
+                    F.arrays_zip(ctx.alias("ctx"), F.col("_tk").alias("w"))
+                ).alias("_e"),
+            )
+            .select(*keep, F.col("_e.ctx").alias("ctx"), F.col("_e.w").alias("w"))
+        )
+
+    rev = _events(ref, [])
+    vocab = rev.select(F.col("w").alias("_v")).distinct()
+    vsize = vocab.agg((F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_vs"))
+    c2 = rev.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = rev.groupBy("ctx").agg(F.count(F.lit(1)).alias("_c1"))
+
+    ev = (
+        _events(df, [id_col])
+        .join(vocab.select(F.col("_v").alias("ctx"), F.lit(1).alias("_ci")), "ctx", "left")
+        .join(vocab.select(F.col("_v").alias("w"), F.lit(1).alias("_wi")), "w", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("ctx") == "<s>", F.lit("<s>"))
+            .when(F.col("_ci").isNotNull(), F.col("ctx"))
+            .otherwise(F.lit("<unk>"))
+            .alias("ctx"),
+            F.when(F.col("_wi").isNotNull(), F.col("w"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w"),
+        )
+    )
+    scored = (
+        ev.join(c2, ["ctx", "w"], "left")
+        .join(c1, ["ctx"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(a))
+                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(a) * F.col("_vs"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_lp").alias("_s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.col("_s") / F.col("n_tokens") + F.lit(5e-10), round_dp
+            ).alias("lm_xent"),
+        )
+    )
+
+
 def dedup_chunks(
     df: DataFrame,
     chunk_tokens: int = 10,

@@ -2802,3 +2802,194 @@ def test_cluster_balanced_sample_caps_and_order(spark):
     for r in got:
         by_cell.setdefault(r["cell"], []).append(r["vec_id"])
     assert len(by_cell[0]) == 4 and len(by_cell[1]) == 3
+
+
+def test_bigram_lm_scores_matches_python_model(spark):
+    """bigram_lm_scores vs a pure-python bigram LM (same <s>/<unk>/add-α
+    model): reference-trained probabilities, OOV mapping on the scored
+    side, per-doc mean cross-entropy at 6dp; an OOV-heavy doc must score
+    strictly worse than a reference-vocabulary doc."""
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog sat on the cat", "en"),
+        (2, "", "en"),
+        (3, "zzz qqq unknown words here", "de"),
+        (4, "the", "fr"),
+        (5, "the cat sat", "en"),
+        (6, "der hund und die katze", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_xent"])
+        for r in text.bigram_lm_scores(df, ref_lang="en", alpha=0.1).collect()
+    }
+
+    alpha = 0.1
+    ref = [t for _, t, l in rows if l == "en" and t.strip()]
+    vocab, c2, c1 = set(), {}, {}
+    for t in ref:
+        ts = t.split()
+        vocab.update(ts)
+        for c, w in zip(["<s>"] + ts[:-1], ts):
+            c2[(c, w)] = c2.get((c, w), 0) + 1
+            c1[c] = c1.get(c, 0) + 1
+    vsz = len(vocab) + 1
+    for i, t, _ in rows:
+        ts = t.split()
+        if not ts:
+            assert got[i] == (0, None)
+            continue
+        s = 0.0
+        for c, w in zip(["<s>"] + ts[:-1], ts):
+            cm = c if (c == "<s>" or c in vocab) else "<unk>"
+            wm = w if w in vocab else "<unk>"
+            s += math.log(
+                (c2.get((cm, wm), 0) + alpha) / (c1.get(cm, 0) + alpha * vsz)
+            )
+        assert got[i][0] == len(ts)
+        assert got[i][1] == pytest.approx(round(-s / len(ts) + 5e-10, 6), abs=1e-9)
+    # ranking sanity: in-reference text beats OOV noise
+    assert got[0][1] < got[3][1]
+    with pytest.raises(ValueError):
+        text.bigram_lm_scores(df, alpha=0.0)
+
+
+def test_bigram_lm_scores_empty_reference_degenerates_to_uniform(spark):
+    """With an empty reference slice the vocabulary is empty (V+1 = 1) and
+    every event is <unk>|<unk> with p = α/(α·1) = 1 — cross-entropy 0 for
+    every non-empty doc, identically in both engines."""
+    df = spark.createDataFrame(
+        [(0, "a b c", "de"), (1, "", "de")], ["doc_id", "text", "lang"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_xent"])
+        for r in text.bigram_lm_scores(df, ref_lang="en").collect()
+    }
+    assert got[0] == (3, 0.0)
+    assert got[1] == (0, None)
+
+
+def test_cluster_top_terms_matches_python_model(spark):
+    """cluster_top_terms vs a python tf·icf model on two planted semantic
+    clusters with partially distinct vocabularies: the shared term scores
+    0 (ln(K/K)), cluster-specific terms rank first, scores match the
+    formula at 6dp, rank is (score DESC, term ASC)."""
+    import math
+
+    emb_rows = [(i, [0.0, 0.0 + i * 0.01]) for i in range(4)]
+    emb_rows += [(10 + i, [10.0, 10.0 + i * 0.01]) for i in range(3)]
+    emb = spark.createDataFrame(emb_rows, "vec_id bigint, embedding array<double>")
+    texts = {
+        0: "cats cats purr shared",
+        1: "cats purr shared",
+        2: "purr cats",
+        3: "",
+        10: "dogs bark shared",
+        11: "dogs dogs bark",
+        12: "bark shared dogs",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    cb = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    got = similarity.cluster_top_terms(emb, docs, k=3, codebook=cb).collect()
+
+    def cell_of(v):
+        return min(
+            (sum((x - c) ** 2 for x, c in zip(v, cent)), cell) for cell, cent in cb
+        )[1]
+
+    tc, cells_used = {}, set()
+    for i, v in emb_rows:
+        cell = cell_of(v)
+        for t in texts[i].split():
+            tc[(cell, t)] = tc.get((cell, t), 0) + 1
+            cells_used.add(cell)
+    cf = {}
+    for (cell, t) in tc:
+        cf[t] = cf.get(t, 0) + 1
+    K = float(len(cells_used))
+    scored = [
+        (cell, t, n, round(n * math.log(K / cf[t]) + 5e-10, 6))
+        for (cell, t), n in tc.items()
+    ]
+    expect = []
+    for cell in sorted(cells_used):
+        rows = sorted(
+            [s for s in scored if s[0] == cell], key=lambda s: (-s[3], s[1])
+        )[:3]
+        expect += [(cell, t, n, sc, r + 1) for r, (_, t, n, sc) in enumerate(rows)]
+    assert sorted((r["cell"], r["term"], r["cnt"], r["score"], r["rank"]) for r in got) == sorted(expect)
+    # the shared term scores exactly 0; cluster terms are positive
+    by = {(r["cell"], r["term"]): r["score"] for r in got}
+    assert by.get((0, "shared"), by.get((1, "shared"))) == 0.0
+    assert by[(0, "cats")] > 0 and by[(1, "dogs")] > 0
+
+
+def _make_bmp(w, h, rgb_rows, bits=24, top_down=False, alpha=None):
+    """Byte-build an uncompressed BI_RGB BMP. ``rgb_rows``: h rows of w
+    (r,g,b); stored BGR(A), bottom-up unless ``top_down``, rows padded to
+    4 bytes at 24-bit."""
+    import struct
+
+    bpp = bits // 8
+    stride = (w * bpp + 3) // 4 * 4
+    px = bytearray()
+    row_order = range(h) if top_down else range(h - 1, -1, -1)
+    for row in row_order:
+        line = bytearray()
+        for x in range(w):
+            r, g, b = rgb_rows[row][x]
+            line += bytes([b, g, r] + ([alpha[row][x]] if bits == 32 else []))
+        line += b"\x00" * (stride - len(line))
+        px += line
+    data_off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(px), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bits, 0, len(px), 2835, 2835, 0, 0
+    )
+    return bytes(hdr + dib + px)
+
+
+def test_bmp_decoder_end_to_end(spark):
+    """Uncompressed 24/32-bit BMP through the stdlib builtin_decoder:
+    bottom-up 24-bit with row padding and top-down 32-bit BGRA must both
+    reproduce the SAME pixels' stats as the PPM path, through the full
+    mapInPandas plumbing; compressed/16-bit BMPs keep the strict raise."""
+    import pytest
+
+    px = [
+        [((x * 37 + row * 91) % 256, (x * 11) % 256, (row * 53 + 7 * x) % 256) for x in range(5)]
+        for row in range(4)
+    ]
+    flat = [c for rowp in px for p in rowp for c in p]
+    want = multimodal.ppm_pixel_decoder(_make_ppm(5, 4, flat))
+    bmp24 = _make_bmp(5, 4, px, bits=24)
+    assert multimodal.bmp_pixel_decoder(bmp24) == pytest.approx(want, abs=1e-12)
+    alpha = [[(x * 29 + row) % 256 for x in range(5)] for row in range(4)]
+    bmp32 = _make_bmp(5, 4, px, bits=32, top_down=True, alpha=alpha)
+    assert multimodal.bmp_pixel_decoder(bmp32) == pytest.approx(want, abs=1e-12)
+    media = spark.createDataFrame(
+        [(1, "image", bmp24, "{}"), (2, "image", bmp32, "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    by_id = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.builtin_decoder
+        ).collect()
+    }
+    assert by_id[1] == pytest.approx(want, abs=1e-12)
+    assert by_id[2] == pytest.approx(want, abs=1e-12)
+    import struct
+
+    rle = bytearray(_make_bmp(5, 4, px, bits=24))
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8 compression flag
+    with pytest.raises(ValueError):
+        multimodal.bmp_pixel_decoder(bytes(rle))
+    with pytest.raises(ValueError):
+        multimodal.bmp_pixel_decoder(bmp24[:30])
+    with pytest.raises(ValueError):
+        multimodal.bmp_pixel_decoder(bmp24[:-8])  # truncated pixel data
