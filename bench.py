@@ -217,6 +217,10 @@ def main() -> None:
                 emb, k=5, nprobe=2,
                 codebook=similarity.kmeans_codebook_portable(emb),
             ).count(),
+            # r11 flagship: reference-trained bigram-LM cross-entropy
+            # scoring (flat at the 10x replica — model tables are bounded
+            # by bigram TYPES, scoring is three equi-joins + one doc agg)
+            "doc_lm_xent": lambda: text.bigram_lm_scores(docs).count(),
             "embed_neardup": lambda: similarity.cosine_pairs_lsh(
                 emb, dim=64, threshold=0.3, n_planes=6, seed=42
             ).count(),

@@ -184,3 +184,45 @@ def test_cluster_balanced_sample_single_shuffle(spark):
     # exchange too (Partial WindowGroupLimit), so at most n rows per cell
     # per input partition ever cross the wire
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bigram_lm_scores_no_cartesian_and_aqe_friendly(spark):
+    """bigram_lm_scores: every model-table join must be an equi-join (the
+    only nested-loop allowed is the broadcast 1-row V+1 constant); no
+    CartesianProduct anywhere — at 100 TB the vocab/count tables ride
+    AQE's broadcast-or-sort-merge choice, never a pair product."""
+    from graphchidb_scala_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en" if i % 2 else "de") for i in range(30)],
+        "doc_id bigint, text string, lang string",
+    )
+    plan = plans.explain_str(text.bigram_lm_scores(df))
+    assert "CartesianProduct" not in plan
+    # the single nested-loop node is the broadcast one-row V+1 constant
+    # (formatted mode prints each node twice: tree line + detail header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_cluster_top_terms_map_only_assignment_topk_on_types(spark):
+    """cluster_top_terms: cell assignment must stay a map-only projection
+    (no join/shuffle to pick a cell), and the per-cell top-k must push its
+    rank limit map-side (Partial WindowGroupLimit) so only ~k (cell, term)
+    TYPE rows per partition reach the final window exchange."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 4}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    cb = [(0, [0.0, 0.0]), (1, [2.0, 4.0])]
+    plan = plans.explain_str(similarity.cluster_top_terms(emb, docs, k=3, codebook=cb))
+    assert "CartesianProduct" not in plan
+    # one nested-loop node = the broadcast 1-row K constant (each node
+    # prints twice in formatted mode)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "WindowGroupLimit" in plan and "Partial" in plan
