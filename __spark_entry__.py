@@ -1937,6 +1937,48 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= """
     ).strip()
 
 
+def _q_hard_negatives_kmeans(spark, sf):
+    """Contrastive hard-negative mining over the K≈sqrt(N) portable
+    codebook (similarity.hard_negatives_ivf): each vector's top-3 most
+    cosine-similar DIFFERENT-label neighbors, searched within its 2
+    nearest cells — the triplet/InfoNCE negative miner, same single
+    cell-equi-join scale plan as knn_graph_kmeans with the cross-label
+    filter inside the join stage."""
+    emb = _emb(spark, sf)
+    cb = similarity.kmeans_codebook_portable(emb, iterations=_KMEANS_CB_ITERS)
+    return similarity.hard_negatives_ivf(emb, k=3, nprobe=2, codebook=cb)
+
+
+def _hard_negatives_kmeans_sql(k: int = 3, nprobe: int = 2) -> str:
+    return (
+        "WITH\n" + _kmeans_cb_ctes() + """,
+cells AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, e.embedding::DOUBLE[] AS v,
+         (SELECT cb.cell FROM cb
+          ORDER BY list_distance(cb.c, e.embedding::DOUBLE[]), cb.cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+probes AS (
+  SELECT cl.vec_id AS qid, cl.label AS q_label, cl.v AS qv, cb.cell AS cell
+  FROM cells cl, cb
+  QUALIFY row_number() OVER (PARTITION BY cl.vec_id
+    ORDER BY list_distance(cb.c, cl.v), cb.cell) <= """ + str(nprobe) + """
+),
+pairs AS (
+  SELECT p.qid, p.q_label, c2.vec_id AS nid, c2.label AS n_label,
+         round(list_cosine_similarity(p.qv, c2.v), 4) AS cos_sim
+  FROM probes p JOIN cells c2 ON c2.cell = p.cell
+  WHERE c2.label <> p.q_label
+)
+SELECT CAST(qid AS BIGINT) AS qid, q_label, CAST(nid AS BIGINT) AS nid,
+       n_label, cos_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= """
+        + str(k)
+    ).strip()
+
+
 _ARROW_PATH_K = 150  # > similarity._LITERAL_CODEBOOK_MAX: forces Arrow tier
 
 
@@ -3831,6 +3873,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-semantic-cluster topic labels by tf*icf over the portable
         # kmeans cells (r11)
         "cluster_topic_terms": _q_cluster_topic_terms,
+        # contrastive hard-negative mining: top-k cross-label cosine
+        # neighbors within probed kmeans cells (r11)
+        "hard_negatives_kmeans": _q_hard_negatives_kmeans,
     }
 
 
@@ -3856,10 +3901,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     round) follow the r7 leftovers in r12, then the r9 cohort.
 _GRADED_WINDOW = [
     "doc_quality_nb", "doc_hybrid_rrf", "embed_cluster_sample",
-    # r11-new (session B): bigram-LM cross-entropy scoring + semantic
-    # cluster topic labels — displace events_props and events_asof (both
-    # untouched this round, pytest+FULLGATE-covered) to r12
-    "doc_lm_xent", "cluster_topic_terms",
+    # r11-new (session B): bigram-LM cross-entropy scoring, semantic
+    # cluster topic labels, contrastive hard-negative mining — displace
+    # events_props, events_asof and events_rollup (all untouched this
+    # round, pytest+FULLGATE-covered) to r12
+    "doc_lm_xent", "cluster_topic_terms", "hard_negatives_kmeans",
     # r7-graded cohort (oldest grades), registry order
     "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
     "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
@@ -3867,7 +3913,7 @@ _GRADED_WINDOW = [
     # r8-graded cohort, registry order
     "multimodal_features", "events_window_hourly", "events_sessionize",
     "ann_topk_lsh", "pagerank_converged",
-    "cc_converged_stats", "events_rollup", "kcore_peel3",
+    "cc_converged_stats", "kcore_peel3",
     "doc_split_hash", "doc_contamination", "doc_stratified_sample",
     "doc_cap_per_source", "doc_pack_sequences", "doc_strip_boilerplate",
     "doc_weighted_sample", "doc_repetition_stats", "doc_tfidf_search",
@@ -5195,6 +5241,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "embed_cluster_sample": _embed_cluster_sample_sql(),
         "doc_lm_xent": _lm_xent_sql(alpha=0.1, ref_lang="en"),
         "cluster_topic_terms": _cluster_topic_terms_sql(k=5),
+        "hard_negatives_kmeans": _hard_negatives_kmeans_sql(k=3, nprobe=2),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

@@ -404,6 +404,90 @@ def knn_graph_ivf(
     )
 
 
+def hard_negatives_ivf(
+    df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for EVERY vector, the ``k`` most
+    cosine-similar vectors carrying a DIFFERENT ``label_col`` — the
+    highest-value negatives for training embedding models (triplet /
+    InfoNCE batches), where random negatives are too easy and same-label
+    neighbors are false negatives. Returns DF(qid, q_label, nid, n_label,
+    cos_sim), ≤k rows per anchor, (cos_sim DESC, nid ASC) within each
+    anchor, sim rounded to 4.
+
+    Same scale plan as :func:`knn_graph_ivf` (which mines the
+    *unrestricted* neighbor graph): assignment/probe selection are
+    map-only projections, ONE cell-id equi-join at pinned parallelism
+    bounds candidates at N·nprobe·(N/K), the cross-label filter runs
+    inside the join stage BEFORE the per-anchor top-k window — so label
+    filtering costs nothing extra and K ≈ sqrt(N) keeps the whole mine
+    sub-quadratic. The same fixed-K caveat applies: pass a
+    kmeans_codebook(K≈sqrt(N)) at scale, never a constant-size quantizer."""
+    from pyspark.sql.window import Window
+
+    if codebook is None:
+        codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
+    lab = F.col(label_col).cast("bigint")
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        q = (
+            probe_cells_arrow(
+                df.select(
+                    F.col(id_col).cast("bigint").alias("qid"),
+                    lab.alias("q_label"),
+                    F.col(vec_col).alias("_qv"),
+                ),
+                codebook,
+                nprobe,
+                vec_col="_qv",
+            )
+            .select("qid", "q_label", "_qv", F.explode("_probes").alias("_cell"))
+        )
+        cand = assign_cells_arrow(
+            df.select(
+                F.col(id_col).cast("bigint").alias("nid"),
+                lab.alias("n_label"),
+                F.col(vec_col).alias("_nv"),
+            ),
+            codebook,
+            vec_col="_nv",
+            out_col="_cell",
+        )
+    else:
+        q = df.select(
+            F.col(id_col).cast("bigint").alias("qid"),
+            lab.alias("q_label"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_cells(F.col(vec_col), codebook, nprobe)).alias("_cell"),
+        )
+        cand = df.select(
+            F.col(id_col).cast("bigint").alias("nid"),
+            lab.alias("n_label"),
+            F.col(vec_col).alias("_nv"),
+            ivf_cell(F.col(vec_col), codebook).alias("_cell"),
+        )
+    # numbered repartition: exempt from AQE coalescing, co-partitions the
+    # join — the output-side candidate expansion must not run on 2 cores
+    # (see knn_graph_ivf's pin rationale)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(nparts, "_cell")
+    cand = cand.repartition(nparts, "_cell")
+    pairs = q.join(cand, "_cell").filter(F.col("q_label") != F.col("n_label"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.select("qid", "q_label", "nid", "n_label", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

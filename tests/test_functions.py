@@ -2993,3 +2993,42 @@ def test_bmp_decoder_end_to_end(spark):
         multimodal.bmp_pixel_decoder(bmp24[:30])
     with pytest.raises(ValueError):
         multimodal.bmp_pixel_decoder(bmp24[:-8])  # truncated pixel data
+
+
+def test_hard_negatives_ivf_cross_label_only(spark):
+    """hard_negatives_ivf vs a python model on a planted two-cluster
+    corpus: every returned neighbor has a DIFFERENT label, the nearest
+    same-label vector never appears however close, rows per anchor ≤ k,
+    and (cos_sim DESC, nid ASC) ordering matches brute force within the
+    probed cells."""
+    import math
+
+    # cluster A near (1, 0), cluster B near (0, 1); labels interleaved so
+    # each vector's absolute nearest neighbor is SAME-label (must be skipped)
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.001 * i], 0))
+        rows.append((100 + i, [0.001 * i, 1.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    cb = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = similarity.hard_negatives_ivf(emb, k=3, nprobe=2, codebook=cb).collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 4)
+
+    by_q = {}
+    for r in got:
+        assert r["q_label"] != r["n_label"]
+        by_q.setdefault(r["qid"], []).append((r["cos_sim"], r["nid"], r["n_label"]))
+    vec = {i: (v, l) for i, v, l in rows}
+    for qid, lst in by_q.items():
+        assert len(lst) <= 3
+        qv, ql = vec[qid]
+        # nprobe=2 of 2 cells => all cross-label vectors are candidates
+        brute = sorted(
+            ((cos(qv, v), nid) for nid, (v, l) in vec.items() if l != ql),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert [(s, n) for s, n, _ in sorted(lst, key=lambda t: (-t[0], t[1]))] == brute
+    assert set(by_q) == set(vec)  # every anchor mined

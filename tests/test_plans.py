@@ -226,3 +226,21 @@ def test_cluster_top_terms_map_only_assignment_topk_on_types(spark):
     # prints twice in formatted mode)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_hard_negatives_pinned_join_no_cartesian(spark):
+    """hard_negatives_ivf inherits knn_graph_ivf's plan contract: ONE
+    cell-id equi-join at numbered-repartition-pinned parallelism (AQE
+    can't coalesce the candidate-expansion stage onto 2 cores), no
+    cartesian, label filter inside the join stage (before the window)."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], i % 2) for i in range(40)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    cb = [(0, [0.0, 0.0]), (1, [2.0, 4.0])]
+    plan = plans.explain_str(similarity.hard_negatives_ivf(emb, k=3, codebook=cb))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
