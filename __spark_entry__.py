@@ -373,6 +373,68 @@ FROM tok t LEFT JOIN s ON s.doc_id = t.doc_id
 """.strip()
 
 
+def _q_token_fertility(spark, sf):
+    """Tokenizer-fertility audit per language (text.token_fertility_by_lang):
+    whitespace words vs BPE-style subword tokens and their ratio — which
+    languages the tokenizer fragments. Two codegen counters + one
+    map-side-combined groupBy on the tiny language key."""
+    return text.token_fertility_by_lang(_docs(spark, sf))
+
+
+def _token_fertility_sql() -> str:
+    bpe_re = r"'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]'"
+    return f"""
+WITH c AS (
+  SELECT lang,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS w,
+    CAST(len(regexp_extract_all(text, {bpe_re})) AS BIGINT) AS s
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_subwords,
+       CASE WHEN sum(w) > 0
+            THEN round(CAST(sum(s) AS DOUBLE) / sum(w) + 5e-10, 6) END AS fertility
+FROM c GROUP BY lang
+""".strip()
+
+
+def _q_quality_yield_curve(spark, sf):
+    """Filter-yield curve (text.quality_yield_curve): docs/tokens surviving
+    quality_score >= τ for τ ∈ {0.0..0.9} — the volume-vs-quality table a
+    filter cut is chosen from. One ≤10-group histogram + a 10-row window;
+    no per-threshold corpus explode."""
+    return text.quality_yield_curve(_docs(spark, sf))
+
+
+def _quality_yield_curve_sql() -> str:
+    return f"""
+WITH prof AS ({_doc_text_stats_sql()}),
+bk AS (
+  SELECT least(greatest(CAST(floor(quality * 10 + 1e-9) AS BIGINT), 0), 9) AS b,
+         n_tokens
+  FROM prof
+),
+hist AS (SELECT b, count(*) AS d, sum(n_tokens) AS t FROM bk GROUP BY b),
+grid AS (SELECT CAST(range AS BIGINT) AS b FROM range(10)),
+dense AS (
+  SELECT g.b, COALESCE(h.d, 0) AS d, COALESCE(h.t, 0) AS t
+  FROM grid g LEFT JOIN hist h USING (b)
+),
+cum AS (
+  SELECT b, CAST(sum(d) OVER w AS BIGINT) AS n_docs,
+         CAST(sum(t) OVER w AS BIGINT) AS n_tokens
+  FROM dense
+  WINDOW w AS (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT round(b / 10.0, 1) AS threshold, n_docs, n_tokens,
+       round(n_docs / greatest((SELECT CAST(sum(d) AS DOUBLE) FROM dense), 1.0)
+             + 5e-10, 6) AS doc_frac
+FROM cum
+""".strip()
+
+
 def _q_doc_chunk_dedup(spark, sf):
     """Chunk-level exact dedup (C4 duplicate-line rule over 10-token
     chunks): keep the globally first occurrence of each chunk, reassemble
@@ -3876,6 +3938,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrastive hard-negative mining: top-k cross-label cosine
         # neighbors within probed kmeans cells (r11)
         "hard_negatives_kmeans": _q_hard_negatives_kmeans,
+        # tokenizer-fertility audit per language (r11)
+        "token_fertility_by_lang": _q_token_fertility,
+        # quality-filter yield curve: survivors per threshold decile (r11)
+        "doc_quality_yield_curve": _q_quality_yield_curve,
     }
 
 
@@ -5242,6 +5308,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_lm_xent": _lm_xent_sql(alpha=0.1, ref_lang="en"),
         "cluster_topic_terms": _cluster_topic_terms_sql(k=5),
         "hard_negatives_kmeans": _hard_negatives_kmeans_sql(k=3, nprobe=2),
+        "token_fertility_by_lang": _token_fertility_sql(),
+        "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

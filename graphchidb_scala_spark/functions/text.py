@@ -754,6 +754,105 @@ def bigram_lm_scores(
     )
 
 
+def token_fertility_by_lang(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Tokenizer-fertility audit per language: documents, whitespace
+    words, BPE-style subword tokens (:func:`token_count_bpe`), and
+    fertility = subwords / words — the statistic that tells you which
+    languages your tokenizer fragments (fertility ≫ 1 → more compute per
+    byte of that language, under-representation at a fixed token budget).
+    DF(lang, n_docs, n_words, n_subwords, fertility); languages whose
+    corpus has no words carry NULL fertility.
+
+    Scale shape: two codegen counter projections + ONE map-side-combined
+    groupBy on the language key — language cardinality is tiny, so the
+    reduce side is a handful of rows at any corpus size."""
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            token_count(F.col(text_col)).alias("_w"),
+            token_count_bpe(F.col(text_col)).alias("_s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("n_words"),
+            F.sum("_s").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.col("n_subwords") / F.col("n_words") + F.lit(5e-10), round_dp
+                ),
+            ).alias("fertility"),
+        )
+    )
+
+
+def quality_yield_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Filter-yield curve for the heuristic quality gate: for each
+    threshold τ ∈ {0.0, 0.1, …, 0.9}, how many documents and word tokens
+    survive ``quality_score ≥ τ`` — the table you read before choosing a
+    production filter cut (data volume vs quality trade, the
+    C4/Gopher-style ablation axis). DF(threshold, n_docs, n_tokens,
+    doc_frac), one row per threshold, doc_frac = survivors / corpus.
+
+    Scale shape: NO 10× explode — each document maps to its score decile
+    once (codegen projection), one map-side-combined ≤10-group histogram,
+    and the survivors-at-τ cumulation is a window over the ≤10 dense grid
+    rows. The curve costs one aggregation however large the corpus."""
+    from pyspark.sql.window import Window
+
+    q4 = quality_score(F.col(text_col))  # already rounded 4dp
+    bucket = (
+        F.least(
+            F.greatest(F.floor(q4 * 10 + F.lit(1e-9)), F.lit(0)), F.lit(9)
+        ).cast("bigint")
+    )
+    per = df.select(bucket.alias("_b"), token_count(F.col(text_col)).alias("_nt"))
+    hist = per.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_d"), F.sum("_nt").alias("_t")
+    )
+    grid = df.sparkSession.range(10).select(F.col("id").cast("bigint").alias("_b"))
+    dense = grid.join(hist, "_b", "left").select(
+        "_b",
+        F.coalesce(F.col("_d"), F.lit(0)).alias("_d"),
+        F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+    )
+    total = F.broadcast(dense.agg(F.sum("_d").cast("double").alias("_n")))
+    w = Window.orderBy(F.desc("_b")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dense.select(
+            "_b",
+            F.sum("_d").over(w).cast("bigint").alias("n_docs"),
+            F.sum("_t").over(w).cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(total)
+        .select(
+            F.round(F.col("_b") / 10.0, 1).alias("threshold"),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs") / F.greatest(F.col("_n"), F.lit(1.0)) + F.lit(5e-10),
+                round_dp,
+            ).alias("doc_frac"),
+        )
+    )
+
+
 def dedup_chunks(
     df: DataFrame,
     chunk_tokens: int = 10,

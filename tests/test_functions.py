@@ -3032,3 +3032,66 @@ def test_hard_negatives_ivf_cross_label_only(spark):
         )[:3]
         assert [(s, n) for s, n, _ in sorted(lst, key=lambda t: (-t[0], t[1]))] == brute
     assert set(by_q) == set(vec)  # every anchor mined
+
+
+def test_token_fertility_by_lang_matches_python_model(spark):
+    """token_fertility_by_lang vs hand-counted words/subwords: punctuated
+    and numeric text must show fertility > 1, and a language slice with
+    no words carries NULL fertility."""
+    import re
+
+    rows = [
+        (0, "hello world", "en"),
+        (1, "don't stop-me now, 12345", "en"),
+        (2, "der hund", "de"),
+        (3, "", "und"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["lang"]: r for r in text.token_fertility_by_lang(df).collect()}
+    pat = re.compile(r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+    exp = {}
+    for _, t, l in rows:
+        w = len(t.split()) if t.strip() else 0
+        s = len(pat.findall(t))
+        d, ws, ss = exp.get(l, (0, 0, 0))
+        exp[l] = (d + 1, ws + w, ss + s)
+    for l, (d, w, s) in exp.items():
+        assert (got[l]["n_docs"], got[l]["n_words"], got[l]["n_subwords"]) == (d, w, s)
+        if w:
+            assert got[l]["fertility"] == pytest.approx(round(s / w + 5e-10, 6))
+        else:
+            assert got[l]["fertility"] is None
+    assert got["en"]["fertility"] > 1.0  # punctuation/number fragmentation
+
+
+def test_quality_yield_curve_cumulative_and_exact(spark):
+    """quality_yield_curve vs a python recompute of the heuristic score:
+    all 10 threshold rows present, counts are the survivors at each τ
+    (monotone non-increasing), token sums and doc_frac match."""
+    texts = [
+        " ".join(["word"] * n) for n in (0, 3, 10, 25, 50, 80)
+    ] + ["!!! ??? ...", "short, with punct!!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["threshold"]: r for r in text.quality_yield_curve(df).collect()}
+    assert sorted(got) == [round(i / 10, 1) for i in range(10)]
+
+    def score(t):
+        toks = len(t.split()) if t.strip() else 0
+        chars = len(t)
+        punct = sum(1 for ch in t if ch in text.PUNCT_CHARS)
+        return round(min(1.0, toks / 50.0) * (1.0 - punct / max(chars, 1)), 4)
+
+    import math
+    n = len(texts)
+    for i in range(10):
+        tau = i / 10
+        kept = [t for t in texts if min(9, max(0, math.floor(score(t) * 10 + 1e-9))) >= i]
+        r = got[round(tau, 1)]
+        assert r["n_docs"] == len(kept)
+        assert r["n_tokens"] == sum(len(t.split()) if t.strip() else 0 for t in kept)
+        assert r["doc_frac"] == pytest.approx(round(len(kept) / n + 5e-10, 6))
+    # monotone non-increasing survivors
+    vals = [got[round(i / 10, 1)]["n_docs"] for i in range(10)]
+    assert vals == sorted(vals, reverse=True)
