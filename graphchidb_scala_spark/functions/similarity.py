@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from graphchidb_scala_spark.checkpoint import cut_lineage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -916,6 +918,77 @@ def load_ivf_codebook(spark, path: str) -> list[tuple[int, list[float]]]:
     """Read back the codebook sidecar written by :func:`save_ivf_index`."""
     rows = spark.read.parquet(f"{path}/codebook").collect()
     return sorted((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows)
+
+
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a persisted IVF index (:func:`save_ivf_index`)
+    WITHOUT rebuilding it: assign the new vectors against the FROZEN
+    codebook sidecar and ``mode("append")`` them into their cell
+    directories — existing cell files are never rewritten, probes keep
+    their planning-time partition pruning, and the append costs one
+    map-only assignment + one partitioned write however large the index
+    already is (the crawl-loop posting/near-dup index append pattern,
+    streaming/ingest.py). Returns the number of vectors appended.
+
+    ``skip_existing=True`` anti-joins the batch against the index's id
+    column first (a column-pruned scan — only ``id_col`` bytes are read)
+    so re-delivered vectors are idempotent; pass ``False`` when the source
+    already guarantees unique ids and even that scan should be skipped.
+
+    The quantizer is deliberately FROZEN: appending never retrains, so
+    cell geometry (and therefore existing files and probe plans) stays
+    valid. Distribution drift degrades recall gradually — monitor the
+    per-cell growth this function's writes produce and rebuild with
+    :func:`save_ivf_index` when the hot cells outgrow the codebook.
+    Quantized indexes (``save_ivf_index(quantize=True)``) append in the
+    same int8 ``q``/``scale`` layout, detected from the stored schema."""
+    spark = df.sparkSession
+    codebook = load_ivf_codebook(spark, path)
+    existing = spark.read.parquet(f"{path}/vectors")
+    quantized = "q" in existing.columns
+    batch = df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col)
+    )
+    if skip_existing:
+        batch = batch.join(
+            existing.select(F.col(id_col).cast("bigint").alias(id_col)),
+            id_col,
+            "anti",
+        )
+    # one count materializes the anti-join ONCE (the screen-join lesson,
+    # streaming/ingest.py): the write below must not re-run it per task
+    batch = cut_lineage(batch)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        assigned = assign_cells_arrow(batch, codebook, vec_col=vec_col, out_col="_cell")
+    else:
+        assigned = batch.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
+    if quantized:
+        x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        scale = F.greatest(F.array_max(F.transform(x, F.abs)), F.lit(1e-30)) / F.lit(127.0)
+        assigned = assigned.select(
+            F.col(id_col),
+            F.transform(x, lambda v: F.round(v / scale).cast("tinyint")).alias("q"),
+            scale.alias("scale"),
+            "_cell",
+        )
+    else:
+        assigned = assigned.select(F.col(id_col), F.col(vec_col), "_cell")
+    (
+        assigned.repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
+    return n_new
 
 
 def ann_topk_ivf_indexed(

@@ -3095,3 +3095,73 @@ def test_quality_yield_curve_cumulative_and_exact(spark):
     # monotone non-increasing survivors
     vals = [got[round(i / 10, 1)]["n_docs"] for i in range(10)]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_append_ivf_index_grows_without_rewrite(spark, tmp_path):
+    """append_ivf_index: new vectors land in their FROZEN-codebook cell
+    directories via mode-append (original files untouched on disk),
+    re-delivered ids are idempotent, probes see the grown index and keep
+    planning-time partition pruning."""
+    import os
+    import re
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, [1.0, 0.001 * i]))
+        rows.append((100 + i, 1, [0.001 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivf_grow")
+    similarity.save_ivf_index(df, path)
+    before = set(spark.read.parquet(f"{path}/vectors").inputFiles())
+
+    # batch: 2 genuinely new vectors + 1 re-delivered id
+    batch = spark.createDataFrame(
+        [(500, [1.0, 0.5]), (501, [0.5, 1.0]), (0, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert similarity.append_ivf_index(batch, path) == 2
+    after = set(spark.read.parquet(f"{path}/vectors").inputFiles())
+    assert before <= after and len(after) > len(before)  # append, no rewrite
+    for f in before:
+        assert os.path.exists(f.replace("file:", ""))
+
+    stored = spark.read.parquet(f"{path}/vectors")
+    assert stored.count() == 22
+    assert stored.filter(F.col("vec_id") == 0).count() == 1  # idempotent
+    # the new near-(1,0.5) vector must now win a probe toward it
+    got = similarity.ann_topk_ivf_indexed(spark, path, [1.0, 0.5], k=1, nprobe=2)
+    assert got.collect()[0]["vec_id"] == 500
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "_cell" in m.group(1)
+    # re-delivering the whole batch is a no-op (all ids now present)
+    assert similarity.append_ivf_index(batch, path) == 0
+    assert spark.read.parquet(f"{path}/vectors").count() == 22
+
+
+def test_append_ivf_index_quantized_layout(spark, tmp_path):
+    """Appending into a quantize=True index stores the SAME int8 q/scale
+    layout (detected from the stored schema), and the grown index still
+    ranks like the int8 brute force."""
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, [1.0, 0.001 * i]))
+        rows.append((100 + i, 1, [0.001 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivf8_grow")
+    similarity.save_ivf_index(df, path, quantize=True)
+    batch = spark.createDataFrame(
+        [(500, [1.0, 0.5])], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity.append_ivf_index(batch, path) == 1
+    stored = spark.read.parquet(f"{path}/vectors")
+    assert dict(stored.dtypes)["q"] == "array<tinyint>"
+    assert "embedding" not in stored.columns
+    assert stored.count() == 21
+    got = similarity.ann_topk_ivf_int8_indexed(spark, path, [1.0, 0.5], k=1, nprobe=2)
+    assert got.collect()[0]["vec_id"] == 500
