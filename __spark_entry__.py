@@ -435,6 +435,71 @@ FROM cum
 """.strip()
 
 
+def _q_doc_lm_xent_by_lang(spark, sf):
+    """Per-LANGUAGE bigram-LM cross-entropy (the full CCNet design): one
+    model per lang trained on its own corpus slice, every document scored
+    against ITS language's model — same jobs as the global key, the group
+    key simply rides every model join."""
+    return text.bigram_lm_scores(_docs(spark, sf), alpha=0.1, group_col="lang")
+
+
+def _lm_xent_grouped_ctes(alpha: float = 0.1, src: str = "documents") -> str:
+    # grouped twin of text.bigram_lm_scores(group_col='lang', ref=df):
+    # every model CTE carries the lang key; a group with no reference rows
+    # degenerates to the empty-vocabulary uniform model (COALESCE vsz 1.0).
+    # CTE chain (lm_-prefixed, composable) ending in
+    # lm_scores(doc_id, n_tokens, lm_xent); src must expose doc_id/lang/text.
+    return f"""
+lm_tok AS (
+  SELECT doc_id, lang AS g,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM {src}
+),
+lm_ev AS (
+  SELECT doc_id, g,
+    unnest(list_prepend('<s>', tk[1:len(tk)-1])) AS ctx,
+    unnest(tk) AS w
+  FROM lm_tok WHERE len(tk) >= 1
+),
+lm_vocab AS (SELECT DISTINCT g, w AS v FROM lm_ev),
+lm_vs AS (SELECT g, CAST(count(*) + 1 AS DOUBLE) AS vsz FROM lm_vocab GROUP BY g),
+lm_c2 AS (SELECT g, ctx, w, count(*) AS n FROM lm_ev GROUP BY g, ctx, w),
+lm_c1 AS (SELECT g, ctx, count(*) AS n FROM lm_ev GROUP BY g, ctx),
+lm_em AS (
+  SELECT e.doc_id, e.g,
+    CASE WHEN e.ctx = '<s>' THEN '<s>'
+         WHEN vc.v IS NULL THEN '<unk>' ELSE e.ctx END AS ctx,
+    CASE WHEN vw.v IS NULL THEN '<unk>' ELSE e.w END AS w
+  FROM lm_ev e
+  LEFT JOIN lm_vocab vc ON vc.g = e.g AND vc.v = e.ctx
+  LEFT JOIN lm_vocab vw ON vw.g = e.g AND vw.v = e.w
+),
+lm_s AS (
+  SELECT lm_em.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    sum(ln((COALESCE(lm_c2.n, 0) + {alpha})
+           / (COALESCE(lm_c1.n, 0) + {alpha} * COALESCE(lm_vs.vsz, 1.0)))) AS lp
+  FROM lm_em
+  LEFT JOIN lm_c2 ON lm_c2.g = lm_em.g AND lm_c2.ctx = lm_em.ctx AND lm_c2.w = lm_em.w
+  LEFT JOIN lm_c1 ON lm_c1.g = lm_em.g AND lm_c1.ctx = lm_em.ctx
+  LEFT JOIN lm_vs ON lm_vs.g = lm_em.g
+  GROUP BY lm_em.doc_id
+),
+lm_scores AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         round(-s.lp / s.n_tokens + 5e-10, 6) AS lm_xent
+  FROM lm_tok t LEFT JOIN lm_s s ON s.doc_id = t.doc_id
+)""".strip()
+
+
+def _lm_xent_grouped_sql(alpha: float = 0.1) -> str:
+    return (
+        "WITH " + _lm_xent_grouped_ctes(alpha)
+        + "\nSELECT doc_id, n_tokens, lm_xent FROM lm_scores"
+    )
+
+
 def _q_doc_chunk_dedup(spark, sf):
     """Chunk-level exact dedup (C4 duplicate-line rule over 10-token
     chunks): keep the globally first occurrence of each chunk, reassemble
@@ -2401,6 +2466,49 @@ WHERE rn <= 15
 """.strip()
 
 
+def _q_doc_curate_v2(spark, sf):
+    """Curation capstone v2 (CCNet recipe): quality gate (+ exact dedup)
+    -> per-LANGUAGE bigram-LM perplexity gate (xent <= 3.38 under each
+    doc's own-language model, trained on the gated corpus) -> benchmark
+    decontamination -> per-source cap. Same stage composition as
+    doc_curate_corpus with the model tier in the middle."""
+    docs = _docs(spark, sf)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return pipeline.curate_corpus_v2(
+        corpus, benchmark, min_tokens=5, min_quality=0.3,
+        langs=("en", "de", "fr", "es"), lm_xent_max=3.38, shingle_k=5,
+        cap=15,
+    )
+
+
+def _curate_v2_sql(lm_max: float = 3.38) -> str:
+    # _curate_sql with the grouped-LM gate CTEs spliced between the dedup
+    # survivors (base) and the decontamination stage
+    qf = _quality_filter_inner_sql("corpus0")
+    lmc = _lm_xent_grouped_ctes(alpha=0.1, src="base")
+    return f"""
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+{qf},
+surv AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM filt GROUP BY md5(text)),
+base AS (SELECT d.doc_id, d.source, d.lang, d.text FROM corpus0 d JOIN surv USING (doc_id)),
+{lmc},
+lmkeep AS (SELECT doc_id FROM lm_scores WHERE lm_xent <= {lm_max}),
+base2 AS (SELECT b.doc_id, b.source, b.text FROM base b JOIN lmkeep USING (doc_id)),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base2),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 3, 1)), i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM t WHERE len(tk) >= 5),
+bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents WHERE doc_id % 97 = 0),
+bb AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk) - 3, 1)), i -> array_to_string(tk[i:i+4], ' '))) AS sh FROM bt WHERE len(tk) >= 5),
+hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bb USING (sh)),
+clean AS (SELECT base2.doc_id, base2.source FROM base2 LEFT JOIN hits USING (doc_id) WHERE hits.doc_id IS NULL)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+  FROM clean) t
+WHERE rn <= 15
+""".strip()
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -3938,6 +4046,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrastive hard-negative mining: top-k cross-label cosine
         # neighbors within probed kmeans cells (r11)
         "hard_negatives_kmeans": _q_hard_negatives_kmeans,
+        # per-language bigram-LM cross-entropy (CCNet per-lang models, r11)
+        "doc_lm_xent_by_lang": _q_doc_lm_xent_by_lang,
+        # curation capstone v2: heuristic gate -> per-lang LM perplexity
+        # gate -> decontam -> cap (r11)
+        "doc_curate_corpus_v2": _q_doc_curate_v2,
         # tokenizer-fertility audit per language (r11)
         "token_fertility_by_lang": _q_token_fertility,
         # quality-filter yield curve: survivors per threshold decile (r11)
@@ -3967,11 +4080,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     round) follow the r7 leftovers in r12, then the r9 cohort.
 _GRADED_WINDOW = [
     "doc_quality_nb", "doc_hybrid_rrf", "embed_cluster_sample",
-    # r11-new (session B): bigram-LM cross-entropy scoring, semantic
-    # cluster topic labels, contrastive hard-negative mining — displace
-    # events_props, events_asof and events_rollup (all untouched this
-    # round, pytest+FULLGATE-covered) to r12
+    # r11-new (session B): bigram-LM cross-entropy scoring (global + the
+    # per-language CCNet form), semantic cluster topic labels, contrastive
+    # hard-negative mining, and the model-tier curation capstone v2 —
+    # displacing events_props, events_asof, events_rollup, kcore_peel3 and
+    # events_retention (all untouched this round, pytest+FULLGATE-covered)
+    # to r12
     "doc_lm_xent", "cluster_topic_terms", "hard_negatives_kmeans",
+    "doc_lm_xent_by_lang", "doc_curate_corpus_v2",
     # r7-graded cohort (oldest grades), registry order
     "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
     "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
@@ -3979,13 +4095,13 @@ _GRADED_WINDOW = [
     # r8-graded cohort, registry order
     "multimodal_features", "events_window_hourly", "events_sessionize",
     "ann_topk_lsh", "pagerank_converged",
-    "cc_converged_stats", "kcore_peel3",
+    "cc_converged_stats",
     "doc_split_hash", "doc_contamination", "doc_stratified_sample",
     "doc_cap_per_source", "doc_pack_sequences", "doc_strip_boilerplate",
     "doc_weighted_sample", "doc_repetition_stats", "doc_tfidf_search",
     "doc_bm25_search", "doc_bm25_search_indexed", "doc_tfidf_search_indexed",
     "doc_rebalance_mix", "knn_graph_ivf", "events_funnel",
-    "events_retention", "ppr3", "adamic_adar_top20", "semantic_dedup",
+    "ppr3", "adamic_adar_top20", "semantic_dedup",
     "doc_pii_scrub", "doc_dsir_weights", "events_window_sliding",
     "events_hll_distinct", "jaccard_top20", "copurchase_top20",
     "graph_asof_counts",
@@ -5308,6 +5424,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_lm_xent": _lm_xent_sql(alpha=0.1, ref_lang="en"),
         "cluster_topic_terms": _cluster_topic_terms_sql(k=5),
         "hard_negatives_kmeans": _hard_negatives_kmeans_sql(k=3, nprobe=2),
+        "doc_lm_xent_by_lang": _lm_xent_grouped_sql(alpha=0.1),
+        "doc_curate_corpus_v2": _curate_v2_sql(lm_max=3.38),
         "token_fertility_by_lang": _token_fertility_sql(),
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),

@@ -611,6 +611,59 @@ def curate_corpus(
     ).select(F.col(id_col).cast("bigint"), cap_col)
 
 
+def curate_corpus_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    langs=("en", "de", "fr", "es"),
+    lm_xent_max: float = 3.38,
+    lm_alpha: float = 0.1,
+    shingle_k: int = 2,
+    cap: int = 15,
+    cap_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """:func:`curate_corpus` with the MODEL-BASED quality tier between the
+    heuristic gate and decontamination — the CCNet recipe: C4-style gate
+    (+ exact dedup) → per-LANGUAGE bigram-LM perplexity gate (keep
+    documents with cross-entropy ≤ ``lm_xent_max`` under their own
+    language's model, trained on the heuristic-gated corpus itself) →
+    benchmark decontamination → per-source quota cap. Returns the final
+    training-set DF(id, cap_col).
+
+    The LM stage adds the :func:`~.text.bigram_lm_scores(group_col=...)`
+    jobs (model counts bounded by bigram types, three model equi-joins)
+    and one id semi-join; every other stage keeps its verified shape, so
+    the v2 assembly is still projection/filter + a handful of key
+    shuffles at any corpus size. The comparison runs on the ROUNDED
+    cross-entropy, so the cut is engine-portable."""
+    from graphchidb_scala_spark.functions.text import bigram_lm_scores, filter_documents
+
+    filt = filter_documents(
+        docs,
+        min_tokens=min_tokens,
+        min_quality=min_quality,
+        langs=tuple(langs) if langs is not None else None,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    lm = bigram_lm_scores(
+        filt, alpha=lm_alpha, id_col=id_col, text_col=text_col, group_col=lang_col
+    )
+    keep = lm.filter(F.col("lm_xent") <= float(lm_xent_max)).select(id_col)
+    gated = filt.join(keep, id_col, "semi")
+    clean = decontaminate(
+        gated, benchmark, k=shingle_k, id_col=id_col, text_col=text_col
+    )
+    return cap_per_group(
+        clean, cap_col, cap=cap, seed=seed, id_col=id_col
+    ).select(F.col(id_col).cast("bigint"), cap_col)
+
+
 # ------------------------------------------------- span-level decontamination
 
 def contamination_spans(

@@ -646,6 +646,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     lang_col: str = "lang",
     round_dp: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reference-trained bigram language-model cross-entropy per document —
     the KenLM/CCNet-style quality tier above :func:`unigram_logprob` (which
@@ -668,6 +669,15 @@ def bigram_lm_scores(
     model table by construction; this operator keeps real tokens because a
     bigram LM's value IS its vocabulary.)
 
+    ``group_col`` switches to the full CCNet design: ONE model per group
+    (canonically per language — ``group_col=lang_col``), each trained on
+    its own slice of ``ref`` (default: ``df`` itself when grouped) and
+    each document scored against ITS group's model, all in the same jobs
+    (the group key simply joins every model lookup). A document whose
+    group has no reference rows degenerates to the empty-vocabulary
+    uniform model (xent 0) rather than erroring — identically in both
+    engines.
+
     Scale shape: the trainer is two map-side-combined counts over the
     exploded reference events (bounded by distinct bigram/unigram TYPES,
     not corpus size); scoring is three token-key equi-joins (vocab map,
@@ -680,8 +690,9 @@ def bigram_lm_scores(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (add-alpha smoothing)")
     if ref is None:
-        ref = df.filter(F.col(lang_col) == ref_lang)
+        ref = df if group_col is not None else df.filter(F.col(lang_col) == ref_lang)
     a = float(alpha)
+    g = F.col(group_col) if group_col is not None else F.lit("")
 
     toks = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
@@ -692,29 +703,43 @@ def bigram_lm_scores(
             F.array(F.lit("<s>")), F.slice(F.col("_tk"), 1, F.size("_tk") - 1)
         )
         return (
-            frame.select(*keep, toks.alias("_tk"))
+            frame.select(*keep, g.alias("_g"), toks.alias("_tk"))
             .filter(F.size("_tk") >= 1)
             .select(
                 *keep,
+                "_g",
                 F.explode(
                     F.arrays_zip(ctx.alias("ctx"), F.col("_tk").alias("w"))
                 ).alias("_e"),
             )
-            .select(*keep, F.col("_e.ctx").alias("ctx"), F.col("_e.w").alias("w"))
+            .select(
+                *keep, "_g", F.col("_e.ctx").alias("ctx"), F.col("_e.w").alias("w")
+            )
         )
 
     rev = _events(ref, [])
-    vocab = rev.select(F.col("w").alias("_v")).distinct()
-    vsize = vocab.agg((F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_vs"))
-    c2 = rev.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("_c2"))
-    c1 = rev.groupBy("ctx").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = rev.select("_g", F.col("w").alias("_v")).distinct()
+    vsize = vocab.groupBy("_g").agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_vs")
+    )
+    c2 = rev.groupBy("_g", "ctx", "w").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = rev.groupBy("_g", "ctx").agg(F.count(F.lit(1)).alias("_c1"))
 
     ev = (
         _events(df, [id_col])
-        .join(vocab.select(F.col("_v").alias("ctx"), F.lit(1).alias("_ci")), "ctx", "left")
-        .join(vocab.select(F.col("_v").alias("w"), F.lit(1).alias("_wi")), "w", "left")
+        .join(
+            vocab.select("_g", F.col("_v").alias("ctx"), F.lit(1).alias("_ci")),
+            ["_g", "ctx"],
+            "left",
+        )
+        .join(
+            vocab.select("_g", F.col("_v").alias("w"), F.lit(1).alias("_wi")),
+            ["_g", "w"],
+            "left",
+        )
         .select(
             F.col(id_col),
+            "_g",
             F.when(F.col("ctx") == "<s>", F.lit("<s>"))
             .when(F.col("_ci").isNotNull(), F.col("ctx"))
             .otherwise(F.lit("<unk>"))
@@ -725,14 +750,17 @@ def bigram_lm_scores(
         )
     )
     scored = (
-        ev.join(c2, ["ctx", "w"], "left")
-        .join(c1, ["ctx"], "left")
-        .crossJoin(F.broadcast(vsize))
+        ev.join(c2, ["_g", "ctx", "w"], "left")
+        .join(c1, ["_g", "ctx"], "left")
+        .join(vsize, ["_g"], "left")
         .select(
             F.col(id_col),
             F.log(
                 (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(a))
-                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(a) * F.col("_vs"))
+                / (
+                    F.coalesce(F.col("_c1"), F.lit(0))
+                    + F.lit(a) * F.coalesce(F.col("_vs"), F.lit(1.0))
+                )
             ).alias("_lp"),
         )
         .groupBy(id_col)

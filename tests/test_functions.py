@@ -3165,3 +3165,64 @@ def test_append_ivf_index_quantized_layout(spark, tmp_path):
     assert stored.count() == 21
     got = similarity.ann_topk_ivf_int8_indexed(spark, path, [1.0, 0.5], k=1, nprobe=2)
     assert got.collect()[0]["vec_id"] == 500
+
+
+def test_bigram_lm_scores_per_group_models(spark):
+    """group_col mode = one model per language trained on its own slice:
+    scores match a per-group python LM, a doc scored under its OWN
+    language's model beats the same text under a foreign-language group,
+    and a group absent from an explicit ref degenerates to xent 0."""
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat on the cat", "en"),
+        (2, "der hund und die katze", "de"),
+        (3, "der hund und der hund", "de"),
+        (4, "the cat sat", "en"),
+        (5, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_xent"])
+        for r in text.bigram_lm_scores(df, alpha=0.1, group_col="lang").collect()
+    }
+
+    def model(ref_texts):
+        vocab, c2, c1 = set(), {}, {}
+        for t in ref_texts:
+            ts = t.split()
+            vocab.update(ts)
+            for c, w in zip(["<s>"] + ts[:-1], ts):
+                c2[(c, w)] = c2.get((c, w), 0) + 1
+                c1[c] = c1.get(c, 0) + 1
+        return vocab, c2, c1
+
+    def xent(t, vocab, c2, c1, vsz):
+        ts = t.split()
+        s = 0.0
+        for c, w in zip(["<s>"] + ts[:-1], ts):
+            cm = c if (c == "<s>" or c in vocab) else "<unk>"
+            wm = w if w in vocab else "<unk>"
+            s += math.log((c2.get((cm, wm), 0) + 0.1) / (c1.get(cm, 0) + 0.1 * vsz))
+        return round(-s / len(ts) + 5e-10, 6)
+
+    by_lang = {}
+    for _, t, l in rows:
+        if t.strip():
+            by_lang.setdefault(l, []).append(t)
+    for i, t, l in rows:
+        if not t.strip():
+            assert got[i] == (0, None)
+            continue
+        vocab, c2, c1 = model(by_lang[l])
+        assert got[i][1] == pytest.approx(xent(t, vocab, c2, c1, len(vocab) + 1), abs=1e-9)
+    # the same de text scored under a ref that only covers 'en' -> its
+    # group has no model: empty-vocabulary uniform, xent exactly 0
+    ref_en = df.filter(F.col("lang") == "en")
+    got2 = {
+        r["doc_id"]: r["lm_xent"]
+        for r in text.bigram_lm_scores(df, ref=ref_en, alpha=0.1, group_col="lang").collect()
+    }
+    assert got2[2] == 0.0 and got2[3] == 0.0
+    assert got2[0] == got[0][1]  # en docs unchanged (same slice trains them)

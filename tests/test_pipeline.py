@@ -530,3 +530,54 @@ def test_shuffle_shards_deterministic_permutation(spark):
     assert out2 == expect
     with pytest.raises(ValueError):
         pipeline.shuffle_shards(docs, n_shards=0)
+
+
+def test_curate_corpus_v2_lm_gate_between_stages(spark):
+    """curate_corpus_v2 == curate_corpus with the per-language LM
+    perplexity gate spliced in: with a permissive cut the two pipelines
+    agree exactly; with a strict cut the LM stage's drops (and only those)
+    disappear from the output."""
+    from graphchidb_scala_spark.functions import text
+
+    rows = []
+    # 30 clean en docs (repeating reference-ish text), 4 noise docs whose
+    # vocabulary is unique per doc -> high own-language cross-entropy
+    for i in range(30):
+        rows.append((i, "the cat sat on the mat and the dog sat too word%d ok" % (i % 3), "en", "src0"))
+    for i in range(4):
+        rows.append((100 + i, f"zz{i}a qq{i}b xx{i}c vv{i}d nn{i}e mm{i}f", "en", "src1"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    benchmark = spark.createDataFrame(
+        [(999, "completely disjoint benchmark text here today", "en", "src9")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    v1 = {
+        r["doc_id"]
+        for r in pipeline.curate_corpus(
+            docs, benchmark, min_tokens=5, min_quality=0.0, langs=None,
+            shingle_k=5, cap=50,
+        ).collect()
+    }
+    permissive = {
+        r["doc_id"]
+        for r in pipeline.curate_corpus_v2(
+            docs, benchmark, min_tokens=5, min_quality=0.0, langs=None,
+            lm_xent_max=1e9, shingle_k=5, cap=50,
+        ).collect()
+    }
+    assert permissive == v1
+    # strict cut: keep docs below the noise docs' scores
+    filt = text.filter_documents(docs, min_tokens=5, min_quality=0.0, langs=None)
+    lm = {r["doc_id"]: r["lm_xent"] for r in text.bigram_lm_scores(
+        filt, group_col="lang").collect()}
+    cut = min(lm[100 + i] for i in range(4) if (100 + i) in lm) - 1e-6
+    strict = {
+        r["doc_id"]
+        for r in pipeline.curate_corpus_v2(
+            docs, benchmark, min_tokens=5, min_quality=0.0, langs=None,
+            lm_xent_max=cut, shingle_k=5, cap=50,
+        ).collect()
+    }
+    expected_drops = {d for d, x in lm.items() if x is not None and x > cut}
+    assert strict == v1 - expected_drops
+    assert any(100 + i in expected_drops for i in range(4))
