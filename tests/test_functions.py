@@ -3226,3 +3226,52 @@ def test_bigram_lm_scores_per_group_models(spark):
     }
     assert got2[2] == 0.0 and got2[3] == 0.0
     assert got2[0] == got[0][1]  # en docs unchanged (same slice trains them)
+
+
+def test_resize_images_nearest_neighbor_end_to_end(spark):
+    """resize_images: PNG/BMP/PPM payloads downsample to max_side via
+    nearest-neighbor (python-model pixel parity), re-encode as P6 PPM with
+    rewritten meta; small images and non-image rows pass through; the
+    resized stage composes with extract_features."""
+    import json
+
+    px = [
+        [((x * 37 + row * 91) % 256, (x * 11) % 256, (row * 53 + 7 * x) % 256) for x in range(8)]
+        for row in range(6)
+    ]
+    flat = [c for rowp in px for p in rowp for c in p]
+    ppm = _make_ppm(8, 6, flat)
+    png = _make_png(8, 6, px, filters=[0, 1, 2, 3, 4, 2])
+    bmp = _make_bmp(8, 6, px, bits=24)
+    wav = b"RIFF" + b"\x00" * 40
+    media = spark.createDataFrame(
+        [(1, "image", ppm, '{"a": 1}'), (2, "image", png, "{}"),
+         (3, "image", bmp, None), (4, "audio", wav, "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, max_side=4).collect()}
+
+    # python model: tw=4, th=3; target (x,y) samples (x*8//4, y*6//3)
+    expect = bytearray()
+    for y in range(3):
+        for x in range(4):
+            r, g, b = px[y * 6 // 3][x * 8 // 4]
+            expect += bytes((r, g, b))
+    for mid in (1, 2, 3):
+        w, h, maxval, rgb = multimodal.decode_rgb(bytes(out[mid]["payload"]))
+        assert (w, h) == (4, 3)
+        assert rgb == bytes(expect)
+        meta = json.loads(out[mid]["meta"])
+        assert meta["width"] == 4 and meta["source_width"] == 8
+    assert json.loads(out[1]["meta"])["a"] == 1  # prior meta keys kept
+    assert bytes(out[4]["payload"]) == wav  # non-image passthrough
+    # no upscale: already-small image is byte-stable modulo canonical PPM
+    small = multimodal.resize_images(media.filter("media_id = 1"), max_side=64)
+    w, h, _, rgb = multimodal.decode_rgb(bytes(small.collect()[0]["payload"]))
+    assert (w, h) == (8, 6) and rgb == bytes(flat)
+    # resized output feeds the stats decoder unchanged
+    feats = multimodal.extract_features(
+        multimodal.resize_images(media.filter("kind = 'image'"), max_side=4),
+        decoder=multimodal.builtin_decoder,
+    ).collect()
+    assert all(r["features"][0] == 4.0 and r["features"][1] == 3.0 for r in feats)
