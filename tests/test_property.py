@@ -838,3 +838,47 @@ def test_crossing_salt_factor_probe(spark):
     assert dedup.crossing_salt_factor(bal, 32) == 1
     empty = spark.createDataFrame([], "id bigint, bkt string, _lbl bigint")
     assert dedup.crossing_salt_factor(empty, 32) == 1
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1))
+def test_bigram_lm_scores_ref_determined_and_grouped_consistency(spark, seed):
+    """Two LM invariants on random tiny-vocab corpora: (1) with an explicit
+    ref, a document's score depends ONLY on (its text, the ref) — adding or
+    removing OTHER scored docs never moves it; (2) grouped mode over a
+    single-group corpus equals global mode with the same ref."""
+    from graphchidb_scala_spark.functions import text as T
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+
+    ref_rows = [(1000 + i, doc(), "en") for i in range(4)]
+    core = [(0, doc(), "en"), (1, doc(), "en")]
+    extra = [(2, doc(), "en"), (3, doc(), "en")]
+    schema = "doc_id bigint, text string, lang string"
+    ref = spark.createDataFrame(ref_rows, schema)
+    small = spark.createDataFrame(core, schema)
+    big = spark.createDataFrame(core + extra, schema)
+    s_small = {
+        r["doc_id"]: r["lm_xent"]
+        for r in T.bigram_lm_scores(small, ref=ref, alpha=0.1).collect()
+    }
+    s_big = {
+        r["doc_id"]: r["lm_xent"]
+        for r in T.bigram_lm_scores(big, ref=ref, alpha=0.1).collect()
+    }
+    for i, _, _ in core:
+        assert s_small[i] == s_big[i]
+    # grouped(single group, ref=ref) == global(ref=ref)
+    s_grouped = {
+        r["doc_id"]: r["lm_xent"]
+        for r in T.bigram_lm_scores(big, ref=ref, alpha=0.1, group_col="lang").collect()
+    }
+    s_global = {
+        r["doc_id"]: r["lm_xent"]
+        for r in T.bigram_lm_scores(big, ref=ref, alpha=0.1).collect()
+    }
+    assert s_grouped == s_global
