@@ -626,6 +626,27 @@ CHECKS = {
         ),
         ["Window", "partial_count", "!Join"],
     ),
+    # bigram LM (r11): model tables join on token keys (equi); the only
+    # nested loop is the broadcast 1-row V+1 constant; never a cartesian
+    "bigram_lm_equi_model_joins": (
+        lambda g, docs, emb: text.bigram_lm_scores(docs),
+        ["partial_count", "!CartesianProduct"],
+    ),
+    # hard-negative mining (r11): pinned cell equi-join, label filter in
+    # the join stage — no cartesian, no nested loop
+    "hard_negatives_pinned_equi_join": (
+        lambda g, docs, emb: similarity.hard_negatives_ivf(
+            emb, k=3, nprobe=2,
+            codebook=[(0, [0.0] * 64), (1, [1.0] * 64)],
+        ),
+        ["REPARTITION_BY_NUM", "!CartesianProduct", "!BroadcastNestedLoop"],
+    ),
+    # yield curve (r11): decile histogram + 10-row window — the corpus is
+    # touched once, never exploded per threshold
+    "yield_curve_single_histogram": (
+        lambda g, docs, emb: text.quality_yield_curve(docs),
+        ["partial_count", "Window", "!CartesianProduct"],
+    ),
 }
 
 
