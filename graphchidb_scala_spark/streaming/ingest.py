@@ -638,6 +638,7 @@ def stream_neardup_ingest(
     bands: int = 32,
     k: int = 5,
     compact_files_per_dir: int = 8,
+    min_quality: float | None = None,
 ):
     """Structured-Streaming incremental near-dup ingestion — the
     crawl-loop composition of the persisted screening index
@@ -649,6 +650,13 @@ def stream_neardup_ingest(
     accepted-corpus parquet and their buckets to the index. Invariant
     (pytest-asserted): no two accepted documents ever share a band bucket,
     within or across batches; earlier batches win.
+
+    ``min_quality`` prepends the C4-style heuristic gate to every
+    micro-batch (drop documents whose rounded quality_score falls below
+    the floor BEFORE any banding work): a crawl loop filters garbage
+    first, so the dedup index never pays bucket writes for documents the
+    pipeline would discard anyway. A pure-projection filter — no extra
+    shuffle.
 
     Scale shape per micro-batch: the members clustering is docs·bands
     rows, the batch is banded ONCE (the buckets-in/buckets-out seam —
@@ -670,6 +678,12 @@ def stream_neardup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if min_quality is not None:
+            from graphchidb_scala_spark.functions.text import quality_score
+
+            batch_df = batch_df.filter(
+                quality_score(F.col(text_col)) >= float(min_quality)
+            )
         cl = minhash_cluster_members(
             batch_df, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, bands=bands, k=k,

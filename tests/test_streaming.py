@@ -1044,3 +1044,96 @@ def test_int_src_store_probe_and_degrees_exact(spark, tmp_path):
     }
     got = {r["id"]: (r["in_deg"], r["out_deg"]) for r in st.degrees_view().collect()}
     assert got == want
+
+
+def test_stream_neardup_ingest_quality_screen(spark, tmp_path):
+    """min_quality prepends the heuristic gate to every micro-batch: junk
+    documents (punctuation noise / too-short) are dropped BEFORE banding,
+    never reach the accepted corpus or the index, and the near-dup
+    invariant still holds for the survivors."""
+    from graphchidb_scala_spark.functions.text import quality_score
+    from graphchidb_scala_spark.streaming.ingest import stream_neardup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    junk = "!!! ??? *** !!! ??? *** !!! ???"
+    b0 = [(1, base), (2, junk)]
+    b1 = [(10, base), (11, junk), (12, "a completely different clean document "
+                                       "about distributed query engines")]
+    src = tmp_path / "docs_q_in"
+    src.mkdir()
+    import time as _t
+
+    spark.createDataFrame(b0, "doc_id bigint, text string").coalesce(1).write.json(
+        str(src / "b0")
+    )
+    _t.sleep(1.1)
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.json(
+        str(src / "b1")
+    )
+    # pick a floor between the junk docs' scores and the clean docs'
+    rows = b0 + b1
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in spark.createDataFrame(rows, "doc_id bigint, text string")
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .collect()
+    }
+    floor = max(scores[2], scores[11]) + 1e-4
+    assert floor < min(scores[1], scores[10], scores[12])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    idx = str(tmp_path / "nd_q_index")
+    acc = str(tmp_path / "accepted_q")
+    q = stream_neardup_ingest(stream, idx, acc, min_quality=floor)
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    assert got == [1, 12], got  # junk gone, dup of 1 screened, clean kept
+    # the junk never paid index writes: no bucket row carries id 2 or 11
+    idx_ids = {r["id"] for r in spark.read.parquet(idx).select("id").collect()}
+    assert idx_ids == {1, 12}
+
+
+def test_streaming_multimodal_resize_and_features(spark, tmp_path):
+    """The multimodal stages are stream-transparent: readStream over media
+    parquet -> resize_images -> extract_features -> memory sink yields the
+    same stats the batch path computes on the resized payloads (both are
+    stateless mapInPandas, so structured streaming runs them per
+    micro-batch unchanged)."""
+    from graphchidb_scala_spark.functions import multimodal
+
+    def ppm(w, h, px):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(px)
+
+    px = [(x * 13 + y * 7) % 256 for y in range(6) for x in range(8) for _ in range(3)]
+    media_rows = [(1, "image", ppm(8, 6, px), "{}"), (2, "image", ppm(8, 6, px), "{}")]
+    src = tmp_path / "media_in"
+    spark.createDataFrame(media_rows, multimodal.MEDIA_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(multimodal.MEDIA_SCHEMA).parquet(str(src))
+    feats = multimodal.extract_features(
+        multimodal.resize_images(stream, max_side=4),
+        decoder=multimodal.builtin_decoder,
+    )
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("mm_feats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["media_id"]: r["features"] for r in spark.sql("select * from mm_feats").collect()}
+    batch = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            multimodal.resize_images(
+                spark.createDataFrame(media_rows, multimodal.MEDIA_SCHEMA), max_side=4
+            ),
+            decoder=multimodal.builtin_decoder,
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    for mid in got:
+        assert got[mid] == batch[mid]
+        assert got[mid][0] == 4.0 and got[mid][1] == 3.0  # resized dims
