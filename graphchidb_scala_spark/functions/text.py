@@ -111,6 +111,36 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: entity decode order — &amp; LAST so freshly-decoded ampersands never
+#: re-trigger earlier entities (the standard double-decode hazard)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """HTML → text as a pure Column expression (JVM-side, codegen — the
+    boilerplate-strip step after :func:`~..sources.warc.read_documents_warc`
+    at crawl scale, where a Python-side parser per document would be the
+    whole job's cost): drop script/style blocks and comments, replace every
+    tag with a space (so words never fuse across tags), decode the six
+    common entities, collapse whitespace. Sticks to the Java-regex ∩ RE2
+    portable subset (no backreferences — script and style get separate
+    patterns), so a DuckDB twin can run the same strings."""
+    out = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 # ----------------------------------------------------------------- fingerprints
 
 def fingerprint(text: Column) -> Column:

@@ -134,3 +134,88 @@ def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
     write_documents_jsonl(docs, str(out))
     back, _ = read_documents_jsonl(spark, str(out))
     assert {r["doc_id"] for r in back.collect()} == {1, 2, 3}
+
+
+def _make_warc(records):
+    """Byte-build a WARC file. records: list of (warc_type, record_id, url,
+    body_bytes, http_headers: bool)."""
+    out = bytearray()
+    for wtype, rid, url, body, http in records:
+        if http:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+        hdr = [
+            b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Record-ID: " + rid.encode(),
+            b"WARC-Date: 2024-01-01T00:00:00Z",
+            b"Content-Type: application/http; msgtype=response",
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        if url:
+            hdr.insert(3, b"WARC-Target-URI: " + url.encode())
+        out += b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+    return bytes(out)
+
+
+def test_warc_ingest_and_strip_html(spark, tmp_path):
+    """read_documents_warc: response/conversion records become documents
+    (HTTP headers stripped, request/metadata records skipped), gzip and
+    plain files parse identically, and strip_html's column expression
+    matches a python reference on the crawled bodies."""
+    import gzip
+    import re as _re
+
+    from graphchidb_scala_spark.functions.text import strip_html
+    from graphchidb_scala_spark.sources.warc import (
+        parse_warc_records, read_documents_warc,
+    )
+
+    html = (
+        b"<html><head><style>p {color: red}</style>"
+        b"<script>var x = '<p>';</script></head>"
+        b"<body><!-- note --><h1>Hello &amp; welcome</h1>"
+        b"<p>line one</p><p>line&nbsp;two &lt;tag&gt;</p></body></html>"
+    )
+    plain = b"already plain text from a conversion record"
+    recs = [
+        ("response", "<urn:uuid:r1>", "http://a.example/x", html, True),
+        ("request", "<urn:uuid:q1>", "http://a.example/x", b"GET / HTTP/1.1", False),
+        ("conversion", "<urn:uuid:r2>", "http://b.example/y", plain, False),
+        ("metadata", "<urn:uuid:m1>", None, b"fetchDuration: 12", False),
+    ]
+    blob = _make_warc(recs)
+    # stdlib parser unit: 2 documents, http headers stripped, ids stable
+    docs = parse_warc_records(blob)
+    assert [d["record_id"] for d in docs] == ["<urn:uuid:r1>", "<urn:uuid:r2>"]
+    assert docs[0]["text"].encode() == html
+    assert docs[1]["text"] == plain.decode()
+    assert parse_warc_records(gzip.compress(blob)) == docs
+
+    d = tmp_path / "warc_in"
+    d.mkdir()
+    (d / "a.warc").write_bytes(blob)
+    (d / "b.warc.gz").write_bytes(gzip.compress(blob))
+    got = read_documents_warc(spark, str(d)).collect()
+    assert len(got) == 4  # 2 docs x 2 files
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    assert set(by_url) == {"http://a.example/x", "http://b.example/y"}
+
+    # strip_html column op vs a python reference
+    df = spark.createDataFrame([(1, html.decode())], "doc_id bigint, text string")
+    got_txt = df.select(strip_html(F.col("text")).alias("t")).collect()[0]["t"]
+
+    s = html.decode()
+    s = _re.sub(r"(?is)<script[^>]*>.*?</script>", " ", s)
+    s = _re.sub(r"(?is)<style[^>]*>.*?</style>", " ", s)
+    s = _re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = _re.sub(r"<[^>]*>", " ", s)
+    for ent, repl in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                      ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, repl)
+    s = _re.sub(r"\s+", " ", s).strip()
+    assert got_txt == s
+    assert got_txt == "Hello & welcome line one line two <tag>"
