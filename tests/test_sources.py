@@ -219,3 +219,35 @@ def test_warc_ingest_and_strip_html(spark, tmp_path):
     s = _re.sub(r"\s+", " ", s).strip()
     assert got_txt == s
     assert got_txt == "Hello & welcome line one line two <tag>"
+
+
+def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
+    """Crawl-to-corpus integration: WARC files -> read_documents_warc ->
+    strip_html -> C4 filter + exact dedup. The duplicate page keeps one
+    survivor, the junk page fails the quality gate, and the clean pages
+    arrive as plain text."""
+    from graphchidb_scala_spark.functions.text import filter_documents, strip_html
+    from graphchidb_scala_spark.sources.warc import read_documents_warc
+
+    page = (
+        "<html><body><p>"
+        + " ".join(f"clean readable sentence number {i} with plenty of words" for i in range(3))
+        + "</p></body></html>"
+    )
+    junk = "<html><body>!!! ??? *** !!!</body></html>"
+    recs = [
+        ("response", "<urn:uuid:p1>", "http://a/1", page.encode(), True),
+        ("response", "<urn:uuid:p2>", "http://a/2", page.encode(), True),  # dup
+        ("response", "<urn:uuid:p3>", "http://a/3", junk.encode(), True),
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "crawl-00000.warc").write_bytes(_make_warc(recs))
+    docs = read_documents_warc(spark, str(d)).select(
+        "doc_id", "url", strip_html(F.col("text")).alias("text")
+    )
+    kept = filter_documents(docs, min_tokens=5, min_quality=0.3, langs=None)
+    rows = kept.collect()
+    assert len(rows) == 1  # one survivor of the dup pair; junk gated out
+    assert rows[0]["text"].startswith("clean readable sentence number 0")
+    assert "<" not in rows[0]["text"]
