@@ -125,6 +125,81 @@ def save_postings_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_postings_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a persisted inverted index
+    (:func:`save_postings_index`) WITHOUT rebuilding: the new documents'
+    postings are bucketed with the index's OWN ``n_buckets`` (read from the
+    meta sidecar) and ``mode("append")``-ed into their ``_tb`` partition
+    directories — prior files never rewritten, probes keep partition
+    pruning — and the one-row meta is advanced by the batch's (docs,
+    token-length) totals, so idf/avgdl stay EXACT: a probe of the appended
+    index returns score-identical results to a full rebuild over the union
+    corpus (pytest-pinned). Returns the number of documents appended.
+
+    ``skip_existing=True`` anti-joins the batch against the index's id
+    column (column-pruned scan) so re-delivered documents are idempotent —
+    the same receipt semantics as ``similarity.append_ivf_index``; pass
+    ``False`` when the source guarantees unique ids. The crawl-loop
+    pattern: `stream_neardup_ingest` accepts survivors → this appends
+    them to the search index, one micro-batch at a time."""
+    from graphchidb_scala_spark.checkpoint import cut_lineage
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    batch = docs.select(F.col(id_col).cast("bigint").alias(id_col), F.col(text_col))
+    if skip_existing:
+        batch = batch.join(
+            spark.read.parquet(f"{path}/postings")
+            .select(F.col(id_col).cast("bigint").alias(id_col))
+            .distinct(),
+            id_col,
+            "anti",
+        )
+    batch = cut_lineage(batch)
+    lens = batch.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl"), F.col(text_col)
+    )
+    row = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_new = int(row["n_docs"])
+    if n_new == 0:
+        return 0
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    postings = (
+        lens.select(F.col(id_col), "dl", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("_tb", F.pmod(md5_hash60(F.col("tok")), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition("_tb")
+        .write.partitionBy("_tb")
+        .mode("append")
+        .parquet(f"{path}/postings")
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(meta["n_docs"]) + n_new,
+                int(meta["sum_dl"]) + int(row["sum_dl"] or 0),
+                n_buckets,
+            )
+        ],
+        "n_docs bigint, sum_dl bigint, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_new
+
+
 def _probe_postings(spark, path: str, terms: Sequence[str]):
     import hashlib
 

@@ -133,3 +133,42 @@ def test_hybrid_rrf_fusion_semantics(spark, corpus):
     # ordering: rrf desc, id asc
     keys = [(-r["rrf"], r["doc_id"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_append_postings_index_equals_rebuild(spark, corpus, tmp_path):
+    """append_postings_index: appended index == full rebuild over the union
+    corpus, SCORE-identical for tfidf and bm25 (the meta advance keeps
+    idf/avgdl exact); re-delivered docs are idempotent; prior bucket files
+    never rewritten."""
+    import os
+
+    base = corpus.filter("doc_id <= 3")
+    extra_rows = [
+        (4, "window"),
+        (5, "table row value key"),
+        (6, "spark window spark fresh crawl document"),
+    ]
+    extra = spark.createDataFrame(extra_rows, "doc_id bigint, text string")
+    union = base.unionByName(extra)
+
+    grown = str(tmp_path / "idx_grown")
+    search.save_postings_index(base, grown, n_buckets=16)
+    before = set(spark.read.parquet(f"{grown}/postings").inputFiles())
+    assert search.append_postings_index(extra, grown) == 3
+    after = set(spark.read.parquet(f"{grown}/postings").inputFiles())
+    assert before <= after and len(after) > len(before)
+    for f in before:
+        assert os.path.exists(f.replace("file:", ""))
+
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    search.save_postings_index(union, rebuilt, n_buckets=16)
+    terms = ["spark", "merge", "window", "crawl"]
+    for fn in (search.tfidf_search_indexed, search.bm25_search_indexed):
+        g = {r["doc_id"]: r["score"] for r in fn(spark, grown, terms, k=20).collect()}
+        r = {r["doc_id"]: r["score"] for r in fn(spark, rebuilt, terms, k=20).collect()}
+        assert g == r and 6 in g
+
+    # idempotent re-delivery: nothing appended, meta unchanged
+    assert search.append_postings_index(extra, grown) == 0
+    m = spark.read.parquet(f"{grown}/meta").collect()[0]
+    assert (m["n_docs"], m["n_buckets"]) == (7, 16)
