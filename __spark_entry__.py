@@ -373,6 +373,48 @@ FROM tok t LEFT JOIN s ON s.doc_id = t.doc_id
 """.strip()
 
 
+_HTML_PRE = (
+    '<html><head><style>p {color: red}</style></head>'
+    '<body onload="init()"><!-- boilerplate --><p class="main">'
+)
+_HTML_POST = (
+    '</p><script type="text/javascript">var a = 1 < 2; alert("&amp;");</script>'
+    '<div>tail&nbsp;&lt;keep&gt; &quot;q&quot; &#39;s&#39; &amp; done</div></body></html>'
+)
+
+
+def _q_doc_strip_html(spark, sf):
+    """Cross-engine regex-parity key for text.strip_html: wrap every
+    document in a fixed HTML shell exercising ALL the strip rules
+    (style+script blocks with embedded '<', comments, attributed tags,
+    the six entities), strip it back, and hash-compare — pins the Java
+    and RE2 engines to identical semantics on the exact production
+    patterns."""
+    docs = _docs(spark, sf)
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", text.strip_html(html).alias("clean"))
+
+
+def _strip_html_sql() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""
+SELECT doc_id, trim(regexp_replace(
+  replace(replace(replace(replace(replace(replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace('{pre}' || text || '{post}',
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+    '<[^>]*>', ' ', 'g'),
+  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+  '\\s+', ' ', 'g')) AS clean
+FROM documents
+""".strip()
+
+
 def _q_token_fertility(spark, sf):
     """Tokenizer-fertility audit per language (text.token_fertility_by_lang):
     whitespace words vs BPE-style subword tokens and their ratio — which
@@ -4051,6 +4093,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation capstone v2: heuristic gate -> per-lang LM perplexity
         # gate -> decontam -> cap (r11)
         "doc_curate_corpus_v2": _q_doc_curate_v2,
+        # HTML->text strip with a rule-exercising shell (regex parity, r11)
+        "doc_strip_html": _q_doc_strip_html,
         # tokenizer-fertility audit per language (r11)
         "token_fertility_by_lang": _q_token_fertility,
         # quality-filter yield curve: survivors per threshold decile (r11)
@@ -5426,6 +5470,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "hard_negatives_kmeans": _hard_negatives_kmeans_sql(k=3, nprobe=2),
         "doc_lm_xent_by_lang": _lm_xent_grouped_sql(alpha=0.1),
         "doc_curate_corpus_v2": _curate_v2_sql(lm_max=3.38),
+        "doc_strip_html": _strip_html_sql(),
         "token_fertility_by_lang": _token_fertility_sql(),
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),

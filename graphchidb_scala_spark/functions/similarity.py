@@ -1014,6 +1014,63 @@ def ann_topk_ivf_indexed(
     return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_ivf_indexed_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Batch-probe a persisted IVF index (:func:`save_ivf_index`) with a
+    whole DataFrame of query vectors — the production retrieval shape
+    (embedding-search services answer batches, not single vectors).
+    Returns DF(qid, vec_id, cos_sim), ≤k rows per query, (cos_sim DESC,
+    vec_id ASC) per qid, sim rounded to 4.
+
+    Scale plan: per-query probe selection is a map-only projection
+    (codebook literals / Arrow matmul — same tiers as
+    :func:`knn_graph_ivf`); the UNION of probed cells is collected once
+    (≤K tiny ints) and pushed as a partition-column ``isin`` filter, so
+    the scan plans ONLY the directories some query probes — cells no
+    query wants are never listed or read; then one cell-id equi-join at
+    pinned parallelism and a per-qid top-k window. Per-batch cost is
+    O(|Q|·nprobe·N/K) candidate rows, independent of how many cold cells
+    the index holds."""
+    from pyspark.sql.window import Window
+
+    codebook = load_ivf_codebook(spark, path)
+    q = queries.select(
+        F.col(query_id_col).cast("bigint").alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    if len(codebook) > _LITERAL_CODEBOOK_MAX:
+        q = probe_cells_arrow(q, codebook, nprobe, vec_col="_qv").select(
+            "qid", "_qv", F.explode("_probes").alias("_cell")
+        )
+    else:
+        q = q.select(
+            "qid", "_qv",
+            F.explode(probe_cells(F.col("_qv"), codebook, nprobe)).alias("_cell"),
+        )
+    q = cut_lineage(q)
+    cells = [int(r["_cell"]) for r in q.select("_cell").distinct().collect()]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("_cell").isin(cells))
+    nparts = spark.sparkContext.defaultParallelism
+    pairs = q.repartition(nparts, "_cell").join(
+        vecs.repartition(nparts, "_cell"), "_cell"
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 4)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.select("qid", id_col, sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def ann_topk_ivf_int8_indexed(
     spark,
     path: str,

@@ -3275,3 +3275,49 @@ def test_resize_images_nearest_neighbor_end_to_end(spark):
         decoder=multimodal.builtin_decoder,
     ).collect()
     assert all(r["features"][0] == 4.0 and r["features"][1] == 3.0 for r in feats)
+
+
+def test_ann_ivf_indexed_batch_matches_single_probes(spark, tmp_path):
+    """Batch probe == per-query probe, query for query; the scan carries
+    the union-of-probed-cells partition filter (planning-time pruning),
+    and a batch whose queries all probe one cell filters to just it."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    rows = []
+    for i in range(12):
+        rows.append((i, 0, [1.0, 0.001 * i]))
+        rows.append((100 + i, 1, [0.001 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivf_batch")
+    similarity.save_ivf_index(df, path)
+
+    qs = [(0, [1.0, 0.02]), (1, [1.0, 0.07]), (2, [0.03, 1.0])]
+    queries = spark.createDataFrame(qs, "qid bigint, embedding array<double>")
+    got = similarity.ann_topk_ivf_indexed_batch(
+        spark, path, queries, k=4, nprobe=1
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["cos_sim"], r["vec_id"]))
+    for qid, vec in qs:
+        single = [
+            (r["cos_sim"], r["vec_id"])
+            for r in similarity.ann_topk_ivf_indexed(spark, path, vec, k=4, nprobe=1).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda t: (-t[0], t[1])) == single, qid
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "_cell" in m.group(1)
+    # all queries in one cell -> the filter names exactly that cell
+    one = spark.createDataFrame(qs[:2], "qid bigint, embedding array<double>")
+    got1 = similarity.ann_topk_ivf_indexed_batch(spark, path, one, k=2, nprobe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got1.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "= 0" in m.group(1) and "= 1" not in m.group(1)
