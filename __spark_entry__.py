@@ -383,6 +383,45 @@ _HTML_POST = (
 )
 
 
+def _q_doc_curriculum(spark, sf):
+    """Curriculum ordering (pipeline.curriculum_order): 3 quality-quantile
+    stages, cleanest first (descending), seeded md5 shuffle within each
+    stage, one global training position. Deterministic: ntile + pos ride
+    total orders (rounded quality, id tie-break)."""
+    from graphchidb_scala_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf)
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return pipeline.curriculum_order(
+        scored, "quality", n_stages=3, seed=42, descending=True
+    )
+
+
+def _curriculum_sql(n_stages: int = 3, seed: int = 42) -> str:
+    punct = "text"
+    for ch in text.PUNCT_CHARS:
+        punct = f"replace({punct}, '{ch}', '')"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    round(least(1.0, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 50.0)
+    * (1.0 - CAST(length(text) - length({punct}) AS DOUBLE)
+           / greatest(CAST(length(text) AS DOUBLE), 1.0)), 4) AS quality
+  FROM documents
+),
+st AS (
+  SELECT doc_id, quality,
+         ntile({n_stages}) OVER (ORDER BY quality DESC, doc_id) AS stage
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, CAST(stage AS INT) AS stage,
+       CAST(row_number() OVER (ORDER BY stage,
+            md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+FROM st
+""".strip()
+
+
 def _q_doc_strip_html(spark, sf):
     """Cross-engine regex-parity key for text.strip_html: wrap every
     document in a fixed HTML shell exercising ALL the strip rules
@@ -4095,6 +4134,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curate_corpus_v2": _q_doc_curate_v2,
         # HTML->text strip with a rule-exercising shell (regex parity, r11)
         "doc_strip_html": _q_doc_strip_html,
+        # curriculum ordering: quality-quantile stages, seeded in-stage
+        # shuffle, one global training position (r11)
+        "doc_curriculum_order": _q_doc_curriculum,
         # tokenizer-fertility audit per language (r11)
         "token_fertility_by_lang": _q_token_fertility,
         # quality-filter yield curve: survivors per threshold decile (r11)
@@ -5471,6 +5513,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_lm_xent_by_lang": _lm_xent_grouped_sql(alpha=0.1),
         "doc_curate_corpus_v2": _curate_v2_sql(lm_max=3.38),
         "doc_strip_html": _strip_html_sql(),
+        "doc_curriculum_order": _curriculum_sql(n_stages=3, seed=42),
         "token_fertility_by_lang": _token_fertility_sql(),
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),

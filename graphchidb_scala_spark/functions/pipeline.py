@@ -801,3 +801,41 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("_h")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Curriculum data ordering for training: split the corpus into
+    ``n_stages`` difficulty stages by score quantile (ntile over the
+    rounded score, id tie-break — a total order, so stage assignment is
+    deterministic and engine-portable), then emit a global training
+    position that walks the stages in order with a SEEDED md5 shuffle
+    inside each stage — easy→hard curriculum with within-stage
+    randomness, reproducible across runs, engines, and resumes (no
+    rand()). DF(id, score, stage, pos); ``descending=True`` treats HIGH
+    scores as stage 1 (e.g. quality: cleanest first).
+
+    Scale note: the ntile and the global pos are single-sort windows —
+    exact stage boundaries cost one global sort, same trade as
+    :func:`~.text.perplexity_buckets`; at 100 TB swap the ntile for a
+    sampled-quantile cut and the pos window for (stage, shard)-local
+    positions via :func:`shuffle_shards` per stage."""
+    if n_stages <= 0:
+        raise ValueError("n_stages must be positive")
+    order = [
+        F.desc(score_col) if descending else F.asc(score_col), F.asc(id_col)
+    ]
+    w_stage = Window.orderBy(*order)
+    skey = F.md5(F.concat_ws(":", F.lit(int(seed)), F.col(id_col).cast("string")))
+    w_pos = Window.orderBy(F.asc("stage"), skey, F.asc(id_col))
+    return (
+        df.select(F.col(id_col), F.col(score_col))
+        .withColumn("stage", F.ntile(int(n_stages)).over(w_stage))
+        .withColumn("pos", (F.row_number().over(w_pos) - 1).cast("bigint"))
+    )

@@ -581,3 +581,35 @@ def test_curate_corpus_v2_lm_gate_between_stages(spark):
     expected_drops = {d for d, x in lm.items() if x is not None and x > cut}
     assert strict == v1 - expected_drops
     assert any(100 + i in expected_drops for i in range(4))
+
+
+def test_curriculum_order_stages_and_positions(spark):
+    """curriculum_order vs a python model: quantile stages over the score
+    (descending = best first), stages walked in order, seeded-md5 shuffle
+    within each stage, pos a 0-based global permutation."""
+    import hashlib
+
+    rows = [(i, float(100 - i)) for i in range(10)]  # score strictly falls with id
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = {r["doc_id"]: (r["stage"], r["pos"]) for r in
+           pipeline.curriculum_order(df, "score", n_stages=3, seed=7,
+                                     descending=True).collect()}
+    # ntile(3) over score DESC == over doc_id ASC here: sizes 4,3,3
+    by_rank = sorted(rows, key=lambda t: (-t[1], t[0]))
+    stage_of = {}
+    sizes = [4, 3, 3]
+    idx = 0
+    for s, size in enumerate(sizes, start=1):
+        for _ in range(size):
+            stage_of[by_rank[idx][0]] = s
+            idx += 1
+    order = sorted(
+        rows,
+        key=lambda t: (stage_of[t[0]], hashlib.md5(f"7:{t[0]}".encode()).hexdigest(), t[0]),
+    )
+    for pos, (i, _) in enumerate(order):
+        assert got[i] == (stage_of[i], pos), i
+    # all positions form one permutation
+    assert sorted(p for _, p in got.values()) == list(range(10))
+    with pytest.raises(ValueError):
+        pipeline.curriculum_order(df, "score", n_stages=0)
