@@ -1719,6 +1719,59 @@ def save_ivfpq_index(
     )
 
 
+def append_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> int:
+    """Incrementally grow a persisted IVF-PQ index
+    (:func:`save_ivfpq_index`) — the same frozen-quantizer append contract
+    as :func:`append_ivf_index`, for the codes-only flagship layout: new
+    vectors are PQ-encoded with the STORED codebooks (both sidecars read
+    back, geometry untouched) and their (id, pq_codes) rows mode-appended
+    into the IVF cell directories. Probes keep planning-time pruning and
+    ADC tables stay valid because no codebook moved. Returns vectors
+    appended; re-deliveries are idempotent via the column-pruned id
+    anti-join (``skip_existing=False`` skips even that scan). Drift
+    semantics as documented on :func:`append_ivf_index`: monitor cell
+    growth, rebuild when the frozen geometry stops fitting."""
+    spark = df.sparkSession
+    ivf_cb = load_ivf_codebook_at(spark, f"{path}/ivf_codebook")
+    pq_cbs = load_pq_codebooks(spark, path)
+    batch = df.select(F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col))
+    if skip_existing:
+        batch = batch.join(
+            spark.read.parquet(f"{path}/codes").select(
+                F.col(id_col).cast("bigint").alias(id_col)
+            ),
+            id_col,
+            "anti",
+        )
+    batch = cut_lineage(batch)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    (
+        batch.withColumn("_cell", ivf_cell(F.col(vec_col), ivf_cb))
+        .withColumn("pq_codes", _pq_code_col(F.col(vec_col), pq_cbs))
+        .select(F.col(id_col), "pq_codes", "_cell")
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("append")
+        .parquet(f"{path}/codes")
+    )
+    return n_new
+
+
+def load_ivf_codebook_at(spark, sidecar_path: str) -> list[tuple[int, list[float]]]:
+    """Read an IVF codebook sidecar by its own path (the ivfpq layout
+    stores it under ``ivf_codebook`` rather than ``codebook``)."""
+    rows = spark.read.parquet(sidecar_path).collect()
+    return sorted((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows)
+
+
 def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     rows = spark.read.parquet(f"{path}/pq_codebook").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}

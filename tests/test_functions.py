@@ -3321,3 +3321,40 @@ def test_ann_ivf_indexed_batch_matches_single_probes(spark, tmp_path):
         got1.explain("formatted")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
     assert m and "= 0" in m.group(1) and "= 1" not in m.group(1)
+
+
+def test_append_ivfpq_index_grows_codes_only(spark, tmp_path):
+    """append_ivfpq_index: new vectors PQ-encode with the STORED codebooks
+    and append into their cell dirs (no rewrite, codes-only schema);
+    probes rank the appended vector first; idempotent re-delivery."""
+    import os
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+        rows.append((100 + i, 1, [-1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    path = str(tmp_path / "ivfpq_grow")
+    similarity.save_ivfpq_index(df, path, m=4, n_codes=8)
+    before = set(spark.read.parquet(f"{path}/codes").inputFiles())
+
+    batch = spark.createDataFrame(
+        [(500, [1.0] * 8), (0, [1.0] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity.append_ivfpq_index(batch, path) == 1  # id 0 re-delivered
+    after = set(spark.read.parquet(f"{path}/codes").inputFiles())
+    assert before <= after and len(after) > len(before)
+    for f in before:
+        assert os.path.exists(f.replace("file:", ""))
+    stored = spark.read.parquet(f"{path}/codes")
+    assert stored.count() == 41 and "embedding" not in stored.columns
+    # the appended vector is probe-visible and ADC-ties the cell's best
+    # (within-cluster vectors can share PQ codes, so assert on distance,
+    # not on a unique winner)
+    got = similarity.ann_topk_ivfpq(spark, path, [1.0] * 8, k=21, nprobe=1).collect()
+    by_id = {r["vec_id"]: r["pq_dist"] for r in got}
+    assert 500 in by_id
+    assert by_id[500] == min(by_id.values())
+    assert similarity.append_ivfpq_index(batch, path) == 0
