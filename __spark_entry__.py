@@ -398,18 +398,11 @@ def _q_doc_curriculum(spark, sf):
 
 
 def _curriculum_sql(n_stages: int = 3, seed: int = 42) -> str:
-    punct = "text"
-    for ch in text.PUNCT_CHARS:
-        punct = f"replace({punct}, '{ch}', '')"
+    # quality comes from the ONE shared stats twin (_doc_text_stats_sql) —
+    # a second hand-maintained copy of the formula would silently diverge
     return f"""
-WITH s AS (
-  SELECT doc_id,
-    round(least(1.0, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 50.0)
-    * (1.0 - CAST(length(text) - length({punct}) AS DOUBLE)
-           / greatest(CAST(length(text) AS DOUBLE), 1.0)), 4) AS quality
-  FROM documents
-),
+WITH prof AS ({_doc_text_stats_sql()}),
+s AS (SELECT doc_id, quality FROM prof),
 st AS (
   SELECT doc_id, quality,
          ntile({n_stages}) OVER (ORDER BY quality DESC, doc_id) AS stage
@@ -2152,7 +2145,7 @@ def _q_hard_negatives_kmeans(spark, sf):
     nearest cells — the triplet/InfoNCE negative miner, same single
     cell-equi-join scale plan as knn_graph_kmeans with the cross-label
     filter inside the join stage."""
-    emb = _emb(spark, sf)
+    emb = _emb(spark, sf).withColumn("label", F.col("label").cast("bigint"))
     cb = similarity.kmeans_codebook_portable(emb, iterations=_KMEANS_CB_ITERS)
     return similarity.hard_negatives_ivf(emb, k=3, nprobe=2, codebook=cb)
 

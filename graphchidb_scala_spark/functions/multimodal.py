@@ -371,7 +371,10 @@ def resize_rgb_nearest(
 
 
 def resize_images(
-    media: DataFrame, max_side: int = 64, batch_budget_bytes: int = 64 << 20
+    media: DataFrame,
+    max_side: int = 64,
+    rgb_decoder: Callable[[bytes], tuple[int, int, int, bytes]] = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """The multimodal *resize* stage: decode each image row's payload
     (:func:`decode_rgb` — PPM/PNG/BMP), nearest-neighbor downsample to
@@ -381,21 +384,50 @@ def resize_images(
     through untouched. MEDIA_SCHEMA → MEDIA_SCHEMA, so the stage composes
     with :func:`extract_features` and any further media transform.
 
+    ``rgb_decoder`` swaps the pixel decode (same injection contract as
+    :func:`extract_features`'s ``decoder`` — pass a PIL-backed one for
+    compressed codecs); ``on_error`` picks the bad-blob policy: ``raise``
+    (default, strict), ``drop`` (undecodable image rows vanish — one
+    corrupt blob must not kill a corpus-wide resize), or ``keep``
+    (pass the row through untouched for a later quarantine split).
+
     Scale shape: Arrow-batched mapInPandas, one batch of blobs in memory
     at a time — same contract as :func:`extract_features` (repartition by
     byte budget upstream for multi-MB payloads)."""
     import json
 
+    if on_error not in ("raise", "drop", "keep"):
+        raise ValueError("on_error must be 'raise', 'drop' or 'keep'")
+    dec = rgb_decoder if rgb_decoder is not None else decode_rgb
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = []
+            kinds = []
             payloads = []
             metas = []
-            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+            for i, p, k, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"], pdf["meta"]
+            ):
                 if k != "image":
+                    ids.append(i)
+                    kinds.append(k)
                     payloads.append(p)
                     metas.append(m)
                     continue
-                w, h, maxval, rgb = decode_rgb(bytes(p) if p is not None else b"")
+                try:
+                    w, h, maxval, rgb = dec(bytes(p) if p is not None else b"")
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    if on_error == "keep":
+                        ids.append(i)
+                        kinds.append(k)
+                        payloads.append(p)
+                        metas.append(m)
+                    continue
+                ids.append(i)
+                kinds.append(k)
                 tw, th, out = resize_rgb_nearest(w, h, rgb, int(max_side))
                 payloads.append(encode_ppm(tw, th, maxval, out))
                 try:
@@ -409,8 +441,8 @@ def resize_images(
                 metas.append(json.dumps(meta, sort_keys=True))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
+                    "media_id": ids,
+                    "kind": kinds,
                     "payload": payloads,
                     "meta": metas,
                 }

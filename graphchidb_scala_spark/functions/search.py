@@ -123,6 +123,12 @@ def save_postings_index(
         [(int(row["n_docs"]), int(row["sum_dl"] or 0), int(n_buckets))],
         "n_docs bigint, sum_dl bigint, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # (id, dl) ledger: EVERY indexed document, including zero-token ones
+    # that never appear in the postings — the append path's idempotency
+    # screen (and a cheaper one: 2 narrow columns instead of the postings)
+    lens.select(F.col(id_col).cast("bigint").alias(id_col), "dl").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/docs")
 
 
 def append_postings_index(
@@ -142,12 +148,13 @@ def append_postings_index(
     index returns score-identical results to a full rebuild over the union
     corpus (pytest-pinned). Returns the number of documents appended.
 
-    ``skip_existing=True`` anti-joins the batch against the index's id
-    column (column-pruned scan) so re-delivered documents are idempotent —
-    the same receipt semantics as ``similarity.append_ivf_index``; pass
-    ``False`` when the source guarantees unique ids. The crawl-loop
-    pattern: `stream_neardup_ingest` accepts survivors → this appends
-    them to the search index, one micro-batch at a time."""
+    ``skip_existing=True`` anti-joins the batch against the index's doc
+    LEDGER (the narrow (id, dl) sidecar — which, unlike the postings,
+    also remembers zero-token documents, so re-delivering an empty doc
+    can't re-inflate n_docs/avgdl) — re-delivered documents are
+    idempotent; pass ``False`` when the source guarantees unique ids.
+    The crawl-loop pattern: `stream_neardup_ingest` accepts survivors →
+    this appends them to the search index, one micro-batch at a time."""
     from graphchidb_scala_spark.checkpoint import cut_lineage
     from graphchidb_scala_spark.functions.dedup import md5_hash60
 
@@ -157,9 +164,7 @@ def append_postings_index(
     batch = docs.select(F.col(id_col).cast("bigint").alias(id_col), F.col(text_col))
     if skip_existing:
         batch = batch.join(
-            spark.read.parquet(f"{path}/postings")
-            .select(F.col(id_col).cast("bigint").alias(id_col))
-            .distinct(),
+            spark.read.parquet(f"{path}/docs").select(id_col),
             id_col,
             "anti",
         )
@@ -187,6 +192,7 @@ def append_postings_index(
         .mode("append")
         .parquet(f"{path}/postings")
     )
+    lens.select(F.col(id_col), "dl").write.mode("append").parquet(f"{path}/docs")
     spark.createDataFrame(
         [
             (

@@ -421,7 +421,10 @@ def hard_negatives_ivf(
     InfoNCE batches), where random negatives are too easy and same-label
     neighbors are false negatives. Returns DF(qid, q_label, nid, n_label,
     cos_sim), ≤k rows per anchor, (cos_sim DESC, nid ASC) within each
-    anchor, sim rounded to 4.
+    anchor, sim rounded to 4. Labels keep their source type (strings,
+    ints — anything equatable); rows with NULL labels mine negatives from
+    every labeled vector but are never served AS negatives to another
+    NULL-label row (null-safe inequality).
 
     Same scale plan as :func:`knn_graph_ivf` (which mines the
     *unrestricted* neighbor graph): assignment/probe selection are
@@ -435,7 +438,7 @@ def hard_negatives_ivf(
 
     if codebook is None:
         codebook = default_codebook(df, id_col=id_col, vec_col=vec_col)
-    lab = F.col(label_col).cast("bigint")
+    lab = F.col(label_col)
     if len(codebook) > _LITERAL_CODEBOOK_MAX:
         q = (
             probe_cells_arrow(
@@ -479,7 +482,9 @@ def hard_negatives_ivf(
     nparts = df.sparkSession.sparkContext.defaultParallelism
     q = q.repartition(nparts, "_cell")
     cand = cand.repartition(nparts, "_cell")
-    pairs = q.join(cand, "_cell").filter(F.col("q_label") != F.col("n_label"))
+    pairs = q.join(cand, "_cell").filter(
+        ~F.col("q_label").eqNullSafe(F.col("n_label"))
+    )
     sim = F.round(cosine(F.col("_qv"), F.col("_nv")), 4)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
@@ -849,6 +854,20 @@ def pca_project(
     return df.withColumn(out_col, F.array(*cols))
 
 
+def _int8_payload_cols(id_col: str, vec_col: str) -> list[Column]:
+    """The persisted int8 layout, defined ONCE for both the index build and
+    the append path (a drifting copy would silently encode appended vectors
+    under a different scheme than the existing cells): per-vector symmetric
+    scale = max|x|/127 (1e-30 floor) and round-cast tinyint codes."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(x, F.abs)), F.lit(1e-30)) / F.lit(127.0)
+    return [
+        F.col(id_col),
+        F.transform(x, lambda v: F.round(v / scale).cast("tinyint")).alias("q"),
+        scale.alias("scale"),
+    ]
+
+
 def save_ivf_index(
     df: DataFrame,
     path: str,
@@ -897,14 +916,9 @@ def save_ivf_index(
     else:
         assigned = df.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
     if quantize:
-        x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-        scale = F.greatest(F.array_max(F.transform(x, F.abs)), F.lit(1e-30)) / F.lit(127.0)
-        assigned = assigned.select(
-            F.col(id_col).cast("bigint").alias(id_col),
-            F.transform(x, lambda v: F.round(v / scale).cast("tinyint")).alias("q"),
-            scale.alias("scale"),
-            "_cell",
-        )
+        cols = _int8_payload_cols(id_col, vec_col)
+        cols[0] = F.col(id_col).cast("bigint").alias(id_col)
+        assigned = assigned.select(*cols, "_cell")
     (
         assigned.repartition("_cell")
         .write.partitionBy("_cell")
@@ -952,14 +966,29 @@ def append_ivf_index(
     codebook = load_ivf_codebook(spark, path)
     existing = spark.read.parquet(f"{path}/vectors")
     quantized = "q" in existing.columns
-    batch = df.select(
-        F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col)
-    )
+    # appended files must carry the STORED row schema (same columns, same
+    # types): save_ivf_index's float path writes the source df as-is, so a
+    # narrower/retyped append would leave mixed parquet footers behind —
+    # later reads would resolve a nondeterministic schema or throw on the
+    # int-width mismatch. Missing stored columns (e.g. label) append NULL.
+    stored_fields = [f for f in existing.schema.fields if f.name != "_cell"]
+    id_type = next(f.dataType for f in existing.schema.fields if f.name == id_col)
+    if quantized:
+        batch = df.select(F.col(id_col).cast(id_type).alias(id_col), F.col(vec_col))
+    else:
+        batch = df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in stored_fields
+            ]
+        )
     if skip_existing:
         batch = batch.join(
-            existing.select(F.col(id_col).cast("bigint").alias(id_col)),
-            id_col,
-            "anti",
+            existing.select(F.col(id_col).alias(id_col)), id_col, "anti"
         )
     # one count materializes the anti-join ONCE (the screen-join lesson,
     # streaming/ingest.py): the write below must not re-run it per task
@@ -972,16 +1001,9 @@ def append_ivf_index(
     else:
         assigned = batch.withColumn("_cell", ivf_cell(F.col(vec_col), codebook))
     if quantized:
-        x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-        scale = F.greatest(F.array_max(F.transform(x, F.abs)), F.lit(1e-30)) / F.lit(127.0)
-        assigned = assigned.select(
-            F.col(id_col),
-            F.transform(x, lambda v: F.round(v / scale).cast("tinyint")).alias("q"),
-            scale.alias("scale"),
-            "_cell",
-        )
+        assigned = assigned.select(*_int8_payload_cols(id_col, vec_col), "_cell")
     else:
-        assigned = assigned.select(F.col(id_col), F.col(vec_col), "_cell")
+        assigned = assigned.select(*[f.name for f in stored_fields], "_cell")
     (
         assigned.repartition("_cell")
         .write.partitionBy("_cell")

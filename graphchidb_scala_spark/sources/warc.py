@@ -70,13 +70,17 @@ def parse_warc_records(blob: bytes) -> list[dict]:
             if nxt < 0:
                 break
             pos = nxt
-        hdr_end = blob.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end < 0:
-            hdr_end = blob.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end < 0:
+        # NEARER separator wins: an LF-only record whose payload contains
+        # a CRLF blank line must not have its header block swallow the
+        # payload head (first-match-of-CRLF-anywhere would mis-frame it)
+        crlf = blob.find(b"\r\n\r\n", pos)
+        lf = blob.find(b"\n\n", pos)
+        if crlf < 0 and lf < 0:
             break
+        if lf < 0 or (0 <= crlf <= lf):
+            hdr_end, sep = crlf, 4
+        else:
+            hdr_end, sep = lf, 2
         headers: dict[str, str] = {}
         for line in blob[pos:hdr_end].decode("utf-8", "replace").splitlines()[1:]:
             k, _, v = line.partition(":")
@@ -92,11 +96,12 @@ def parse_warc_records(blob: bytes) -> list[dict]:
             continue
         # HTTP response payloads carry their own header block before the body
         if body[:5] in (b"HTTP/",):
-            be = body.find(b"\r\n\r\n")
-            bsep = 4
-            if be < 0:
-                be = body.find(b"\n\n")
-                bsep = 2
+            crlf = body.find(b"\r\n\r\n")
+            lf = body.find(b"\n\n")
+            if lf < 0 or (0 <= crlf <= lf):
+                be, bsep = crlf, 4
+            else:
+                be, bsep = lf, 2
             if be >= 0:
                 body = body[be + bsep :]
         rid = headers.get("warc-record-id", "")

@@ -3128,6 +3128,11 @@ def test_append_ivf_index_grows_without_rewrite(spark, tmp_path):
     stored = spark.read.parquet(f"{path}/vectors")
     assert stored.count() == 22
     assert stored.filter(F.col("vec_id") == 0).count() == 1  # idempotent
+    # appended files carry the STORED row schema: the index's label column
+    # survives (NULL on appended rows that lacked it), no mixed footers
+    assert "label" in stored.columns
+    assert stored.filter(F.col("vec_id") == 500).collect()[0]["label"] is None
+    assert stored.filter(F.col("label").isNotNull()).count() == 20
     # the new near-(1,0.5) vector must now win a probe toward it
     got = similarity.ann_topk_ivf_indexed(spark, path, [1.0, 0.5], k=1, nprobe=2)
     assert got.collect()[0]["vec_id"] == 500
@@ -3358,3 +3363,27 @@ def test_append_ivfpq_index_grows_codes_only(spark, tmp_path):
     assert 500 in by_id
     assert by_id[500] == min(by_id.values())
     assert similarity.append_ivfpq_index(batch, path) == 0
+
+
+def test_resize_images_on_error_policies(spark):
+    """on_error='drop' removes undecodable image rows (one corrupt blob
+    must not kill the corpus resize), 'keep' passes them through
+    untouched, and the default stays strict."""
+    import pytest as _pt
+
+    good = b"P6\n2 2\n255\n" + bytes(range(12))
+    media = spark.createDataFrame(
+        [(1, "image", good, "{}"), (2, "image", b"\xff\xd8broken-jpeg", "{}"),
+         (3, "image", None, "{}"), (4, "audio", b"RIFFxxxx", "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    dropped = multimodal.resize_images(media, max_side=1, on_error="drop").collect()
+    assert sorted(r["media_id"] for r in dropped) == [1, 4]
+    kept = multimodal.resize_images(media, max_side=1, on_error="keep").collect()
+    assert sorted(r["media_id"] for r in kept) == [1, 2, 3, 4]
+    by = {r["media_id"]: r for r in kept}
+    assert bytes(by[2]["payload"]) == b"\xff\xd8broken-jpeg"  # untouched
+    with _pt.raises(Exception):
+        multimodal.resize_images(media, max_side=1).collect()
+    with _pt.raises(ValueError):
+        multimodal.resize_images(media, on_error="bogus")

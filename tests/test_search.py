@@ -172,3 +172,19 @@ def test_append_postings_index_equals_rebuild(spark, corpus, tmp_path):
     assert search.append_postings_index(extra, grown) == 0
     m = spark.read.parquet(f"{grown}/meta").collect()[0]
     assert (m["n_docs"], m["n_buckets"]) == (7, 16)
+
+    # zero-token docs never reach the postings, but the doc LEDGER remembers
+    # them: re-delivering an empty doc must not re-inflate n_docs/avgdl
+    empty = spark.createDataFrame([(99, "   ")], "doc_id bigint, text string")
+    assert search.append_postings_index(empty, grown) == 1
+    assert search.append_postings_index(empty, grown) == 0
+    m = spark.read.parquet(f"{grown}/meta").collect()[0]
+    assert m["n_docs"] == 8
+    # and scores still equal a rebuild over the union incl. the empty doc
+    rebuilt2 = str(tmp_path / "idx_rebuilt2")
+    search.save_postings_index(union.unionByName(empty), rebuilt2, n_buckets=16)
+    g = {r["doc_id"]: r["score"]
+         for r in search.bm25_search_indexed(spark, grown, terms, k=20).collect()}
+    r = {r["doc_id"]: r["score"]
+         for r in search.bm25_search_indexed(spark, rebuilt2, terms, k=20).collect()}
+    assert g == r

@@ -251,3 +251,20 @@ def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
     assert len(rows) == 1  # one survivor of the dup pair; junk gated out
     assert rows[0]["text"].startswith("clean readable sentence number 0")
     assert "<" not in rows[0]["text"]
+
+
+def test_warc_lf_only_record_with_crlf_in_payload():
+    """Framing regression: an LF-only record whose HTTP payload contains a
+    CRLF blank line must frame on the NEARER separator (the LF header end),
+    not the first CRLF anywhere in the buffer."""
+    from graphchidb_scala_spark.sources.warc import parse_warc_records
+
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\npayload with\r\n\r\ncrlf inside"
+    hdr = b"\n".join([
+        b"WARC/1.0", b"WARC-Type: response", b"WARC-Record-ID: <urn:uuid:x>",
+        b"WARC-Target-URI: http://e/x",
+        b"Content-Length: " + str(len(body)).encode(),
+    ])
+    docs = parse_warc_records(hdr + b"\n\n" + body + b"\n\n")
+    assert len(docs) == 1
+    assert docs[0]["text"] == "payload with\r\n\r\ncrlf inside"
