@@ -2170,7 +2170,9 @@ pairs AS (
   SELECT p.qid, p.q_label, c2.vec_id AS nid, c2.label AS n_label,
          round(list_cosine_similarity(p.qv, c2.v), 4) AS cos_sim
   FROM probes p JOIN cells c2 ON c2.cell = p.cell
-  WHERE c2.label <> p.q_label
+  -- IS DISTINCT FROM mirrors Spark's ~eqNullSafe: NULL-label anchors
+  -- still mine labeled negatives; NULL-NULL pairs are excluded
+  WHERE c2.label IS DISTINCT FROM p.q_label
 )
 SELECT CAST(qid AS BIGINT) AS qid, q_label, CAST(nid AS BIGINT) AS nid,
        n_label, cos_sim

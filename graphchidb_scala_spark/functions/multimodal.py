@@ -325,21 +325,42 @@ def builtin_decoder(payload: bytes, kind: str) -> list[float]:
     )
 
 
+def pil_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode any PIL-supported format (JPEG, WebP, GIF, TIFF, …) to
+    ``(width, height, 255, rgb_bytes)`` via an *optional* Pillow import.
+    Raises NotImplementedError when Pillow is absent, keeping the stdlib
+    contract intact — this is the documented auto-hook for the first
+    real (JPEG) image corpus, not a hard dependency."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed codecs (JPEG/WebP/…) require Pillow, which is not "
+            "installed — pip install Pillow, or inject rgb_decoder="
+        ) from exc
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img = img.convert("RGB")
+    except Exception as exc:  # PIL raises UnidentifiedImageError/OSError
+        raise ValueError(f"PIL could not decode payload: {exc}") from exc
+    return img.width, img.height, 255, img.tobytes()
+
+
 def decode_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
     """Magic-byte dispatch to the stdlib pixel decoders: P6 PPM / PNG /
-    BMP → ``(width, height, maxval, rgb_bytes)``. Compressed codecs raise
-    with the inject-a-decoder contract, same as :func:`builtin_decoder`."""
+    BMP → ``(width, height, maxval, rgb_bytes)``. Any other format falls
+    through to :func:`pil_rgb`, which really decodes it when Pillow is
+    importable and raises NotImplementedError with the inject-a-decoder
+    contract otherwise (same strictness as before when PIL is absent)."""
     if payload[:2] == b"P6":
         return ppm_rgb(payload)
     if payload[:8] == _PNG_SIG:
         return png_rgb(payload)
     if payload[:2] == b"BM":
         return bmp_rgb(payload)
-    raise NotImplementedError(
-        "decode_rgb handles P6 PPM, non-interlaced 8-bit RGB(A) PNG, and "
-        "uncompressed 24/32-bit BMP; other codecs require PIL — inject a "
-        "custom transform"
-    )
+    return pil_rgb(payload)
 
 
 def encode_ppm(w: int, h: int, maxval: int, rgb: bytes) -> bytes:
@@ -389,7 +410,11 @@ def resize_images(
     compressed codecs); ``on_error`` picks the bad-blob policy: ``raise``
     (default, strict), ``drop`` (undecodable image rows vanish — one
     corrupt blob must not kill a corpus-wide resize), or ``keep``
-    (pass the row through untouched for a later quarantine split).
+    (pass the row through untouched for a later quarantine split). The
+    policy covers every decode-stage failure, including corrupt-payload
+    errors raised below the format check (a bad IDAT raises zlib.error,
+    a truncated header raises struct.error) and injected-decoder
+    exceptions generally.
 
     Scale shape: Arrow-batched mapInPandas, one batch of blobs in memory
     at a time — same contract as :func:`extract_features` (repartition by
@@ -417,7 +442,13 @@ def resize_images(
                     continue
                 try:
                     w, h, maxval, rgb = dec(bytes(p) if p is not None else b"")
-                except (NotImplementedError, ValueError):
+                # Broad on purpose: corrupt blobs fail BELOW the format
+                # check (zlib.error from a bad IDAT, struct.error from a
+                # truncated header), and injected decoders (e.g. PIL) have
+                # their own exception types — any decode failure is a
+                # bad-blob event for the on_error policy. KeyboardInterrupt/
+                # SystemExit are not caught (not Exception subclasses).
+                except Exception:
                     if on_error == "raise":
                         raise
                     if on_error == "keep":

@@ -100,8 +100,14 @@ def save_postings_index(
     from graphchidb_scala_spark.functions.dedup import md5_hash60
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # id cast to bigint HERE so postings, ledger, and every future
+    # append_postings_index batch (which casts the same way) share one
+    # parquet physical type — mixed INT32/INT64 doc_id files in the same
+    # postings directory break the vectorized reader at probe time.
     lens = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("dl"), F.col(text_col)
+        F.col(id_col).cast("bigint").alias(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.col(text_col),
     )
     postings = (
         lens.select(F.col(id_col), "dl", F.explode(toks).alias("tok"))
@@ -126,9 +132,9 @@ def save_postings_index(
     # (id, dl) ledger: EVERY indexed document, including zero-token ones
     # that never appear in the postings — the append path's idempotency
     # screen (and a cheaper one: 2 narrow columns instead of the postings)
-    lens.select(F.col(id_col).cast("bigint").alias(id_col), "dl").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/docs")
+    lens.select(F.col(id_col), "dl").write.mode("overwrite").parquet(
+        f"{path}/docs"
+    )
 
 
 def append_postings_index(
@@ -154,7 +160,18 @@ def append_postings_index(
     can't re-inflate n_docs/avgdl) — re-delivered documents are
     idempotent; pass ``False`` when the source guarantees unique ids.
     The crawl-loop pattern: `stream_neardup_ingest` accepts survivors →
-    this appends them to the search index, one micro-batch at a time."""
+    this appends them to the search index, one micro-batch at a time.
+
+    Crash window: the three writes (ledger → postings → meta) are not
+    atomic. The ledger is written FIRST, so a retry after any mid-append
+    failure is screened out by ``skip_existing`` and can never duplicate
+    postings (duplicated postings would silently inflate tf/df — the
+    worse failure). The residual window is the benign direction: a crash
+    between the ledger and postings writes leaves the batch's documents
+    ledgered but unsearchable, and a crash before the meta write leaves
+    idf/avgdl computed from the pre-batch totals — both under-count,
+    neither corrupts existing results; recovery from either is a full
+    rebuild via :func:`save_postings_index` over the union corpus."""
     from graphchidb_scala_spark.checkpoint import cut_lineage
     from graphchidb_scala_spark.functions.dedup import md5_hash60
 
@@ -186,13 +203,15 @@ def append_postings_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn("_tb", F.pmod(md5_hash60(F.col("tok")), F.lit(n_buckets)))
     )
+    # Ledger BEFORE postings: see the crash-window contract in the
+    # docstring — a retried batch must be screened out, never re-posted.
+    lens.select(F.col(id_col), "dl").write.mode("append").parquet(f"{path}/docs")
     (
         postings.repartition("_tb")
         .write.partitionBy("_tb")
         .mode("append")
         .parquet(f"{path}/postings")
     )
-    lens.select(F.col(id_col), "dl").write.mode("append").parquet(f"{path}/docs")
     spark.createDataFrame(
         [
             (
