@@ -2468,6 +2468,85 @@ FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id
 """.strip()
 
 
+def _q_doc_langid(spark, sf):
+    """Model-based language ID (text.detect_language — the CCNet chain's
+    missing link for real crawl data, which carries no lang column): a
+    hashed char-2/3-gram Naive-Bayes classifier trained on the labeled
+    quarter of the corpus (doc_id % 4 = 0) scores EVERY document →
+    (doc_id, lang, confidence). Train counts are one map-side-combined
+    shuffle bounded at |langs|*256 model rows (broadcast by construction);
+    scoring aggregates per-doc gram-bucket counts BEFORE the model join,
+    so candidates are doc-buckets x langs, never grams x langs."""
+    docs = _docs(spark, sf)
+    labeled = docs.filter(F.col("doc_id") % 4 == 0).select("text", "lang")
+    return text.detect_language(docs, labeled=labeled, buckets=256)
+
+
+def _langid_sql(buckets: int = 256, alpha: float = 1.0) -> str:
+    # mirrors text.detect_language(labeled=doc_id%4==0 slice): space-padded
+    # lowercased char 2+3-grams, md5-hash60 % buckets, per-lang add-alpha
+    # NB with doc-count priors, softmax confidence, argmax with lang ASC
+    # tie-break. range(1, length(t)) == Spark's sequence(1, len-(n-1)).
+    return f"""
+WITH base AS (
+  SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS t, lang
+  FROM documents
+),
+tg AS (
+  SELECT lang, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM (
+    SELECT lang, unnest(list_concat(
+      list_transform(range(1, length(t)), i -> substr(t, i, 2)),
+      list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+    )) AS g
+    FROM base WHERE doc_id % 4 = 0
+  )
+),
+langs AS (SELECT DISTINCT lang FROM base WHERE doc_id % 4 = 0),
+grid AS (SELECT l.lang, CAST(r.range AS BIGINT) AS b FROM langs l, range({buckets}) r),
+cnt AS (SELECT lang, b, count(*) AS n FROM tg GROUP BY lang, b),
+sm AS (
+  SELECT g.lang, g.b, COALESCE(c.n, 0) + {alpha} AS c
+  FROM grid g LEFT JOIN cnt c ON c.lang = g.lang AND c.b = g.b
+),
+tot AS (SELECT lang, sum(c) AS t FROM sm GROUP BY lang),
+model AS (SELECT sm.lang, sm.b, ln(sm.c / tot.t) AS ll
+          FROM sm JOIN tot ON tot.lang = sm.lang),
+dc AS (SELECT lang, count(*) AS nd FROM base WHERE doc_id % 4 = 0 GROUP BY lang),
+nrm AS (SELECT sum(nd) AS n_all, count(*) AS n_langs FROM dc),
+priors AS (
+  SELECT lang, ln((nd + {alpha}) / (n_all + {alpha} * n_langs)) AS lp FROM dc, nrm
+),
+sg AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      list_transform(range(1, length(t)), i -> substr(t, i, 2)),
+      list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+    )) AS g
+    FROM base
+  )
+),
+db AS (SELECT doc_id, b, count(*) AS c FROM sg GROUP BY doc_id, b),
+ds AS (
+  SELECT db.doc_id, m.lang, sum(m.ll * db.c) AS s0
+  FROM db JOIN model m ON m.b = db.b GROUP BY db.doc_id, m.lang
+),
+dsp AS (
+  SELECT ds.doc_id, ds.lang, ds.s0 + p.lp AS s
+  FROM ds JOIN priors p ON p.lang = ds.lang
+),
+ex AS (
+  SELECT doc_id, lang, s, exp(s - max(s) OVER (PARTITION BY doc_id)) AS e
+  FROM dsp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       round(e / sum(e) OVER (PARTITION BY doc_id), 4) AS confidence
+FROM ex
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+""".strip()
+
+
 def _dsir_sql(buckets: int = 256, target_source: str = "src0") -> str:
     # mirrors pipeline.dsir_weights: md5-hash60 % buckets bucketing,
     # add-1 smoothing over a dense bucket grid, ln-ratio vs the corpus
@@ -4136,6 +4215,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility_by_lang": _q_token_fertility,
         # quality-filter yield curve: survivors per threshold decile (r11)
         "doc_quality_yield_curve": _q_quality_yield_curve,
+        # model-based language ID: hashed char-2/3-gram NB trained on the
+        # labeled quarter, scoring every document (r12 — closes the
+        # WARC -> strip_html -> langid -> per-lang-LM chain)
+        "doc_langid": _q_doc_langid,
     }
 
 
@@ -5511,6 +5594,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_curriculum_order": _curriculum_sql(n_stages=3, seed=42),
         "token_fertility_by_lang": _token_fertility_sql(),
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
+        "doc_langid": _langid_sql(buckets=256, alpha=1.0),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

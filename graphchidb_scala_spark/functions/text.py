@@ -88,6 +88,207 @@ def lang_id(text: Column) -> Column:
     return _argmax_lang(lang_scores(text))
 
 
+def _char_gram_buckets(
+    frame: DataFrame,
+    keep: list[str],
+    text_col: str,
+    ngram_sizes: tuple[int, ...],
+    buckets: int,
+) -> DataFrame:
+    """Explode each row's space-padded, lowercased text into hashed char
+    n-gram bucket ids: DF(*keep, _b). The padding (one leading + trailing
+    space) makes word-boundary grams first-class features — the signal
+    char-n-gram language ID lives on (Cavnar & Trenkle 1994's TextCat).
+    Hash = :func:`~..dedup.md5_hash60` % buckets, the repo's cross-engine
+    hashing idiom, so DuckDB computes identical bucket ids."""
+    from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    t = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
+
+    # single-parameter lambda is load-bearing: F.transform dispatches on
+    # lambda arity, and a 2-arg lambda receives (element, INDEX) — a
+    # default-arg n would silently be overwritten by the array index
+    def _gram_arr(n: int):
+        cnt = F.length(t) - F.lit(n - 1)
+        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substring(t, i, F.lit(n)))
+        )
+
+    arrs = [_gram_arr(int(n)) for n in ngram_sizes]
+    grams = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    return frame.select(
+        *[F.col(c) for c in keep], F.explode(grams).alias("_g")
+    ).select(
+        *[F.col(c) for c in keep],
+        F.pmod(md5_hash60(F.col("_g")), F.lit(int(buckets))).alias("_b"),
+    )
+
+
+def langid_model(
+    labeled: DataFrame,
+    buckets: int = 256,
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    alpha: float = 1.0,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the portable char-n-gram Naive-Bayes language identifier on a
+    labeled slice: returns ``(model, priors)`` — model DF(lang, _b, _ll)
+    with _ll = ln((count(lang,b)+α) / Σ_b(count(lang,b)+α)) over a DENSE
+    lang×bucket grid, priors DF(lang, _lp) with
+    _lp = ln((docs(lang)+α) / (docs+α·|langs|)). Both tables are bounded by
+    |langs|·``buckets`` rows regardless of corpus size, so they broadcast
+    at any scale; train once, score every crawl batch with
+    :func:`score_languages` (the CCNet chain's reusable-model shape).
+
+    Everything is count arithmetic + ln over md5-bucketed grams, so a SQL
+    oracle replays the model bit-for-bit (the :func:`~..pipeline.
+    nb_quality_scores` portability contract, generalized to multiclass)."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (Laplace smoothing)")
+    b = int(buckets)
+    a = float(alpha)
+    spark = labeled.sparkSession
+    langs = labeled.select(F.col(lang_col).alias("lang")).distinct()
+    counts = (
+        _char_gram_buckets(labeled, [lang_col], text_col, tuple(ngram_sizes), b)
+        .groupBy(F.col(lang_col).alias("lang"), "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    grid = langs.crossJoin(
+        spark.range(b).select(F.col("id").cast("bigint").alias("_b"))
+    )
+    smoothed = grid.join(counts, ["lang", "_b"], "left").select(
+        "lang", "_b", (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(a)).alias("_c")
+    )
+    totals = smoothed.groupBy("lang").agg(F.sum("_c").alias("_t"))
+    model = smoothed.join(F.broadcast(totals), "lang").select(
+        "lang", "_b", F.log(F.col("_c") / F.col("_t")).alias("_ll")
+    )
+    doc_counts = labeled.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    norm = F.broadcast(
+        doc_counts.agg(
+            F.sum("_nd").alias("_N"), F.count(F.lit(1)).alias("_L")
+        )
+    )
+    priors = doc_counts.crossJoin(norm).select(
+        "lang",
+        F.log(
+            (F.col("_nd") + F.lit(a)) / (F.col("_N") + F.lit(a) * F.col("_L"))
+        ).alias("_lp"),
+    )
+    return model, priors
+
+
+def score_languages(
+    df: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    buckets: int = 256,
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Score every document against a trained :func:`langid_model`:
+    DF(id, lang, confidence) — argmax-posterior language with a softmax
+    confidence in (0,1], deterministic tie-break on lang ASC. The padded
+    gram extraction guarantees every document (even empty text) emits at
+    least one gram, so every input row gets a verdict.
+
+    Scale shape: per-doc gram-BUCKET counts first (one map-side-combined
+    shuffle, ≤``buckets`` rows per doc no matter how long the text), then
+    one broadcast join against the |langs|·buckets model — candidate rows
+    are doc-buckets × |langs|, never grams × |langs| — one (doc, lang)
+    aggregation, and one doc-partitioned window for the softmax + argmax.
+    No driver-side model object, no UDF."""
+    from pyspark.sql.window import Window
+
+    b = int(buckets)
+    scored = (
+        _char_gram_buckets(df, [id_col], text_col, tuple(ngram_sizes), b)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(model), "_b")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("_ll") * F.col("_c")).alias("_s"))
+        .join(F.broadcast(priors), "lang")
+        .select(id_col, "lang", (F.col("_s") + F.col("_lp")).alias("_s"))
+    )
+    w = Window.partitionBy(id_col)
+    wo = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("lang"))
+    expd = scored.withColumn("_e", F.exp(F.col("_s") - F.max("_s").over(w)))
+    return (
+        expd.withColumn(
+            "confidence", F.round(F.col("_e") / F.sum("_e").over(w), round_dp)
+        )
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "lang", "confidence")
+    )
+
+
+def detect_language(
+    df: DataFrame,
+    labeled: DataFrame | None = None,
+    buckets: int = 256,
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Model-based language identification — the missing link in the CCNet
+    chain (WARC ingest → :func:`strip_html` → **langid** → per-language
+    :func:`bigram_lm_scores`): real crawl documents carry no ``lang``
+    column, so the per-language quality tier needs a detector. Trains a
+    hashed char-2/3-gram Naive-Bayes classifier (:func:`langid_model`) and
+    scores every document (:func:`score_languages`) →
+    DF(id, lang, confidence).
+
+    ``labeled`` is the training slice — any DF with (``text_col``,
+    ``lang_col``), e.g. a curated seed corpus, or a fixture slice for
+    evaluation. When None, CCNet-style weak supervision: the stopword
+    heuristic :func:`lang_id` labels the subset of ``df`` it is confident
+    about (≠ 'und') and the n-gram model GENERALIZES those labels to
+    every document — including ones with no stopword hits at all (the
+    same weak-label→classifier design as :func:`~..pipeline.
+    nb_quality_scores`).
+
+    The whole operator is count arithmetic + ln over md5-hashed grams —
+    SQL-replayable, no UDF, model bounded at |langs|·``buckets`` rows
+    (vs the reference's categorical columns this is the learned analogue;
+    capability beyond the reference per the pipeline brief)."""
+    if labeled is None:
+        labeled = (
+            df.select(F.col(text_col), lang_id(F.col(text_col)).alias(lang_col))
+            .filter(F.col(lang_col) != "und")
+        )
+    model, priors = langid_model(
+        labeled,
+        buckets=buckets,
+        ngram_sizes=ngram_sizes,
+        alpha=alpha,
+        text_col=text_col,
+        lang_col=lang_col,
+    )
+    return score_languages(
+        df,
+        model,
+        priors,
+        buckets=buckets,
+        ngram_sizes=ngram_sizes,
+        id_col=id_col,
+        text_col=text_col,
+        round_dp=round_dp,
+    )
+
+
 # --------------------------------------------------------------- quality scoring
 
 PUNCT_CHARS = ".,!?;:"
