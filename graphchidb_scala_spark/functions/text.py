@@ -843,29 +843,74 @@ def unigram_logprob(
     )
 
 
+def approx_stage_col(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int,
+    descending: bool = False,
+    accuracy: int = 10_000,
+) -> Column:
+    """Sampled-quantile stage cut — the scale-safe sibling of
+    ``ntile().over(Window.orderBy(...))``: boundaries come from ONE
+    ``percentile_approx`` aggregate (a mergeable sketch, map-side partials,
+    no global sort), and the bucket assignment is a boundary-comparison
+    projection (map-only, codegen). The boundary list is ``n_buckets - 1``
+    doubles — a bounded driver-side scalar, never a row collect.
+
+    Semantics differ from ntile only at the margins: boundaries are
+    approximate (sketch ``accuracy``), ties at a boundary all land on the
+    same side, and a value heavily duplicated across a boundary can leave
+    a bucket thin — acceptable for quality-tier cuts, where the tiers are
+    statistical anyway. Bucket ids stay in 1..n_buckets, bucket 1 = lowest
+    scores (``descending=True`` flips: bucket 1 = highest)."""
+    k = int(n_buckets)
+    if k <= 0:
+        raise ValueError("n_buckets must be positive")
+    probs = [i / k for i in range(1, k)]
+    if not probs:
+        return F.lit(1)
+    row = df.agg(
+        F.percentile_approx(F.col(score_col), probs, int(accuracy)).alias("_b")
+    ).collect()[0]
+    bounds = [float(b) for b in (row["_b"] or [])]
+    asc: Column = F.lit(1)
+    for b in bounds:
+        asc = asc + (F.col(score_col) > F.lit(b)).cast("int")
+    return (F.lit(k + 1) - asc) if descending else asc
+
+
 def perplexity_buckets(
     df: DataFrame,
     n_buckets: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact_threshold: int | None = 10_000_000,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: rank documents by their
-    :func:`unigram_logprob` score and ntile them into ``n_buckets``
-    quality tiers — bucket 1 ("head") = most-typical text, the last
-    ("tail") = noisiest; the standard pre-training corpus partitioning for
-    per-tier sampling rates. DF(id, logprob, bucket). Deterministic: the
-    ntile order is (rounded logprob DESC, id ASC), a total order.
+    :func:`unigram_logprob` score and tier them into ``n_buckets`` —
+    bucket 1 ("head") = most-typical text, the last ("tail") = noisiest;
+    the standard pre-training corpus partitioning for per-tier sampling
+    rates. DF(id, logprob, bucket).
 
-    Scale shape: inherits the logprob plan; the ntile is one global sort —
-    at 100 TB swap it for a sampled-quantile cut (degree_quantiles
-    pattern) if an exact tile boundary isn't required."""
+    Size-gated plan (the ``crossing_salt_factor`` gate pattern): corpora
+    at or under ``exact_threshold`` rows use the EXACT ntile — one global
+    sort, deterministic total order (rounded logprob DESC, id ASC) —
+    identical output to every prior round. Above the gate (or with
+    ``exact_threshold=0``) the tile swaps for :func:`approx_stage_col`'s
+    sampled-quantile cut: one sketch aggregate + a map-only comparison,
+    NO global-sort window anywhere in the plan, so the operator survives
+    100× data. ``exact_threshold=None`` forces the exact arm."""
     from pyspark.sql.window import Window
 
     scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
-    w = Window.orderBy(F.desc("logprob"), F.asc(id_col))
-    return scored.select(
-        id_col, "logprob", F.ntile(int(n_buckets)).over(w).alias("bucket")
-    )
+    exact = exact_threshold is None or df.count() <= int(exact_threshold)
+    if exact:
+        w = Window.orderBy(F.desc("logprob"), F.asc(id_col))
+        return scored.select(
+            id_col, "logprob", F.ntile(int(n_buckets)).over(w).alias("bucket")
+        )
+    bucket = approx_stage_col(scored, "logprob", int(n_buckets), descending=True)
+    return scored.select(id_col, "logprob", bucket.alias("bucket"))
 
 
 def bigram_lm_scores(

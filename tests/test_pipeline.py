@@ -613,3 +613,78 @@ def test_curriculum_order_stages_and_positions(spark):
     assert sorted(p for _, p in got.values()) == list(range(10))
     with pytest.raises(ValueError):
         pipeline.curriculum_order(df, "score", n_stages=0)
+
+
+def test_curriculum_order_sampled_arm_invariants(spark):
+    """The 100 TB arm (exact_threshold=0 forces the sampled-quantile +
+    (stage, shard)-local-position plan): pos is still a permutation of
+    0..N-1, stage blocks are contiguous and ascending along pos, stage ids
+    stay in 1..k with every stage populated on a spread-out score
+    distribution, stage sizes are near-balanced, and the whole thing is
+    deterministic across runs. Also: the gate itself — a corpus under the
+    threshold is byte-identical to the exact arm."""
+    n = 400
+    rows = [(i, float((i * 37) % 1000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    k = 4
+    big = pipeline.curriculum_order(
+        df, "score", n_stages=k, seed=7, exact_threshold=0, n_shards=8
+    )
+    got = [(r["doc_id"], r["score"], r["stage"], r["pos"]) for r in big.collect()]
+    assert sorted(p for _, _, _, p in got) == list(range(n))  # permutation
+    assert {s for _, _, s, _ in got} == set(range(1, k + 1))  # all stages live
+    # contiguous ascending stage blocks along pos
+    by_pos = sorted(got, key=lambda t: t[3])
+    stages_along = [s for _, _, s, _ in by_pos]
+    assert stages_along == sorted(stages_along)
+    # near-balanced stages (approx quantiles on 400 distinct-ish values)
+    from collections import Counter
+
+    sizes = Counter(s for _, _, s, _ in got)
+    assert all(abs(sz - n / k) <= n / k * 0.5 for sz in sizes.values()), sizes
+    # stage assignment respects the score order at the bulk level:
+    # every stage-1 score <= every stage-k score
+    s1 = max(sc for _, sc, s, _ in got if s == 1)
+    sk = min(sc for _, sc, s, _ in got if s == k)
+    assert s1 <= sk
+    # deterministic across runs
+    again = {(r["doc_id"], r["stage"], r["pos"]) for r in
+             pipeline.curriculum_order(df, "score", n_stages=k, seed=7,
+                                       exact_threshold=0, n_shards=8).collect()}
+    assert again == {(i, s, p) for i, _, s, p in got}
+    # below-gate == exact arm, byte for byte
+    exact = {(r["doc_id"], r["stage"], r["pos"]) for r in
+             pipeline.curriculum_order(df, "score", n_stages=k, seed=7,
+                                       exact_threshold=None).collect()}
+    gated = {(r["doc_id"], r["stage"], r["pos"]) for r in
+             pipeline.curriculum_order(df, "score", n_stages=k, seed=7).collect()}
+    assert exact == gated
+
+
+def test_perplexity_buckets_sampled_arm(spark):
+    """perplexity_buckets above the gate: same bucket-id range, bucket 1
+    holds the most-typical (highest-logprob) docs, no global-sort window,
+    and the below-gate path stays identical to the exact ntile."""
+    from graphchidb_scala_spark.functions import text as t
+
+    rows = [(i, ("common words repeated " * 5) if i % 2 == 0
+             else f"rare{i} unique{i} tokens{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    big = t.perplexity_buckets(df, n_buckets=2, exact_threshold=0)
+    got = {r["doc_id"]: (r["bucket"], r["logprob"]) for r in big.collect()}
+    assert set(b for b, _ in got.values()) == {1, 2}
+    # head bucket = typical text: every even (common-text) doc in bucket 1
+    assert all(got[i][0] == 1 for i in range(0, 60, 2))
+    # gate: default threshold reproduces the exact arm
+    exact = {r["doc_id"]: r["bucket"]
+             for r in t.perplexity_buckets(df, n_buckets=2,
+                                           exact_threshold=None).collect()}
+    gated = {r["doc_id"]: r["bucket"]
+             for r in t.perplexity_buckets(df, n_buckets=2).collect()}
+    assert exact == gated
+    # the sampled arm's plan has no corpus-wide ordered window: the only
+    # Sort allowed is inside the tiny offsets/aggregation machinery —
+    # curriculum's large arm is asserted in tools/explain_audit.py; here we
+    # check the bucket column is a plain projection (no Window at all)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -461,6 +461,27 @@ CHECKS = {
         ["PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate",
          "!BroadcastNestedLoop", "!CartesianProduct"],
     ),
+    # curriculum_order's 100 TB arm (exact_threshold=0): the corpus-side
+    # position window is hash-partitioned on (stage, _shard) — never a
+    # corpus-wide SinglePartition sort; the only SinglePartition exchange
+    # feeds the stages×shards offsets AGGREGATE, which BroadcastExchanges
+    # back onto the corpus. Stage cut is literal boundary comparisons
+    # (percentile_approx collected at build time), so no ntile window.
+    "curriculum_sampled_positions": (
+        lambda g, docs, emb: pipeline.curriculum_order(
+            docs.select("doc_id", F.length("text").cast("double").alias("score")),
+            "score", n_stages=3, seed=7, exact_threshold=0, n_shards=8,
+        ),
+        ["hashpartitioning(stage", "BroadcastExchange", "!ntile"],
+    ),
+    # perplexity_buckets' 100 TB arm: bucket is a pure projection over the
+    # logprob aggregate — no Window node anywhere in the plan
+    "perplexity_buckets_sampled": (
+        lambda g, docs, emb: text.perplexity_buckets(
+            docs, n_buckets=3, exact_threshold=0
+        ),
+        ["!Window", "!ntile"],
+    ),
     # sampled quantiles: the hash-sample predicate is a scan-side Filter
     # (agg input bounded to rate*N); single aggregation, no join
     "sampled_quantiles_filter_before_agg": (
