@@ -2182,6 +2182,64 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) <= """
     ).strip()
 
 
+def _q_ann_recall_ivf(spark, sf):
+    """ANN index-tuning harness as a graded key (similarity.ann_recall_eval):
+    recall@10 of the IVF path (K≈sqrt(N) portable kmeans codebook, nprobe=2)
+    against the exact brute-force top-10 for the 20-query evaluation batch
+    — per-query (qid, n_exact, n_hit, recall). The exact arm broadcasts the
+    bounded query batch; the approx arm is the probed-cell equi-join with
+    the query side pre-filtered, so grading the recall number costs
+    n_queries·N + n_queries·nprobe·(N/K), never N²."""
+    emb = _emb(spark, sf)
+    cb = similarity.kmeans_codebook_portable(emb, iterations=_KMEANS_CB_ITERS)
+    return similarity.ann_recall_eval(emb, n_queries=20, k=10, nprobe=2, codebook=cb)
+
+
+def _ann_recall_sql(n_queries: int = 20, k: int = 10, nprobe: int = 2) -> str:
+    return (
+        "WITH\n" + _kmeans_cb_ctes() + f""",
+cells AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT cb.cell FROM cb
+          ORDER BY list_distance(cb.c, e.embedding::DOUBLE[]), cb.cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+qrs AS (SELECT vec_id AS qid, v FROM cells WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT q.qid, q.v AS qv, cb.cell
+  FROM qrs q, cb
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+    ORDER BY list_distance(cb.c, q.v), cb.cell) <= {nprobe}
+),
+approx AS (
+  SELECT p.qid, c2.vec_id AS nid
+  FROM probes p JOIN cells c2 ON c2.cell = p.cell
+  WHERE c2.vec_id <> p.qid
+  QUALIFY row_number() OVER (PARTITION BY p.qid
+    ORDER BY round(list_cosine_similarity(p.qv, c2.v), 4) DESC, c2.vec_id) <= {k}
+),
+ex AS (
+  SELECT q.qid, c2.vec_id AS nid
+  FROM qrs q JOIN cells c2 ON c2.vec_id <> q.qid
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_cosine_similarity(q.v, c2.v), 4) DESC, c2.vec_id) <= {k}
+),
+hit AS (
+  SELECT a.qid, count(*) AS n_hit
+  FROM approx a JOIN ex ON ex.qid = a.qid AND ex.nid = a.nid
+  GROUP BY a.qid
+),
+ne AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+SELECT CAST(ne.qid AS BIGINT) AS qid,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / CAST(ne.n_exact AS DOUBLE), 4) AS recall
+FROM ne LEFT JOIN hit h ON h.qid = ne.qid
+"""
+    ).strip()
+
+
 _ARROW_PATH_K = 150  # > similarity._LITERAL_CODEBOOK_MAX: forces Arrow tier
 
 
@@ -4201,6 +4259,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrastive hard-negative mining: top-k cross-label cosine
         # neighbors within probed kmeans cells (r11)
         "hard_negatives_kmeans": _q_hard_negatives_kmeans,
+        # ANN recall harness as a graded key: IVF vs exact top-10 for a
+        # bounded query batch (r12 — the index-tuning loop under the gate)
+        "ann_recall_ivf": _q_ann_recall_ivf,
         # per-language bigram-LM cross-entropy (CCNet per-lang models, r11)
         "doc_lm_xent_by_lang": _q_doc_lm_xent_by_lang,
         # curation capstone v2: heuristic gate -> per-lang LM perplexity
@@ -5588,6 +5649,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_lm_xent": _lm_xent_sql(alpha=0.1, ref_lang="en"),
         "cluster_topic_terms": _cluster_topic_terms_sql(k=5),
         "hard_negatives_kmeans": _hard_negatives_kmeans_sql(k=3, nprobe=2),
+        "ann_recall_ivf": _ann_recall_sql(n_queries=20, k=10, nprobe=2),
         "doc_lm_xent_by_lang": _lm_xent_grouped_sql(alpha=0.1),
         "doc_curate_corpus_v2": _curate_v2_sql(lm_max=3.38),
         "doc_strip_html": _strip_html_sql(),

@@ -2109,6 +2109,31 @@ def test_recall_at_k_on_real_index(spark):
     assert 0.0 < row["recall"] <= 1.0
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001/embeddings.parquet"),
+    reason="driver-generated testdata not present on this machine",
+)
+def test_ann_recall_eval_batch_harness(spark):
+    """ann_recall_eval (the graded ann_recall_ivf key's operator): per-query
+    recall@k of IVF vs exact brute force over a bounded query batch — one
+    row per query, n_exact == k everywhere, recall in (0, 1]; probing EVERY
+    cell must recover the exact result (recall == 1.0)."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.kmeans_codebook_portable(emb, iterations=2)
+    got = {r["qid"]: r for r in similarity.ann_recall_eval(
+        emb, n_queries=8, k=5, nprobe=2, codebook=cb).collect()}
+    assert set(got) == set(range(8))
+    assert all(r["n_exact"] == 5 for r in got.values())
+    assert all(0.0 <= r["recall"] <= 1.0 for r in got.values())
+    assert any(r["recall"] > 0.0 for r in got.values())
+    # exhaustive probing == exact: recall pinned at 1.0 for every query
+    full = similarity.ann_recall_eval(
+        emb, n_queries=8, k=5, nprobe=len(cb), codebook=cb)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+
+
 def test_zipf_alpha_uniform_counts(spark):
     import math
 
