@@ -2134,6 +2134,49 @@ def test_ann_recall_eval_batch_harness(spark):
     assert all(r["recall"] == 1.0 for r in full.collect())
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001/embeddings.parquet"),
+    reason="driver-generated testdata not present on this machine",
+)
+def test_two_level_codebook_probe(spark, tmp_path):
+    """save_coarse_codebook + the two-level probe path: (a) the coarse/fine
+    sidecars have the √K shape, (b) with coarse_probe == branch (exhaustive)
+    the probed cells — and the final top-k — are IDENTICAL to the flat
+    selection, (c) with a small coarse_probe the result is a valid top-k
+    drawn from probed cells and the driver-side fine read is pruned."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf2l")
+    cb = similarity.kmeans_codebook_portable(emb, iterations=2)
+    similarity.save_ivf_index(emb, path, codebook=cb)
+    branch = similarity.save_coarse_codebook(spark, path)
+    assert branch == max(2, int(len(cb) ** 0.5))
+    assert spark.read.parquet(f"{path}/codebook_coarse").count() == branch
+    fine = spark.read.parquet(f"{path}/codebook_fine")
+    assert fine.count() == len(cb)
+    assert "_coarse" in fine.columns
+
+    q = [float((i * 7) % 13 - 6) / 13.0 for i in range(64)]
+    flat_probes = similarity._nearest_cells(q, cb, 3)
+    exhaustive = similarity._nearest_cells_two_level(
+        spark, path, q, 3, coarse_probe=branch
+    )
+    assert exhaustive == flat_probes
+    flat = similarity.ann_topk_ivf_indexed(spark, path, q, k=5, nprobe=3)
+    two = similarity.ann_topk_ivf_indexed(
+        spark, path, q, k=5, nprobe=3, two_level=True, coarse_probe=branch
+    )
+    assert [tuple(r) for r in two.collect()] == [tuple(r) for r in flat.collect()]
+    # small coarse_probe: still k rows, all probes real cells
+    small = similarity.ann_topk_ivf_indexed(
+        spark, path, q, k=5, nprobe=3, two_level=True, coarse_probe=1
+    )
+    assert small.count() == 5
+    probes1 = similarity._nearest_cells_two_level(spark, path, q, 3, coarse_probe=1)
+    assert set(probes1) <= {c for c, _ in cb} and len(probes1) <= 3
+
+
 def test_zipf_alpha_uniform_counts(spark):
     import math
 
