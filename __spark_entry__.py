@@ -4283,54 +4283,51 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-11 driver-window rotation (README "Driver-window rotation": the
+# Round-12 driver-window rotation (README "Driver-window rotation": the
 # 50-key window re-cycles by OLDEST driver grade first). Composition,
-# computed from the union of CORRECTNESS_r01–r10 (judge r10 'Next round'
-# #7: ≥40 keys whose last driver grade is r8):
-#   - doc_quality_nb, doc_hybrid_rrf, embed_cluster_sample (r11-new —
-#     never graded; the latter two displace weighted_sssp4 and
-#     events_value_outliers, both untouched this round and
-#     pytest+FULLGATE-covered, to the r12 window);
-#   - 9 of the 12 keys last graded r7, the oldest surviving grades (r10's
-#     window note said "39 of the 50" r7 keys graded then — the correct
-#     count was 38 graded / 12 remaining, advisor r10); the 3 held out
-#     (token_histogram, token_bigrams, embedding_centroids — all
-#     pytest+FULLGATE-covered) lead the r12 window;
-#   - 40 of the 50 keys last graded r8, in that cohort's registry order,
-#     prioritizing drop_neardups_keep_best (its crossing-repair plan
-#     changed this round: adaptive salt + second-stage estimate tier);
-#     the 10 held out (bpe_pair_top20, hits4, harmonic_centrality8,
-#     degree_assortativity, scc, events_transitions, events_scd2,
-#     doc_logprob, doc_ppl_buckets, doc_chunk_dedup — none touched this
-#     round) follow the r7 leftovers in r12, then the r9 cohort.
+# computed from the merged CORRECTNESS_r01–r11 last-graded map (judge r11
+# 'Next round #7': rotate onto the stale stratum and include the
+# rows-only keys so the declared policy is demonstrated in-window):
+#   - 6 never-driver-graded keys: this round's doc_langid/ann_recall_ivf
+#     plus the four r11-session keys (doc_strip_html,
+#     doc_curriculum_order, token_fertility_by_lang,
+#     doc_quality_yield_curve) the r11 window had no room for;
+#     doc_curriculum_order and doc_ppl_buckets also re-grade this round's
+#     size-gate change (below-gate output must stay byte-identical);
+#   - the 3 declared rows-only keys (als_recommend, als_rmse,
+#     embedding_pca — rows_only_keys()) so CORRECTNESS_r12 records the
+#     no_oracle policy cells alongside zero hard errors;
+#   - the 3 keys last graded r7 (token_histogram, token_bigrams,
+#     embedding_centroids) and all 17 last graded r8;
+#   - 21 of the 43 last graded r9, prioritizing the verdict-named
+#     mis/matching/msf and events-tail keys, then that cohort's order;
+#     the 22 held out (incl. the kmeans family keys last graded r10/r11)
+#     lead the r13 window.
 _GRADED_WINDOW = [
-    "doc_quality_nb", "doc_hybrid_rrf", "embed_cluster_sample",
-    # r11-new (session B): bigram-LM cross-entropy scoring (global + the
-    # per-language CCNet form), semantic cluster topic labels, contrastive
-    # hard-negative mining, and the model-tier curation capstone v2 —
-    # displacing events_props, events_asof, events_rollup, kcore_peel3 and
-    # events_retention (all untouched this round, pytest+FULLGATE-covered)
-    # to r12
-    "doc_lm_xent", "cluster_topic_terms", "hard_negatives_kmeans",
-    "doc_lm_xent_by_lang", "doc_curate_corpus_v2",
-    # r7-graded cohort (oldest grades), registry order
-    "minhash_lsh_neardup", "ann_topk", "embed_neardup", "simhash_neardup",
-    "drop_near_duplicates", "ann_topk_ivf", "ann_topk_ivf_indexed",
-    "ann_topk_lsh_indexed", "ann_topk_pq",
-    # r8-graded cohort, registry order
-    "multimodal_features", "events_window_hourly", "events_sessionize",
-    "ann_topk_lsh", "pagerank_converged",
-    "cc_converged_stats",
-    "doc_split_hash", "doc_contamination", "doc_stratified_sample",
-    "doc_cap_per_source", "doc_pack_sequences", "doc_strip_boilerplate",
-    "doc_weighted_sample", "doc_repetition_stats", "doc_tfidf_search",
-    "doc_bm25_search", "doc_bm25_search_indexed", "doc_tfidf_search_indexed",
-    "doc_rebalance_mix", "knn_graph_ivf", "events_funnel",
-    "ppr3", "adamic_adar_top20", "semantic_dedup",
-    "doc_pii_scrub", "doc_dsir_weights", "events_window_sliding",
-    "events_hll_distinct", "jaccard_top20", "copurchase_top20",
-    "graph_asof_counts",
-    "doc_curate_corpus", "drop_neardups_keep_best",
+    # r12-new (never graded)
+    "doc_langid", "ann_recall_ivf",
+    # r11-session keys never in a driver window
+    "doc_strip_html", "doc_curriculum_order", "token_fertility_by_lang",
+    "doc_quality_yield_curve",
+    # declared rows-only policy keys (machine-readable: rows_only_keys())
+    "als_recommend", "als_rmse", "embedding_pca",
+    # last graded r7
+    "token_histogram", "token_bigrams", "embedding_centroids",
+    # last graded r8, registry order
+    "events_props", "events_asof", "events_rollup", "kcore_peel3",
+    "events_retention", "events_value_outliers", "weighted_sssp4",
+    "bpe_pair_top20", "hits4", "harmonic_centrality8",
+    "degree_assortativity", "scc", "events_transitions", "events_scd2",
+    "doc_logprob", "doc_ppl_buckets", "doc_chunk_dedup",
+    # last graded r9: verdict-named stale keys first, then cohort order
+    "mis_seeded", "maximal_matching_seeded", "msf_weighted",
+    "events_resample_ffill", "events_quantiles_sampled", "events_ab_ttest",
+    "events_interarrival",
+    "token_bigram_pmi", "corpus_overlap_minhash", "doc_bloom_contamination",
+    "ktruss4_copurchase", "clustering_coeff", "betweenness_d3",
+    "label_prop4", "pagerank_weighted3", "katz3", "pseudo_diameter",
+    "powerlaw_alpha", "graph_diff_window", "edge_betweenness_d3",
+    "doc_build_vocab",
 ]
 
 
