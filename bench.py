@@ -221,6 +221,10 @@ def main() -> None:
             # scoring (flat at the 10x replica — model tables are bounded
             # by bigram TYPES, scoring is three equi-joins + one doc agg)
             "doc_lm_xent": lambda: text.bigram_lm_scores(docs).count(),
+            "doc_langid": lambda: text.detect_language(
+                docs, labeled=docs.filter(F.col("doc_id") % 4 == 0)
+                .select("text", "lang"), buckets=256
+            ).count(),
             "embed_neardup": lambda: similarity.cosine_pairs_lsh(
                 emb, dim=64, threshold=0.3, n_planes=6, seed=42
             ).count(),
