@@ -2540,13 +2540,16 @@ def _q_doc_langid(spark, sf):
     return text.detect_language(docs, labeled=labeled, buckets=256)
 
 
-def _langid_sql(buckets: int = 256, alpha: float = 1.0) -> str:
+def _langid_ctes(buckets: int = 256, alpha: float = 1.0) -> str:
     # mirrors text.detect_language(labeled=doc_id%4==0 slice): space-padded
     # lowercased char 2+3-grams, md5-hash60 % buckets, per-lang add-alpha
     # NB with doc-count priors, softmax confidence, argmax with lang ASC
     # tie-break. range(1, length(t)) == Spark's sequence(1, len-(n-1)).
+    # Reusable chain (li_-prefixed) ending in li_pred(doc_id, lang,
+    # confidence) — one verdict row per document; composable the way
+    # _lm_xent_grouped_ctes is (the detected-lang chain key reuses it).
     return f"""
-WITH base AS (
+base AS (
   SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS t, lang
   FROM documents
 ),
@@ -2597,12 +2600,52 @@ dsp AS (
 ex AS (
   SELECT doc_id, lang, s, exp(s - max(s) OVER (PARTITION BY doc_id)) AS e
   FROM dsp
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-       round(e / sum(e) OVER (PARTITION BY doc_id), 4) AS confidence
-FROM ex
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
-""".strip()
+),
+li_pred AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         round(e / sum(e) OVER (PARTITION BY doc_id), 4) AS confidence
+  FROM ex
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+)""".strip()
+
+
+def _langid_sql(buckets: int = 256, alpha: float = 1.0) -> str:
+    return (
+        "WITH\n" + _langid_ctes(buckets, alpha)
+        + "\nSELECT doc_id, lang, confidence FROM li_pred"
+    )
+
+
+def _q_doc_lm_xent_detected(spark, sf):
+    """The CCNet chain graded END-TO-END (r12): text.detect_language
+    (char-n-gram NB trained on the labeled quarter) supplies the language
+    column, and the per-language bigram LMs (text.bigram_lm_scores,
+    group_col) train and score on the DETECTED labels — the fixture lang
+    column is never read downstream of the detector, exactly like real
+    crawl data where it does not exist. Composition of two graded
+    operators; the oracle replays detector + grouped LMs in one query."""
+    docs = _docs(spark, sf)
+    labeled = docs.filter(F.col("doc_id") % 4 == 0).select("text", "lang")
+    det = text.detect_language(docs, labeled=labeled, buckets=256)
+    tagged = docs.select("doc_id", "text").join(
+        det.select("doc_id", "lang"), "doc_id"
+    )
+    return text.bigram_lm_scores(tagged, alpha=0.1, group_col="lang")
+
+
+def _lm_xent_detected_sql(buckets: int = 256, alpha: float = 0.1) -> str:
+    # langid chain -> docs_det(doc_id, text, detected lang) -> the grouped
+    # LM chain re-rooted at docs_det (src parameter): the whole WARC-shaped
+    # pipeline in one replayable query
+    return (
+        "WITH\n" + _langid_ctes(buckets=buckets) + """,
+docs_det AS (
+  SELECT d.doc_id, d.text, p.lang
+  FROM documents d JOIN li_pred p ON p.doc_id = d.doc_id
+),
+""" + _lm_xent_grouped_ctes(alpha=alpha, src="docs_det")
+        + "\nSELECT doc_id, n_tokens, lm_xent FROM lm_scores"
+    )
 
 
 def _dsir_sql(buckets: int = 256, target_source: str = "src0") -> str:
@@ -4280,6 +4323,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # labeled quarter, scoring every document (r12 — closes the
         # WARC -> strip_html -> langid -> per-lang-LM chain)
         "doc_langid": _q_doc_langid,
+        # the CCNet chain end-to-end: per-lang LM on DETECTED language
+        # (fixture lang never read downstream of the detector, r12)
+        "doc_lm_xent_detected": _q_doc_lm_xent_detected,
     }
 
 
@@ -4327,7 +4373,9 @@ _GRADED_WINDOW = [
     "ktruss4_copurchase", "clustering_coeff", "betweenness_d3",
     "label_prop4", "pagerank_weighted3", "katz3", "pseudo_diameter",
     "powerlaw_alpha", "graph_diff_window", "edge_betweenness_d3",
-    "doc_build_vocab",
+    # r12 chain key (new keys enter the window; doc_build_vocab — last
+    # graded r9, untouched, FULLGATE-covered — leads the r13 window)
+    "doc_lm_xent_detected",
 ]
 
 
@@ -5654,6 +5702,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "token_fertility_by_lang": _token_fertility_sql(),
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "doc_langid": _langid_sql(buckets=256, alpha=1.0),
+        "doc_lm_xent_detected": _lm_xent_detected_sql(buckets=256, alpha=0.1),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (

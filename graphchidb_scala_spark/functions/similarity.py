@@ -938,6 +938,7 @@ def save_coarse_codebook(
     spark,
     path: str,
     branch: int | None = None,
+    codebook_dir: str = "codebook",
 ) -> int:
     """Add a TWO-LEVEL quantizer tier to a persisted IVF index (judge r11
     'What's wrong #3'): at K ≈ √N with N = 10¹¹ the flat codebook sidecar
@@ -958,7 +959,7 @@ def save_coarse_codebook(
     The original flat ``codebook`` sidecar is left untouched (appends and
     existing probes keep working); rebuild the coarse tier after enough
     appends drift the fine codebook. Returns ``branch``."""
-    fine = spark.read.parquet(f"{path}/codebook")
+    fine = spark.read.parquet(f"{path}/{codebook_dir}")
     k = fine.count()
     b = int(branch) if branch is not None else max(2, int(k**0.5))
     coarse_cb = kmeans_codebook(fine, k=b, id_col="cell", vec_col="centroid")
@@ -1192,6 +1193,8 @@ def ann_topk_ivf_int8_indexed(
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    two_level: bool = False,
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """Probe a quantized persisted IVF index (``save_ivf_index(...,
     quantize=True)``): identical planning-time partition pruning to
@@ -1200,8 +1203,13 @@ def ann_topk_ivf_int8_indexed(
     a 100 TB embedding corpus actually wants — and the cosine runs over the
     in-expression dequantized values (:func:`cosine_topk_int8`; cosine is
     scale-invariant, so the only error is the ≤half-step rounding noise)."""
-    codebook = load_ivf_codebook(spark, path)
-    probes = _nearest_cells(query_vec, codebook, nprobe)
+    if two_level:
+        probes = _nearest_cells_two_level(
+            spark, path, query_vec, nprobe, coarse_probe
+        )
+    else:
+        codebook = load_ivf_codebook(spark, path)
+        probes = _nearest_cells(query_vec, codebook, nprobe)
     vecs = spark.read.parquet(f"{path}/vectors").filter(
         F.col("_cell").isin([int(p) for p in probes])
     )
@@ -1905,15 +1913,29 @@ def ann_topk_ivfpq(
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    two_level: bool = False,
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """Top-k over the persisted IVF-PQ layout: nprobe nearest cells chosen
     driver-side from the IVF sidecar (scan prunes to those partitions), then
     ADC scoring over the code column only. DF(id, pq_dist) — approximate L2
     ranking; re-rank the top candidates against raw vectors downstream when
-    exact order matters."""
-    rows = spark.read.parquet(f"{path}/ivf_codebook").collect()
-    cb = sorted((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows)
-    probes = _nearest_cells(query_vec, cb, nprobe)
+    exact order matters.
+
+    ``two_level=True`` uses the coarse-tier probe path (run
+    ``save_coarse_codebook(spark, path, codebook_dir="ivf_codebook")``
+    once on the index) — same √K driver-memory contract as
+    :func:`ann_topk_ivf_indexed`."""
+    if two_level:
+        probes = _nearest_cells_two_level(
+            spark, path, query_vec, nprobe, coarse_probe
+        )
+    else:
+        rows = spark.read.parquet(f"{path}/ivf_codebook").collect()
+        cb = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows
+        )
+        probes = _nearest_cells(query_vec, cb, nprobe)
     pq_books = load_pq_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("_cell").isin([int(p) for p in probes])

@@ -2176,6 +2176,28 @@ def test_two_level_codebook_probe(spark, tmp_path):
     probes1 = similarity._nearest_cells_two_level(spark, path, q, 3, coarse_probe=1)
     assert set(probes1) <= {c for c, _ in cb} and len(probes1) <= 3
 
+    # int8 variant shares the codebook/vectors layout → same coarse tier
+    path8 = str(tmp_path / "ivf2l_int8")
+    similarity.save_ivf_index(emb, path8, codebook=cb, quantize=True)
+    similarity.save_coarse_codebook(spark, path8)
+    f8 = similarity.ann_topk_ivf_int8_indexed(spark, path8, q, k=5, nprobe=3)
+    t8 = similarity.ann_topk_ivf_int8_indexed(
+        spark, path8, q, k=5, nprobe=3, two_level=True, coarse_probe=branch
+    )
+    assert [tuple(r) for r in t8.collect()] == [tuple(r) for r in f8.collect()]
+
+    # PQ layout names its sidecar ivf_codebook — codebook_dir routes it
+    pathpq = str(tmp_path / "ivf2l_pq")
+    similarity.save_ivfpq_index(emb, pathpq, m=8, n_codes=8, ivf_codebook_=cb)
+    bpq = similarity.save_coarse_codebook(
+        spark, pathpq, codebook_dir="ivf_codebook"
+    )
+    fpq = similarity.ann_topk_ivfpq(spark, pathpq, q, k=5, nprobe=3)
+    tpq = similarity.ann_topk_ivfpq(
+        spark, pathpq, q, k=5, nprobe=3, two_level=True, coarse_probe=bpq
+    )
+    assert [tuple(r) for r in tpq.collect()] == [tuple(r) for r in fpq.collect()]
+
 
 def test_zipf_alpha_uniform_counts(spark):
     import math
