@@ -94,14 +94,24 @@ def _char_gram_buckets(
     text_col: str,
     ngram_sizes: tuple[int, ...],
     buckets: int,
+    hash_fn=None,
 ) -> DataFrame:
     """Explode each row's space-padded, lowercased text into hashed char
     n-gram bucket ids: DF(*keep, _b). The padding (one leading + trailing
     space) makes word-boundary grams first-class features — the signal
     char-n-gram language ID lives on (Cavnar & Trenkle 1994's TextCat).
-    Hash = :func:`~..dedup.md5_hash60` % buckets, the repo's cross-engine
-    hashing idiom, so DuckDB computes identical bucket ids."""
+
+    ``hash_fn`` (Column→Column, any integer hash) defaults to
+    :func:`~..dedup.md5_hash60` % buckets — the repo's cross-engine idiom,
+    so DuckDB computes identical bucket ids. The md5 chain (hex string +
+    base-16 conv) is the dominant per-gram cost at scale; pass
+    ``hash_fn=F.xxhash64`` for the production fast path when oracle
+    parity is not needed (same simhash_table hash_fn contract) — the
+    model/scoring algebra is hash-agnostic."""
     from graphchidb_scala_spark.functions.dedup import md5_hash60
+
+    if hash_fn is None:
+        hash_fn = md5_hash60
 
     t = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
 
@@ -120,7 +130,7 @@ def _char_gram_buckets(
         *[F.col(c) for c in keep], F.explode(grams).alias("_g")
     ).select(
         *[F.col(c) for c in keep],
-        F.pmod(md5_hash60(F.col("_g")), F.lit(int(buckets))).alias("_b"),
+        F.pmod(hash_fn(F.col("_g")), F.lit(int(buckets))).alias("_b"),
     )
 
 
@@ -131,6 +141,7 @@ def langid_model(
     alpha: float = 1.0,
     text_col: str = "text",
     lang_col: str = "lang",
+    hash_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the portable char-n-gram Naive-Bayes language identifier on a
     labeled slice: returns ``(model, priors)`` — model DF(lang, _b, _ll)
@@ -153,7 +164,9 @@ def langid_model(
     spark = labeled.sparkSession
     langs = labeled.select(F.col(lang_col).alias("lang")).distinct()
     counts = (
-        _char_gram_buckets(labeled, [lang_col], text_col, tuple(ngram_sizes), b)
+        _char_gram_buckets(
+            labeled, [lang_col], text_col, tuple(ngram_sizes), b, hash_fn
+        )
         .groupBy(F.col(lang_col).alias("lang"), "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -193,8 +206,10 @@ def score_languages(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
-    """Score every document against a trained :func:`langid_model`:
+    """Score every document against a trained :func:`langid_model`
+    (pass the SAME ``hash_fn`` the model was trained with):
     DF(id, lang, confidence) — argmax-posterior language with a softmax
     confidence in (0,1], deterministic tie-break on lang ASC. The padded
     gram extraction guarantees every document (even empty text) emits at
@@ -210,7 +225,7 @@ def score_languages(
 
     b = int(buckets)
     scored = (
-        _char_gram_buckets(df, [id_col], text_col, tuple(ngram_sizes), b)
+        _char_gram_buckets(df, [id_col], text_col, tuple(ngram_sizes), b, hash_fn)
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
         .join(F.broadcast(model), "_b")
@@ -242,6 +257,7 @@ def detect_language(
     text_col: str = "text",
     lang_col: str = "lang",
     round_dp: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Model-based language identification — the missing link in the CCNet
     chain (WARC ingest → :func:`strip_html` → **langid** → per-language
@@ -281,6 +297,7 @@ def detect_language(
         alpha=alpha,
         text_col=text_col,
         lang_col=lang_col,
+        hash_fn=hash_fn,
     )
     return score_languages(
         df,
@@ -291,6 +308,7 @@ def detect_language(
         id_col=id_col,
         text_col=text_col,
         round_dp=round_dp,
+        hash_fn=hash_fn,
     )
 
 

@@ -104,6 +104,20 @@ def test_detect_language_weak_labels_generalize(spark):
         assert got[i] == lang, f"probe {i}: got {got[i]}, want {lang}"
 
 
+def test_detect_language_xxhash_fast_path(spark):
+    """hash_fn=F.xxhash64 (the production fast path — skips the md5 hex +
+    base-16 conv chain, measured 1.8× at the 10× replica) must predict the
+    same languages as the md5 oracle-parity default on the planted corpus."""
+    docs = _planted(spark)
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).select("text", "lang")
+    md5_pred = {r["doc_id"]: r["lang"] for r in
+                text.detect_language(docs, labeled=labeled, buckets=4096).collect()}
+    xx_pred = {r["doc_id"]: r["lang"] for r in
+               text.detect_language(docs, labeled=labeled, buckets=4096,
+                                    hash_fn=F.xxhash64).collect()}
+    assert xx_pred == md5_pred
+
+
 def test_detect_language_empty_and_null_text(spark):
     """Every input row gets a verdict — empty and NULL text degrade to the
     padded-gram prior path instead of vanishing."""
