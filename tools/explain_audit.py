@@ -461,6 +461,17 @@ CHECKS = {
         ["PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate",
          "!BroadcastNestedLoop", "!CartesianProduct"],
     ),
+    # language-ID scoring: the |langs|×buckets model must broadcast onto the
+    # per-doc bucket counts (never a sort-merge of the corpus against the
+    # model), and the softmax/argmax window must be doc-partitioned
+    "langid_broadcast_model_join": (
+        lambda g, docs, emb: text.detect_language(
+            docs,
+            labeled=docs.filter(F.col("doc_id") % 4 == 0).select("text", "lang"),
+            buckets=256,
+        ),
+        ["BroadcastHashJoin", "hashpartitioning(doc_id"],
+    ),
     # curriculum_order's 100 TB arm (exact_threshold=0): the corpus-side
     # position window is hash-partitioned on (stage, _shard) — never a
     # corpus-wide SinglePartition sort; the only SinglePartition exchange
