@@ -2541,16 +2541,19 @@ def _q_doc_langid(spark, sf):
 
 
 def _langid_ctes(buckets: int = 256, alpha: float = 1.0) -> str:
-    # mirrors text.detect_language(labeled=doc_id%4==0 slice): space-padded
-    # lowercased char 2+3-grams, md5-hash60 % buckets, per-lang add-alpha
-    # NB with doc-count priors, softmax confidence, argmax with lang ASC
-    # tie-break. range(1, length(t)) == Spark's sequence(1, len-(n-1)).
+    # mirrors text.detect_language: space-padded lowercased char 2+3-grams,
+    # md5-hash60 % buckets, per-lang add-alpha NB with doc-count priors,
+    # softmax confidence, argmax with lang ASC tie-break.
+    # range(1, length(t)) == Spark's sequence(1, len-(n-1)).
     # Reusable chain (li_-prefixed) ending in li_pred(doc_id, lang,
-    # confidence) — one verdict row per document; composable the way
-    # _lm_xent_grouped_ctes is (the detected-lang chain key reuses it).
+    # confidence) — one verdict row per document. EXPECTS a previously
+    # defined li_train(t, lang) CTE (padded lowercased text + label): the
+    # labeled-slice key, the weak-label key, and the detected-lang chain
+    # key each prepend their own trainer — composable the way
+    # _lm_xent_grouped_ctes is.
     return f"""
 base AS (
-  SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS t, lang
+  SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS t
   FROM documents
 ),
 tg AS (
@@ -2560,10 +2563,10 @@ tg AS (
       list_transform(range(1, length(t)), i -> substr(t, i, 2)),
       list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
     )) AS g
-    FROM base WHERE doc_id % 4 = 0
+    FROM li_train
   )
 ),
-langs AS (SELECT DISTINCT lang FROM base WHERE doc_id % 4 = 0),
+langs AS (SELECT DISTINCT lang FROM li_train),
 grid AS (SELECT l.lang, CAST(r.range AS BIGINT) AS b FROM langs l, range({buckets}) r),
 cnt AS (SELECT lang, b, count(*) AS n FROM tg GROUP BY lang, b),
 sm AS (
@@ -2573,7 +2576,7 @@ sm AS (
 tot AS (SELECT lang, sum(c) AS t FROM sm GROUP BY lang),
 model AS (SELECT sm.lang, sm.b, ln(sm.c / tot.t) AS ll
           FROM sm JOIN tot ON tot.lang = sm.lang),
-dc AS (SELECT lang, count(*) AS nd FROM base WHERE doc_id % 4 = 0 GROUP BY lang),
+dc AS (SELECT lang, count(*) AS nd FROM li_train GROUP BY lang),
 nrm AS (SELECT sum(nd) AS n_all, count(*) AS n_langs FROM dc),
 priors AS (
   SELECT lang, ln((nd + {alpha}) / (n_all + {alpha} * n_langs)) AS lp FROM dc, nrm
@@ -2609,9 +2612,38 @@ li_pred AS (
 )""".strip()
 
 
+_LI_TRAIN_QUARTER = (
+    "li_train AS (SELECT ' ' || lower(coalesce(text, '')) || ' ' AS t, lang\n"
+    "  FROM documents WHERE doc_id % 4 = 0)"
+)
+
+
 def _langid_sql(buckets: int = 256, alpha: float = 1.0) -> str:
     return (
-        "WITH\n" + _langid_ctes(buckets, alpha)
+        "WITH\n" + _LI_TRAIN_QUARTER + ",\n" + _langid_ctes(buckets, alpha)
+        + "\nSELECT doc_id, lang, confidence FROM li_pred"
+    )
+
+
+def _q_doc_langid_weak(spark, sf):
+    """The CCNet weak-supervision mode of language ID (labels=None): the
+    stopword heuristic lang_id labels the subset of the corpus it is
+    confident about (!= 'und'), and the char-n-gram NB trained on those
+    weak labels scores EVERY document — the mode a truly unlabeled crawl
+    runs in. Same jobs as doc_langid; only the trainer slice differs."""
+    return text.detect_language(_docs(spark, sf), buckets=256)
+
+
+def _langid_weak_sql(buckets: int = 256, alpha: float = 1.0) -> str:
+    # trainer = the heuristic lang_pred twin (shared with doc_text_stats),
+    # confident rows only; the rest of the chain is byte-identical
+    return (
+        "WITH\nli_train AS (\n"
+        "  SELECT ' ' || lower(coalesce(d.text, '')) || ' ' AS t,\n"
+        "         s.lang_pred AS lang\n"
+        f"  FROM documents d JOIN ({_doc_text_stats_sql()}) s ON s.doc_id = d.doc_id\n"
+        "  WHERE s.lang_pred <> 'und'\n"
+        "),\n" + _langid_ctes(buckets, alpha)
         + "\nSELECT doc_id, lang, confidence FROM li_pred"
     )
 
@@ -2638,7 +2670,7 @@ def _lm_xent_detected_sql(buckets: int = 256, alpha: float = 0.1) -> str:
     # LM chain re-rooted at docs_det (src parameter): the whole WARC-shaped
     # pipeline in one replayable query
     return (
-        "WITH\n" + _langid_ctes(buckets=buckets) + """,
+        "WITH\n" + _LI_TRAIN_QUARTER + ",\n" + _langid_ctes(buckets=buckets) + """,
 docs_det AS (
   SELECT d.doc_id, d.text, p.lang
   FROM documents d JOIN li_pred p ON p.doc_id = d.doc_id
@@ -4326,6 +4358,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the CCNet chain end-to-end: per-lang LM on DETECTED language
         # (fixture lang never read downstream of the detector, r12)
         "doc_lm_xent_detected": _q_doc_lm_xent_detected,
+        # weak-supervision langid: heuristic-confident docs train the NB (r12)
+        "doc_langid_weak": _q_doc_langid_weak,
     }
 
 
@@ -4372,10 +4406,11 @@ _GRADED_WINDOW = [
     "token_bigram_pmi", "corpus_overlap_minhash", "doc_bloom_contamination",
     "ktruss4_copurchase", "clustering_coeff", "betweenness_d3",
     "label_prop4", "pagerank_weighted3", "katz3", "pseudo_diameter",
-    "powerlaw_alpha", "graph_diff_window", "edge_betweenness_d3",
-    # r12 chain key (new keys enter the window; doc_build_vocab — last
-    # graded r9, untouched, FULLGATE-covered — leads the r13 window)
-    "doc_lm_xent_detected",
+    "powerlaw_alpha", "graph_diff_window",
+    # r12 chain + weak-langid keys (new keys enter the window;
+    # doc_build_vocab and edge_betweenness_d3 — last graded r9, untouched,
+    # FULLGATE-covered — lead the r13 window)
+    "doc_lm_xent_detected", "doc_langid_weak",
 ]
 
 
@@ -5703,6 +5738,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "doc_quality_yield_curve": _quality_yield_curve_sql(),
         "doc_langid": _langid_sql(buckets=256, alpha=1.0),
         "doc_lm_xent_detected": _lm_xent_detected_sql(buckets=256, alpha=0.1),
+        "doc_langid_weak": _langid_weak_sql(buckets=256, alpha=1.0),
         "ann_topk_ivf_int8_indexed": _ann_ivf_int8_sql(),
         "dag_layers": _dag_layers_sql(),
         "reciprocity": (
