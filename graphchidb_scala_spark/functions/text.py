@@ -290,6 +290,15 @@ def detect_language(
             df.select(F.col(text_col), lang_id(F.col(text_col)).alias(lang_col))
             .filter(F.col(lang_col) != "und")
         )
+        # an all-'und' corpus would train an EMPTY model and the scoring
+        # join would silently return zero rows, breaking score_languages'
+        # every-row-gets-a-verdict contract (advisor r12) — fail loudly.
+        if labeled.isEmpty():
+            raise ValueError(
+                "detect_language weak supervision: the stopword heuristic "
+                "labeled zero documents (all 'und'); pass an explicit "
+                "`labeled` training slice instead"
+            )
     model, priors = langid_model(
         labeled,
         buckets=buckets,
@@ -908,6 +917,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_threshold: int | None = 10_000_000,
+    row_count: int | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: rank documents by their
     :func:`unigram_logprob` score and tier them into ``n_buckets`` —
@@ -922,17 +932,32 @@ def perplexity_buckets(
     ``exact_threshold=0``) the tile swaps for :func:`approx_stage_col`'s
     sampled-quantile cut: one sketch aggregate + a map-only comparison,
     NO global-sort window anywhere in the plan, so the operator survives
-    100× data. ``exact_threshold=None`` forces the exact arm."""
+    100× data. ``exact_threshold=None`` forces the exact arm.
+
+    NULL logprobs get bucket ``n_buckets`` in BOTH arms (the exact arm's
+    DESC-NULLS-LAST ntile placement, pinned explicitly in the sampled arm
+    where a percentile comparison would yield a NULL bucket — advisor
+    r12). Pass ``row_count`` (exact or approximate — the gate only picks
+    an arm) to skip the eager ``df.count()``; ``exact_threshold=0``
+    short-circuits to the sampled arm with no count at all."""
     from pyspark.sql.window import Window
 
     scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
-    exact = exact_threshold is None or df.count() <= int(exact_threshold)
+    if exact_threshold is None:
+        exact = True
+    elif int(exact_threshold) == 0:
+        exact = False
+    else:
+        n = int(row_count) if row_count is not None else df.count()
+        exact = n <= int(exact_threshold)
     if exact:
         w = Window.orderBy(F.desc("logprob"), F.asc(id_col))
         return scored.select(
             id_col, "logprob", F.ntile(int(n_buckets)).over(w).alias("bucket")
         )
-    bucket = approx_stage_col(scored, "logprob", int(n_buckets), descending=True)
+    bucket = F.when(F.col("logprob").isNull(), F.lit(int(n_buckets))).otherwise(
+        approx_stage_col(scored, "logprob", int(n_buckets), descending=True)
+    )
     return scored.select(id_col, "logprob", bucket.alias("bucket"))
 
 

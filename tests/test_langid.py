@@ -192,3 +192,19 @@ def test_warc_to_per_lang_lm_chain(spark, tmp_path):
     want = {url: lang for _, url, _, lang in pages}
     assert {u: r["lang"] for u, r in by_url.items()} == want
     assert all(r["lm_xent"] is not None for r in by_url.values())
+
+
+def test_detect_language_weak_empty_slice_raises(spark):
+    """Advisor r12: an all-'und' corpus (zero stopword hits anywhere) would
+    silently train an EMPTY weak-supervision model and return zero rows —
+    must instead raise a clear ValueError pointing at `labeled`."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "zzz qqq xyzzy"), (1, "plugh frobnitz grue")],
+        "doc_id bigint, text string",
+    )
+    und = docs.select(text.lang_id(F.col("text")).alias("h")).collect()
+    assert all(r["h"] == "und" for r in und)  # premise: heuristic all-und
+    with pytest.raises(ValueError, match="weak supervision"):
+        text.detect_language(docs, buckets=256)
