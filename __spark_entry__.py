@@ -4541,54 +4541,43 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-12 driver-window rotation (README "Driver-window rotation": the
+# Round-13 driver-window rotation (README "Driver-window rotation": the
 # 50-key window re-cycles by OLDEST driver grade first). Composition,
-# computed from the merged CORRECTNESS_r01–r11 last-graded map (judge r11
-# 'Next round #7': rotate onto the stale stratum and include the
-# rows-only keys so the declared policy is demonstrated in-window):
-#   - 6 never-driver-graded keys: this round's doc_langid/ann_recall_ivf
-#     plus the four r11-session keys (doc_strip_html,
-#     doc_curriculum_order, token_fertility_by_lang,
-#     doc_quality_yield_curve) the r11 window had no room for;
-#     doc_curriculum_order and doc_ppl_buckets also re-grade this round's
-#     size-gate change (below-gate output must stay byte-identical);
-#   - the 3 declared rows-only keys (als_recommend, als_rmse,
-#     embedding_pca — rows_only_keys()) so CORRECTNESS_r12 records the
-#     no_oracle policy cells alongside zero hard errors;
-#   - the 3 keys last graded r7 (token_histogram, token_bigrams,
-#     embedding_centroids) and all 17 last graded r8;
-#   - 21 of the 43 last graded r9, prioritizing the verdict-named
-#     mis/matching/msf and events-tail keys, then that cohort's order;
-#     the 22 held out (incl. the kmeans family keys last graded r10/r11)
-#     lead the r13 window.
+# computed from the merged CORRECTNESS_r01–r12 last-graded map (judge r12
+# 'Next round #7': rotate onto the r10/r11 stale stratum):
+#   - 2 never-driver-graded keys: this round's ann_topk_ivf_two_level
+#     (the coarse-tier probe path, r12 'Next round #1') and
+#     doc_crawl_curate_v3 (the WARC crawl capstone, r12 'Next round #2');
+#   - ALL 23 keys last graded r9 — the oldest stratum, led by the two the
+#     r12 window held out (doc_build_vocab — which also re-grades this
+#     round's prefix-sum size gate below the threshold — and
+#     edge_betweenness_d3), then that cohort's registry order;
+#   - 25 of the 48 last graded r10: the verdict-named kmeans family
+#     (knn_graph_kmeans, semantic_dedup_kmeans, knn_graph_kmeans_arrow)
+#     first, then registry order; the 23 held out plus the 50-key r11
+#     stratum (bigram-LM family, RRF, hard-negatives, cluster labels)
+#     lead the r14 window.
 _GRADED_WINDOW = [
-    # r12-new (never graded)
-    "doc_langid", "ann_recall_ivf",
-    # r11-session keys never in a driver window
-    "doc_strip_html", "doc_curriculum_order", "token_fertility_by_lang",
-    "doc_quality_yield_curve",
-    # declared rows-only policy keys (machine-readable: rows_only_keys())
-    "als_recommend", "als_rmse", "embedding_pca",
-    # last graded r7
-    "token_histogram", "token_bigrams", "embedding_centroids",
-    # last graded r8, registry order
-    "events_props", "events_asof", "events_rollup", "kcore_peel3",
-    "events_retention", "events_value_outliers", "weighted_sssp4",
-    "bpe_pair_top20", "hits4", "harmonic_centrality8",
-    "degree_assortativity", "scc", "events_transitions", "events_scd2",
-    "doc_logprob", "doc_ppl_buckets", "doc_chunk_dedup",
-    # last graded r9: verdict-named stale keys first, then cohort order
-    "mis_seeded", "maximal_matching_seeded", "msf_weighted",
-    "events_resample_ffill", "events_quantiles_sampled", "events_ab_ttest",
-    "events_interarrival",
-    "token_bigram_pmi", "corpus_overlap_minhash", "doc_bloom_contamination",
-    "ktruss4_copurchase", "clustering_coeff", "betweenness_d3",
-    "label_prop4", "pagerank_weighted3", "katz3", "pseudo_diameter",
-    "powerlaw_alpha", "graph_diff_window",
-    # r12 chain + weak-langid keys (new keys enter the window;
-    # doc_build_vocab and edge_betweenness_d3 — last graded r9, untouched,
-    # FULLGATE-covered — lead the r13 window)
-    "doc_lm_xent_detected", "doc_langid_weak",
+    # r13-new (never graded)
+    "ann_topk_ivf_two_level", "doc_crawl_curate_v3",
+    # last graded r9 (all 23): r12-held-out pair first, then cohort order
+    "doc_build_vocab", "edge_betweenness_d3",
+    "modularity_vtype", "conductance_vtype", "dag_layers", "reciprocity",
+    "token_zipf_alpha", "weighted_sssp_parents4", "doc_crosscorpus_neardup",
+    "ppr_multi3", "doc_repeated_substrings", "doc_contamination_spans",
+    "doc_split_leakage_safe", "doc_shuffle_shards", "embed_quantize_int8",
+    "knn_classify", "ann_topk_int8", "doc_containment_pairs",
+    "minhash_cluster_members", "ann_topk_ivf_int8_indexed",
+    "dedup_rate_by_source", "doc_dedup_normalized", "mmr_topk",
+    # last graded r10: verdict-named kmeans family first
+    "knn_graph_kmeans", "semantic_dedup_kmeans", "knn_graph_kmeans_arrow",
+    # then the r10 cohort in registry order (first 22; the rest lead r14)
+    "neighbors_point", "neighbors_multi", "out_neighbors_joined",
+    "edge_get", "edge_mutations", "vertex_delete", "vertex_delete_online",
+    "categorical_encode", "degrees", "graph_counts", "out_degrees_salted",
+    "degree_quantiles", "induced_subgraph", "fof_counts", "fof_excl",
+    "ego_net", "triangle_count", "frontier_algebra", "shortest_path_st",
+    "sssp_tree", "multi_bfs", "pagerank3",
 ]
 
 

@@ -1852,7 +1852,14 @@ def drop_near_duplicates_keep_best(
     Scale shape: one extra equi join decorating cluster members with their
     score and one max-struct aggregate per cluster (map-side combined) on
     top of the star-contraction clustering; the drop-set anti-join keeps
-    the count-gated broadcast of the min-id variant."""
+    the count-gated broadcast of the min-id variant.
+
+    Performance watch: on dup-dense corpora the dominant cost is the
+    verify tier's candidate mass (true duplicate volume), not plan slack —
+    the pinned regression baseline (min-rep plan floor, weather band,
+    survivor-row invariant, and the candidate-mass cost model) lives in
+    BENCHNOTES.md 'Round 13 § keep_best pinned regression reference',
+    backed by tools/sweep_sf1_r12_reps.json / sweep_sf01_r12_reps.json."""
     if (pairs is None) == (clusters is None):
         raise ValueError("pass exactly one of pairs= or clusters=")
     if clusters is None:
