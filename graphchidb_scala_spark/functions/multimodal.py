@@ -511,6 +511,83 @@ def resize_images(
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def transcode_images(
+    media: DataFrame,
+    quality: int = 90,
+    subsample: bool = True,
+    rgb_decoder: Callable[[bytes], tuple[int, int, int, bytes]] = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The multimodal *re-encode* stage — the storage-side twin of
+    :func:`resize_images`: decode each image row (:func:`decode_rgb` —
+    PPM/PNG/BMP/JPEG), re-encode as baseline JPEG via the in-container
+    codec (:func:`~.jpeg.encode_jpeg`; 4:2:0 by default — the crawl-corpus
+    storage layout, ~6× smaller than the raw PPM resize output), and
+    rewrite ``meta`` with the new format + byte count. Non-image rows pass
+    through; ``on_error`` uses the same raise/drop/keep bad-blob policy as
+    the resize stage. MEDIA_SCHEMA → MEDIA_SCHEMA, so resize → transcode →
+    extract_features composes as one Arrow-batched pipeline.
+
+    At 100 TB this is the stage that decides the corpus's storage bill:
+    re-encoding normalizes every exotic-but-decodable format onto one
+    splittable-by-row parquet binary column of JPEGs, after which every
+    downstream decode is the cheap baseline path."""
+    import json
+
+    if on_error not in ("raise", "drop", "keep"):
+        raise ValueError("on_error must be 'raise', 'drop' or 'keep'")
+    dec = rgb_decoder if rgb_decoder is not None else decode_rgb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphchidb_scala_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for i, p, k, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"], pdf["meta"]
+            ):
+                if k != "image":
+                    ids.append(i); kinds.append(k)
+                    payloads.append(p); metas.append(m)
+                    continue
+                try:
+                    w, h, maxval, rgb = dec(bytes(p) if p is not None else b"")
+                    if maxval != 255:  # scale 16-bit planes down to 8-bit
+                        rgb = bytes(min(255, b * 255 // maxval) for b in rgb)
+                    out = encode_jpeg(
+                        w, h, rgb, quality=int(quality), subsample=subsample
+                    )
+                except Exception:  # same bad-blob policy as resize_images
+                    if on_error == "raise":
+                        raise
+                    if on_error == "keep":
+                        ids.append(i); kinds.append(k)
+                        payloads.append(p); metas.append(m)
+                    continue
+                ids.append(i)
+                kinds.append(k)
+                payloads.append(out)
+                try:
+                    meta = json.loads(m) if m else {}
+                except ValueError:
+                    meta = {}
+                meta.update(
+                    {"format": "jpeg", "width": w, "height": h,
+                     "quality": int(quality), "n_bytes": len(out)}
+                )
+                metas.append(json.dumps(meta, sort_keys=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], list[float]] = fake_decoder,

@@ -3686,3 +3686,48 @@ def test_build_vocab_distributed_prefix_sum_arm(spark):
         hinted = tx.build_vocab(docs, coverage=0.95, min_count=1, vocab_count=40)
     assert sorted(tuple(r) for r in hinted.collect()) == exact
 
+
+
+def test_transcode_images_to_jpeg(spark):
+    """transcode_images: PPM/PNG in -> baseline JPEG out (in-container
+    codec), meta rewritten, non-image rows untouched, bad blobs follow the
+    drop policy; the output decodes back through builtin_decoder with
+    channel means preserved within JPEG tolerance."""
+    import json
+
+    import numpy as np
+
+    from graphchidb_scala_spark.functions import jpeg
+
+    w, h = 16, 8
+    rgb = bytes(min(255, x * 12 + c * 9) for y in range(h)
+                for x in range(w) for c in range(3))
+    ppm = multimodal.encode_ppm(w, h, 255, rgb)
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "{}"),
+         (2, "audio", b"RIFFnotreally", "{}"),
+         (3, "image", b"P6\nbroken", "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.transcode_images(media, quality=95, on_error="drop").collect()}
+    assert set(out) == {1, 2}  # bad blob dropped, audio passed through
+    assert bytes(out[2]["payload"]) == b"RIFFnotreally"
+    enc = bytes(out[1]["payload"])
+    assert enc[:2] == b"\xff\xd8"
+    meta = json.loads(out[1]["meta"])
+    assert meta["format"] == "jpeg" and (meta["width"], meta["height"]) == (w, h)
+    w2, h2, _, dec = jpeg.jpeg_rgb(enc)
+    assert (w2, h2) == (w, h)
+    a = np.frombuffer(rgb, np.uint8).astype(float).reshape(h, w, 3)
+    b = np.frombuffer(dec, np.uint8).astype(float).reshape(h, w, 3)
+    assert np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max() < 2.5
+    # resize -> transcode -> features composes (MEDIA_SCHEMA preserved)
+    chain = multimodal.extract_features(
+        multimodal.transcode_images(
+            multimodal.resize_images(media.filter("media_id = 1"), max_side=8),
+            quality=95,
+        ),
+        decoder=multimodal.builtin_decoder,
+    ).collect()
+    assert len(chain) == 1 and chain[0]["features"][0] == 8.0

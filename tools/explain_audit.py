@@ -522,6 +522,18 @@ CHECKS = {
         ).build_vocab(docs),
         ["partial_count", "Window", "!SortMergeJoin"],
     ),
+    # build_vocab's 100 TB arm (exact_threshold=0, r13): the cumulative sum
+    # is a _p-partitioned LOCAL window over the range-partitioned layout
+    # (windowspecdefinition(_p…) needs only hashpartitioning(_p)); the only
+    # SinglePartition window sorts the ≤n_partitions offsets aggregate,
+    # broadcast back — no corpus-wide ordered window anywhere
+    "build_vocab_distributed_prefix_sum": (
+        lambda g, docs, emb: __import__(
+            "graphchidb_scala_spark.functions.text", fromlist=["text"]
+        ).build_vocab(docs, exact_threshold=0),
+        ["hashpartitioning(_p", "windowspecdefinition(_p", "BroadcastHashJoin",
+         "!SortMergeJoin"],
+    ),
     # reciprocity: ONE reversed-key equi left join + one agg, lazy end to end
     "reciprocity_single_pass": (
         lambda g, docs, emb: gq.reciprocity(g),
