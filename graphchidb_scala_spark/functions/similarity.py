@@ -1138,6 +1138,8 @@ def ann_topk_ivf_indexed_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    two_level: bool = False,
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """Batch-probe a persisted IVF index (:func:`save_ivf_index`) with a
     whole DataFrame of query vectors — the production retrieval shape
@@ -1153,10 +1155,46 @@ def ann_topk_ivf_indexed_batch(
     query wants are never listed or read; then one cell-id equi-join at
     pinned parallelism and a per-qid top-k window. Per-batch cost is
     O(|Q|·nprobe·N/K) candidate rows, independent of how many cold cells
-    the index holds."""
+    the index holds.
+
+    ``two_level=True`` (requires :func:`save_coarse_codebook`) keeps the
+    batch path driver-memory-safe when K ≈ √N makes the flat sidecar
+    itself too big to collect: probe selection first runs over the √K
+    coarse tier, then the fine codebook is read PARTITION-PRUNED to the
+    union of the batch's ``coarse_probe`` groups — O(√K + groups·√K) rows
+    on the driver instead of O(K). The union pruning is a superset of
+    per-query group pruning (a query may pick a fine cell surfaced by
+    another query's group — recall can only improve); at
+    ``coarse_probe = branch`` the pruned fine tier IS the full codebook,
+    so results equal the flat path exactly (pytest-pinned)."""
     from pyspark.sql.window import Window
 
-    codebook = load_ivf_codebook(spark, path)
+    if two_level:
+        coarse_cb = sorted(
+            (int(r["coarse"]), [float(x) for x in r["centroid"]])
+            for r in spark.read.parquet(f"{path}/codebook_coarse").collect()
+        )
+        qg = queries.select(F.col(vec_col).alias("_qv"))
+        if len(coarse_cb) > _LITERAL_CODEBOOK_MAX:
+            groups_df = probe_cells_arrow(
+                qg, coarse_cb, int(coarse_probe), vec_col="_qv"
+            ).select(F.explode("_probes").alias("_g"))
+        else:
+            groups_df = qg.select(
+                F.explode(
+                    probe_cells(F.col("_qv"), coarse_cb, int(coarse_probe))
+                ).alias("_g")
+            )
+        groups = [int(r["_g"]) for r in groups_df.distinct().collect()]
+        codebook = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in spark.read.parquet(f"{path}/codebook_fine")
+            .filter(F.col("_coarse").isin(groups))
+            .select("cell", "centroid")
+            .collect()
+        )
+    else:
+        codebook = load_ivf_codebook(spark, path)
     q = queries.select(
         F.col(query_id_col).cast("bigint").alias("qid"), F.col(vec_col).alias("_qv")
     )

@@ -3731,3 +3731,41 @@ def test_transcode_images_to_jpeg(spark):
         decoder=multimodal.builtin_decoder,
     ).collect()
     assert len(chain) == 1 and chain[0]["features"][0] == 8.0
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.001/embeddings.parquet"),
+    reason="driver-generated testdata not present on this machine",
+)
+def test_two_level_batch_probe(spark, tmp_path):
+    """The BATCH probe path's two-level tier (r13 — the flat path collects
+    the full K-row codebook, the very cost the coarse tier removes): at
+    coarse_probe == branch the pruned fine tier IS the full codebook, so
+    the batch results equal the flat batch path exactly; at coarse_probe=1
+    results are still valid per-query top-k over probed cells."""
+    from graphchidb_scala_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf2lb")
+    cb = similarity.kmeans_codebook_portable(emb, iterations=2)
+    similarity.save_ivf_index(emb, path, codebook=cb)
+    branch = similarity.save_coarse_codebook(spark, path)
+    queries = emb.filter("vec_id < 6").select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    flat = {(r["qid"], r["vec_id"], r["cos_sim"]) for r in
+            similarity.ann_topk_ivf_indexed_batch(
+                spark, path, queries, k=5, nprobe=3).collect()}
+    two = {(r["qid"], r["vec_id"], r["cos_sim"]) for r in
+           similarity.ann_topk_ivf_indexed_batch(
+               spark, path, queries, k=5, nprobe=3,
+               two_level=True, coarse_probe=branch).collect()}
+    assert two == flat and len(flat) > 0
+    small = similarity.ann_topk_ivf_indexed_batch(
+        spark, path, queries, k=5, nprobe=3, two_level=True, coarse_probe=1
+    ).collect()
+    assert {r["qid"] for r in small} == set(range(6))
+    per_q = {}
+    for r in small:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
