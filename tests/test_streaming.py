@@ -1137,3 +1137,43 @@ def test_streaming_multimodal_resize_and_features(spark, tmp_path):
     for mid in got:
         assert got[mid] == batch[mid]
         assert got[mid][0] == 4.0 and got[mid][1] == 3.0  # resized dims
+
+
+def test_streaming_multimodal_transcode(spark, tmp_path):
+    """transcode_images is stream-transparent like the other multimodal
+    stages (stateless Arrow mapInPandas): readStream -> resize -> transcode
+    -> memory sink emits byte-identical JPEG payloads to the batch path,
+    and the payloads decode through the in-container codec."""
+    from graphchidb_scala_spark.functions import jpeg, multimodal
+
+    def ppm(w, h, px):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(px)
+
+    px = [min(255, x * 16 + y * 8) for y in range(6) for x in range(8)
+          for _ in range(3)]
+    media_rows = [(1, "image", ppm(8, 6, px), "{}")]
+    src = tmp_path / "media_tc_in"
+    spark.createDataFrame(media_rows, multimodal.MEDIA_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(multimodal.MEDIA_SCHEMA).parquet(str(src))
+    tc = multimodal.transcode_images(
+        multimodal.resize_images(stream, max_side=4), quality=95
+    )
+    q = (
+        tc.writeStream.format("memory")
+        .queryName("mm_tc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["media_id"]: bytes(r["payload"])
+           for r in spark.sql("select * from mm_tc").collect()}
+    batch = {r["media_id"]: bytes(r["payload"])
+             for r in multimodal.transcode_images(
+                 multimodal.resize_images(
+                     spark.createDataFrame(media_rows, multimodal.MEDIA_SCHEMA),
+                     max_side=4,
+                 ), quality=95,
+             ).collect()}
+    assert got == batch  # deterministic encoder -> byte-identical
+    w, h, _, _ = jpeg.jpeg_rgb(got[1])
+    assert (w, h) == (4, 3)
