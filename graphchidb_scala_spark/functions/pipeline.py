@@ -752,6 +752,12 @@ def curate_corpus_v3(
         id_col=id_col,
         text_col=text_col,
     )
+    # `scored` feeds both the clustering and the keep-best drop WITHOUT a
+    # third lineage cut: its repeats are shuffle-boundary-aligned, so Spark
+    # reuses the LM/screen shuffle files across the consumers — an explicit
+    # localCheckpoint here measured NO gain at the 10× replica (sweep
+    # sf1_r13 977 s vs sf1_r13b 1029 s, weather band), unlike the two cuts
+    # above whose inputs repeat through mapInPandas/model-join stages.
     scored = filt.withColumn("_len", F.length(F.col(text_col)).cast("bigint"))
     clusters = minhash_cluster_members(
         scored, id_col=id_col, text_col=text_col,
