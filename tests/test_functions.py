@@ -3769,3 +3769,9 @@ def test_two_level_batch_probe(spark, tmp_path):
     for r in small:
         per_q.setdefault(r["qid"], []).append(r)
     assert all(len(v) <= 5 for v in per_q.values())
+    # recall pin at the smallest coarse tier: union-of-groups pruning keeps
+    # the probed-cell recall high even at coarse_probe=1 (measured 1.0 on
+    # this fixture; floor leaves room for codebook drift)
+    sset = {(r["qid"], r["vec_id"]) for r in small}
+    fpairs = {(q, v) for q, v, _ in flat}
+    assert len(sset & fpairs) / len(fpairs) >= 0.8
