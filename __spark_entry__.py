@@ -3109,6 +3109,128 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+def _transcode_source_rgb(media_id: int) -> tuple[int, int, bytes]:
+    """The deterministic per-doc test image for the transcode key: dims
+    (4 + id%9, 4 + id%5), pixels = the md5 chain md5(f"{id}:{i}") — pure
+    arithmetic both engines can reproduce (the oracle only needs the
+    dims; the pixel bytes stay Spark-side, verified via the means_ok
+    boolean)."""
+    import hashlib
+
+    w = 4 + media_id % 9
+    h = 4 + media_id % 5
+    hx = "".join(
+        hashlib.md5(f"{media_id}:{i}".encode()).hexdigest() for i in range(18)
+    )
+    return w, h, bytes.fromhex(hx)[: w * h * 3]
+
+
+def _q_multimodal_transcode(spark, sf):
+    """The storage-normalization stage, hash-graded end-to-end (judge r13
+    'Next round #3'): deterministic PPM media built JVM-side (md5-chain
+    pixels, dims varying per doc) → ``transcode_images`` (baseline JPEG,
+    q=92, 4:2:0, ``prefer_stdlib=True`` so the bytes are identical in
+    every environment) → one Arrow-batched verification pass that decodes
+    the JPEG back and checks, per row: dims preserved (width/height from
+    the DECODED payload, not echoed input), meta rewritten
+    (format/quality/n_bytes consistent with the actual payload), and
+    channel means within JPEG tolerance of the regenerated source pixels
+    (measured worst case 0.0151 normalized at q=92 over the sf0.01
+    corpus; threshold 0.03 = 2× margin, deterministic). The oracle twin
+    is pure arithmetic + TRUE literals — a hash mismatch means the codec,
+    the meta rewrite, or the round-trip drifted. Single pipeline, no
+    joins: the transcode executes once per row."""
+    from graphchidb_scala_spark.functions import multimodal
+
+    docs = _docs(spark, sf).select("doc_id")
+    hexcol = F.concat(
+        *[
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(i))))
+            for i in range(18)
+        ]
+    )
+    m = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 9) + 4).cast("int").alias("w"),
+        ((F.col("doc_id") % 5) + 4).cast("int").alias("h"),
+        hexcol.alias("hx"),
+    )
+    media = m.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.encode(
+                F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")),
+                "utf-8",
+            ),
+            F.expr("substring(unhex(hx), 1, w * h * 3)"),
+        ).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    out = multimodal.transcode_images(media, quality=92, prefer_stdlib=True)
+
+    def verify(batches):
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        from graphchidb_scala_spark.functions.jpeg import jpeg_rgb
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "fmt", "quality",
+                "means_ok", "bytes_ok",
+            )}
+            for mid, p, meta_s in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(p)
+                meta = json.loads(meta_s)
+                w, h, mx, dec = jpeg_rgb(payload)  # stdlib tier: the bytes
+                # were produced by prefer_stdlib=True, decode must match it
+                sw, sh, src = _transcode_source_rgb(int(mid))
+                a = np.frombuffer(src, np.uint8).reshape(sh, sw, 3)
+                b = np.frombuffer(dec, np.uint8).reshape(h, w, 3)
+                err = (
+                    np.abs(
+                        a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))
+                    ).max() / 255.0
+                    if (w, h) == (sw, sh)
+                    else 1.0
+                )
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fmt"].append(meta.get("format"))
+                rows["quality"].append(int(meta.get("quality", -1)))
+                rows["means_ok"].append(bool(err <= 0.03))
+                rows["bytes_ok"].append(
+                    meta.get("n_bytes") == len(payload)
+                    and meta.get("width") == w
+                    and meta.get("height") == h
+                )
+            yield pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        verify,
+        "media_id bigint, width bigint, height bigint, fmt string, "
+        "quality bigint, means_ok boolean, bytes_ok boolean",
+    )
+
+
+_MULTIMODAL_TRANSCODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(4 + doc_id % 9 AS BIGINT) AS width,
+       CAST(4 + doc_id % 5 AS BIGINT) AS height,
+       'jpeg' AS fmt,
+       CAST(92 AS BIGINT) AS quality,
+       TRUE AS means_ok,
+       TRUE AS bytes_ok
+FROM documents
+""".strip()
+
+
 # ---------------------------------------------- round-5b: sketch set algebra
 
 _SIDE_A_RE = "^src[0-9]$"  # sources src0..src9 vs src10..src19
@@ -3844,6 +3966,19 @@ FROM r WHERE (cum - cnt) < 0.999 * tot AND cnt >= 2
 """.strip()
 
 
+def _q_build_vocab_distributed(spark, sf):
+    """The ABOVE-GATE build_vocab arm, hash-graded (judge r13 'Next round
+    #2'): ``exact_threshold=0`` forces the range-partitioned two-pass
+    prefix sum (text.py distributed arm) regardless of vocabulary size.
+    The arm is EXACT — byte-identical output to the single-window arm by
+    contract — so it grades against the SAME oracle SQL as
+    ``doc_build_vocab``; a hash mismatch here means the distributed
+    prefix sum diverged from the window semantics."""
+    return text.build_vocab(
+        _docs(spark, sf), coverage=0.999, min_count=2, exact_threshold=0
+    )
+
+
 def _labels_vtype(spark, sf):
     return _g(spark, sf).vertices.select("id", F.col("vtype").alias("lbl"))
 
@@ -4445,6 +4580,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Girvan-Newman edge signal + tokenizer vocab truncation
         "edge_betweenness_d3": _q_edge_betweenness,
         "doc_build_vocab": _q_build_vocab,
+        # the above-gate distributed prefix-sum arm, same oracle (r14)
+        "doc_build_vocab_distributed": _q_build_vocab_distributed,
+        # storage-normalization transcode stage, hash-graded (r14)
+        "multimodal_transcode": _q_multimodal_transcode,
         # partition-quality metrics (community scoring)
         "modularity_vtype": _q_modularity,
         "conductance_vtype": _q_conductance,
@@ -4547,43 +4686,42 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-13 driver-window rotation (README "Driver-window rotation": the
+# Round-14 driver-window rotation (README "Driver-window rotation": the
 # 50-key window re-cycles by OLDEST driver grade first). Composition,
-# computed from the merged CORRECTNESS_r01–r12 last-graded map (judge r12
-# 'Next round #7': rotate onto the r10/r11 stale stratum):
-#   - 2 never-driver-graded keys: this round's ann_topk_ivf_two_level
-#     (the coarse-tier probe path, r12 'Next round #1') and
-#     doc_crawl_curate_v3 (the WARC crawl capstone, r12 'Next round #2');
-#   - ALL 23 keys last graded r9 — the oldest stratum, led by the two the
-#     r12 window held out (doc_build_vocab — which also re-grades this
-#     round's prefix-sum size gate below the threshold — and
-#     edge_betweenness_d3), then that cohort's registry order;
-#   - 25 of the 48 last graded r10: the verdict-named kmeans family
-#     (knn_graph_kmeans, semantic_dedup_kmeans, knn_graph_kmeans_arrow)
-#     first, then registry order; the 23 held out plus the 50-key r11
-#     stratum (bigram-LM family, RRF, hard-negatives, cluster labels)
-#     lead the r14 window.
+# computed from the merged CORRECTNESS_r01–r13 last-graded map (judge r13
+# 'Next round #5': the remaining r10 cohort, then the r11 stratum):
+#   - 2 never-driver-graded keys: this round's
+#     doc_build_vocab_distributed (the above-gate prefix-sum arm against
+#     the SAME oracle as doc_build_vocab — judge r13 'Next round #2') and
+#     multimodal_transcode (the storage-normalization stage, judge r13
+#     'Next round #3');
+#   - ALL 23 keys last graded r10 — the oldest stratum, in registry
+#     order (vertex-program/vertex-op/doc_* block the r13 window held
+#     out);
+#   - 25 of the 50 last graded r11, in registry order (the ANN family,
+#     events windows, search keys); the other 25 r11 keys plus the r12
+#     stratum lead the r15 window.
 _GRADED_WINDOW = [
-    # r13-new (never graded)
-    "ann_topk_ivf_two_level", "doc_crawl_curate_v3",
-    # last graded r9 (all 23): r12-held-out pair first, then cohort order
-    "doc_build_vocab", "edge_betweenness_d3",
-    "modularity_vtype", "conductance_vtype", "dag_layers", "reciprocity",
-    "token_zipf_alpha", "weighted_sssp_parents4", "doc_crosscorpus_neardup",
-    "ppr_multi3", "doc_repeated_substrings", "doc_contamination_spans",
-    "doc_split_leakage_safe", "doc_shuffle_shards", "embed_quantize_int8",
-    "knn_classify", "ann_topk_int8", "doc_containment_pairs",
-    "minhash_cluster_members", "ann_topk_ivf_int8_indexed",
-    "dedup_rate_by_source", "doc_dedup_normalized", "mmr_topk",
-    # last graded r10: verdict-named kmeans family first
-    "knn_graph_kmeans", "semantic_dedup_kmeans", "knn_graph_kmeans_arrow",
-    # then the r10 cohort in registry order (first 22; the rest lead r14)
-    "neighbors_point", "neighbors_multi", "out_neighbors_joined",
-    "edge_get", "edge_mutations", "vertex_delete", "vertex_delete_online",
-    "categorical_encode", "degrees", "graph_counts", "out_degrees_salted",
-    "degree_quantiles", "induced_subgraph", "fof_counts", "fof_excl",
-    "ego_net", "triangle_count", "frontier_algebra", "shortest_path_st",
-    "sssp_tree", "multi_bfs", "pagerank3",
+    # r14-new (never graded)
+    "doc_build_vocab_distributed", "multimodal_transcode",
+    # last graded r10 (all 23), registry order
+    "cc5", "bfs_vertex_program", "gather_apply_wsum", "vertex_get",
+    "vertex_writes", "vertex_select_scan", "autofill_defaults",
+    "incremental_degrees", "random_vertex", "random_walks", "motif_census",
+    "doc_dedup_exact", "doc_text_profile", "doc_quality_filter",
+    "doc_ngram_neardup", "doc_wordgram_neardup", "events_changepoint",
+    "bpe_train_merges", "bpe_encode_top30", "doc_crosscorpus_filter",
+    "doc_crosscorpus_filter_progressive", "doc_neardup_screen_indexed",
+    "containment_cluster_members",
+    # last graded r11 (first 25 in registry order; rest lead r15)
+    "minhash_lsh_neardup", "simhash_neardup", "drop_near_duplicates",
+    "ann_topk", "ann_topk_ivf", "ann_topk_ivf_indexed", "ann_topk_pq",
+    "ann_topk_lsh_indexed", "embed_neardup", "multimodal_features",
+    "events_window_hourly", "events_sessionize", "pagerank_converged",
+    "cc_converged_stats", "ann_topk_lsh", "doc_split_hash",
+    "doc_contamination", "doc_stratified_sample", "doc_cap_per_source",
+    "doc_pack_sequences", "doc_strip_boilerplate", "doc_weighted_sample",
+    "doc_repetition_stats", "doc_tfidf_search", "doc_bm25_search",
 ]
 
 
@@ -5890,6 +6028,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         "graph_diff_window": _gsql(_GRAPH_DIFF_SQL_BODY),
         "edge_betweenness_d3": _edge_betweenness_sql(),
         "doc_build_vocab": _BUILD_VOCAB_SQL,
+        # the distributed arm is byte-identical by contract -> same twin
+        "doc_build_vocab_distributed": _BUILD_VOCAB_SQL,
+        "multimodal_transcode": _MULTIMODAL_TRANSCODE_SQL,
         "modularity_vtype": _MODULARITY_SQL,
         "conductance_vtype": _CONDUCTANCE_SQL,
         "msf_weighted": _msf_sql(),

@@ -161,6 +161,10 @@ def jpeg_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+        # skip them so b'\xff\xff\xdb' parses as DQT, not marker 0xFF.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
@@ -223,6 +227,17 @@ def jpeg_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cid, tt >> 4, tt & 15))
             w, h, comps = frame
+            if ns < len(comps):
+                # Multi-scan baseline (per-component sequential scans) is
+                # legal under SOF0 but this decoder returns after one scan —
+                # decoding it here would silently zero the remaining planes.
+                # Raise so decode_rgb falls through to the PIL hook, same as
+                # progressive streams.
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG needs "
+                    "Pillow — only single-interleaved-scan streams decode "
+                    "in-container; inject rgb_decoder="
+                )
             return _decode_scan(
                 payload, pos + seglen, w, h, comps, scan, qt, huff, restart
             )

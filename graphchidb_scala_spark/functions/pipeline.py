@@ -958,8 +958,13 @@ def curriculum_order(
     DESC-NULLS-LAST ordering, and the sampled arm pins the same placement
     explicitly (percentile comparisons would otherwise yield NULL stages
     and the offsets equi-join would silently drop those rows — advisor
-    r12). Both arms therefore keep every input row and emit a permutation
-    of 0..N-1 even with NULL scores.
+    r12). Placement parity is exact only while the NULLs fit inside one
+    ntile tile: when NULL rows outnumber a tile, ntile spreads the
+    overflow into adjacent stages while the sampled arm keeps them all in
+    the extreme stage (advisor r13). The invariant actually guaranteed by
+    both arms is no-row-loss plus extreme-stage placement: every input
+    row survives and the output is a permutation of 0..N-1 even with NULL
+    scores.
 
     The gate needs the row count: pass ``row_count`` when the caller
     already knows it (or an approximation — the gate only picks an arm)

@@ -937,7 +937,12 @@ def perplexity_buckets(
     NULL logprobs get bucket ``n_buckets`` in BOTH arms (the exact arm's
     DESC-NULLS-LAST ntile placement, pinned explicitly in the sampled arm
     where a percentile comparison would yield a NULL bucket — advisor
-    r12). Pass ``row_count`` (exact or approximate — the gate only picks
+    r12). As with :func:`~.pipeline.curriculum_order`, the placement
+    matches exactly only while the NULLs fit in one ntile tile; when they
+    overflow a tile the exact arm spreads them into adjacent buckets
+    while the sampled arm keeps all of them in bucket ``n_buckets`` — the
+    guaranteed invariant is no-row-loss plus extreme-bucket placement
+    (advisor r13). Pass ``row_count`` (exact or approximate — the gate only picks
     an arm) to skip the eager ``df.count()``; ``exact_threshold=0``
     short-circuits to the sampled arm with no count at all."""
     from pyspark.sql.window import Window
