@@ -35,3 +35,41 @@ def test_graded_window_is_exactly_the_driver_prefix():
     qs = list(entry.queries())
     assert qs[:50] == list(window)
     assert set(window) <= set(entry._registry())
+
+
+def test_stage_block_invariants_detect_violations(spark):
+    """The sampled-arm contract keys grade TRUE-literal invariants, so the
+    helper must actually FLIP on broken input — otherwise the oracle twin
+    would be vacuous. Build a valid staged permutation, then break each
+    invariant independently and assert the matching boolean goes false."""
+    rows = [
+        # (doc_id, quality, stage, pos): 2 stages, descending quality,
+        # contiguous ascending pos blocks — a VALID sampled-arm output
+        (1, 0.9, 1, 0), (2, 0.8, 1, 1), (3, 0.4, 2, 2), (4, 0.3, 2, 3),
+    ]
+    schema = "doc_id bigint, quality double, stage int, pos bigint"
+
+    def inv(data):
+        df = spark.createDataFrame(data, schema)
+        return entry._stage_block_invariants(
+            df, "doc_id", "pos", "stage", "quality", descending=True
+        ).collect()[0]
+
+    ok = inv(rows)
+    assert (
+        ok["n"], ok["is_permutation"], ok["blocks_contiguous"],
+        ok["stage_monotone_by_score"],
+    ) == (4, True, True, True)
+    # duplicate pos (not a permutation)
+    bad = inv([rows[0], (2, 0.8, 1, 0), rows[2], rows[3]])
+    assert not bad["is_permutation"]
+    # pos gap inside a stage block (stage 2 spans 2..4 with only 2 rows)
+    bad = inv([rows[0], rows[1], rows[2], (4, 0.3, 2, 4)])
+    assert not bad["blocks_contiguous"]
+    # interleaved blocks (stage 2 starts before stage 1 ends)
+    bad = inv([(1, 0.9, 1, 0), (2, 0.8, 1, 2), (3, 0.4, 2, 1), (4, 0.3, 2, 3)])
+    assert not bad["blocks_contiguous"]
+    # score inversion across stages (stage 2 holds a higher quality than
+    # stage 1's minimum)
+    bad = inv([rows[0], rows[1], (3, 0.95, 2, 2), rows[3]])
+    assert not bad["stage_monotone_by_score"]
