@@ -115,24 +115,20 @@ def wav_pcm_decoder(payload: bytes, kind: str = "audio") -> list[float]:
 def _rgb_stats(w: int, h: int, maxval: int, rgb: bytes) -> list[float]:
     """Shared stats surface over a raw RGB plane: ``[width, height, mean_r,
     mean_g, mean_b, luma_mean, luma_std, maxval]`` (means normalized by
-    maxval) — every image format decodes to pixels, then through here."""
+    maxval) — every image format decodes to pixels, then through here.
+    Vectorized (r14): this runs per image INSIDE the Arrow mapInPandas
+    batches, where the former per-pixel Python loop was the per-row cost
+    floor; numpy float64 sums differ from the sequential loop only at
+    ~1e-13 (pairwise summation), identical for identical pixel input, so
+    the cross-format parity tests (PNG==PPM etc.) are unaffected."""
     import math
 
     n = w * h
-    sums = [0, 0, 0]
-    luma_sum = 0.0
-    luma_sq = 0.0
-    for i in range(n):
-        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-        sums[0] += r
-        sums[1] += g
-        sums[2] += b
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        luma_sum += y
-        luma_sq += y * y
-    mr, mg, mb = (s / n / maxval for s in sums)
-    lm = luma_sum / n
-    lvar = max(luma_sq / n - lm * lm, 0.0)
+    a = np.frombuffer(rgb, np.uint8)[: 3 * n].reshape(n, 3).astype(np.float64)
+    mr, mg, mb = (a.mean(axis=0) / maxval).tolist()
+    y = a @ np.array([0.299, 0.587, 0.114])
+    lm = float(y.mean())
+    lvar = max(float((y * y).mean()) - lm * lm, 0.0)
     return [
         float(w), float(h), mr, mg, mb,
         lm / maxval, math.sqrt(lvar) / maxval, float(maxval),
@@ -439,15 +435,13 @@ def resize_rgb_nearest(
     scale = max_side / max(w, h)
     tw = max(1, int(w * scale))
     th = max(1, int(h * scale))
-    out = bytearray()
-    for y in range(th):
-        sy = y * h // th
-        base = sy * w
-        for x in range(tw):
-            sx = x * w // tw
-            o = (base + sx) * 3
-            out += rgb[o : o + 3]
-    return tw, th, bytes(out)
+    # vectorized gather (r14): byte-identical to the per-pixel loop — the
+    # floor index arithmetic (y*h//th, x*w//tw) is unchanged, only hoisted
+    # into two integer index vectors
+    arr = np.frombuffer(rgb, np.uint8)[: w * h * 3].reshape(h, w, 3)
+    sy = (np.arange(th) * h) // th
+    sx = (np.arange(tw) * w) // tw
+    return tw, th, arr[np.ix_(sy, sx)].tobytes()
 
 
 def resize_images(
