@@ -71,7 +71,6 @@ def wav_pcm_decoder(payload: bytes, kind: str = "audio") -> list[float]:
     dc_offset]`` (amplitude stats normalized to full-scale 16-bit). The
     judge-r7 ask: the default decoder contract now has a working
     end-to-end path for a format a training pipeline actually stores."""
-    import array
     import math
     import struct
 
@@ -94,17 +93,18 @@ def wav_pcm_decoder(payload: bytes, kind: str = "audio") -> list[float]:
     (bits,) = struct.unpack("<H", fmt[14:16])
     if audio_format != 1 or bits != 16 or n_ch < 1:
         raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
-    samples = array.array("h")
-    samples.frombytes(data[: len(data) // 2 * 2])
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     n = len(samples)
     if n == 0:
         return [float(n_ch), float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    mean = sum(samples) / n
-    rms = math.sqrt(sum((s - mean) ** 2 for s in samples) / n) / 32768.0
-    peak = max(max(samples), -min(samples)) / 32768.0
-    zcr = sum(
-        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
-    ) / max(n - 1, 1)
+    # vectorized (r14): the per-sample Python sums were the cost floor for
+    # MB-sized audio blobs inside the Arrow batches
+    s = samples.astype(np.float64)
+    mean = float(s.mean())
+    rms = math.sqrt(float(((s - mean) ** 2).mean())) / 32768.0
+    peak = float(np.abs(s).max()) / 32768.0
+    neg = samples < 0
+    zcr = float(np.count_nonzero(neg[1:] != neg[:-1])) / max(n - 1, 1)
     frames = n // n_ch
     return [
         float(n_ch), float(rate), float(frames), frames / rate,
@@ -219,36 +219,51 @@ def png_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     prev = bytearray(stride)
-    rgb = bytearray()
+    lines: list[bytes] = []
     for row in range(h):
         base = row * (stride + 1)
         ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        for x in range(w):
-            rgb += line[x * bpp : x * bpp + 3]
+        if ftype == 1:  # Sub — vectorized (r14): the left-neighbor
+            # recurrence per channel IS a running sum mod 256
+            arr = np.frombuffer(
+                raw[base + 1 : base + 1 + stride], np.uint8
+            ).astype(np.int64).reshape(-1, bpp)
+            line = bytearray((arr.cumsum(axis=0) & 0xFF).astype(np.uint8).tobytes())
+        elif ftype == 2:  # Up — elementwise, vectorized (r14)
+            line = bytearray(
+                (
+                    (
+                        np.frombuffer(raw[base + 1 : base + 1 + stride], np.uint8)
+                        .astype(np.int64)
+                        + np.frombuffer(bytes(prev), np.uint8)
+                    )
+                    & 0xFF
+                )
+                .astype(np.uint8)
+                .tobytes()
+            )
+        else:
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ftype == 3:  # Average — sequential left recurrence
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth — sequential left recurrence
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+        lines.append(bytes(line))
         prev = line
-    return w, h, 255, bytes(rgb)
+    # alpha drop via one reshape slice instead of a per-pixel copy loop
+    full = np.frombuffer(b"".join(lines), np.uint8).reshape(h, w, bpp)
+    return w, h, 255, full[:, :, :3].tobytes()
 
 
 def png_pixel_decoder(payload: bytes, kind: str = "image") -> list[float]:
@@ -287,14 +302,13 @@ def bmp_rgb(payload: bytes) -> tuple[int, int, int, bytes]:
     stride = (w * bpp + 3) // 4 * 4
     if len(payload) < data_off + stride * h:
         raise ValueError("truncated BMP pixel data")
-    rgb = bytearray()
-    for row in range(h):
-        src = row if top_down else h - 1 - row
-        base = data_off + src * stride
-        for x in range(w):
-            o = base + x * bpp
-            rgb += bytes((payload[o + 2], payload[o + 1], payload[o]))
-    return w, h, 255, bytes(rgb)
+    # vectorized gather (r14): same row order (bottom-up unless negative
+    # height) and BGR(A)->RGB channel swap as the former per-pixel loop
+    a = np.frombuffer(payload, np.uint8)
+    rows = np.arange(h) if top_down else (h - 1 - np.arange(h))
+    idx = data_off + rows[:, None] * stride + np.arange(w)[None, :] * bpp
+    rgb = np.stack([a[idx + 2], a[idx + 1], a[idx]], axis=-1)
+    return w, h, 255, rgb.tobytes()
 
 
 def bmp_pixel_decoder(payload: bytes, kind: str = "image") -> list[float]:
