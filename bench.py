@@ -264,8 +264,16 @@ def main() -> None:
             "compact_store": compact_5x100k,
         }
 
+        # ablation knob: SPARK_GRAFT_BENCH_SKIP=q1,q2 drops entries for
+        # A/B attribution runs (e.g. does a long new entry perturb its
+        # rep-mates?) — skipped keys simply don't appear in the output
+        skip = set(
+            filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
+        )
         timings: dict[str, float] = {}
         for name, fn in queries.items():
+            if name in skip:
+                continue
             # Driver GC between queries: ContextCleaner only releases dropped
             # shuffle files / broadcasts / checkpoint RDDs when the driver GCs,
             # and accumulated state measurably inflates later queries (PageRank
