@@ -411,7 +411,10 @@ def _stage_block_invariants(
     (threshold cuts never interleave scores across stages, up to ties).
     Returns a ONE-ROW frame of that contract; the oracle twin is count(*) +
     TRUE literals, so a hash mismatch means the distributed arm broke its
-    published semantics."""
+    published semantics. The input is consumed by TWO aggregations, so
+    the lineage is cut once up front — without it the whole sampled
+    pipeline (sketch agg + position windows) would execute twice."""
+    out = cut_lineage(out)
     per_stage = out.groupBy(stage_col).agg(
         F.count("*").alias("_cnt"),
         F.min(pos_col).alias("_minp"),
@@ -498,8 +501,10 @@ def _q_doc_ppl_buckets_sampled(spark, sf):
     Window node. Buckets carry no position column, so the contract row
     checks: no row loss, every bucket within [1, n_buckets], and buckets
     monotone in logprob (bucket 1 = most typical = highest logprob)."""
-    out = text.perplexity_buckets(_docs(spark, sf), n_buckets=3,
-                                  exact_threshold=0)
+    out = cut_lineage(  # two consumers below — don't re-run the pipeline
+        text.perplexity_buckets(_docs(spark, sf), n_buckets=3,
+                                exact_threshold=0)
+    )
     per_bucket = out.groupBy("bucket").agg(
         F.min("logprob").alias("_mins"), F.max("logprob").alias("_maxs")
     )
