@@ -1210,6 +1210,42 @@ def _events_hll_sql() -> str:
     )
 
 
+def _q_events_heavy_users(spark, sf):
+    """EXACT φ-frequent items via sketch-then-verify (Misra–Gries 1982 /
+    Metwally SpaceSaving shape): users appearing in ≥ 0.05% of events.
+    Pass 1 is a shuffle-free per-partition candidate scan (pigeonhole
+    superset guarantee), pass 2 an exact count of broadcast-candidate rows
+    only — the frequent-keys plan that never shuffles the full key
+    universe. Reference parity: the per-vertex degree/frequency scans of
+    Queries.scala (inAndOutNumEdges) done corpus-wide at 100 TB scale."""
+    from graphchidb_scala_spark.functions import sketches
+
+    return sketches.frequent_items(_events(spark, sf), "user_id", 5e-4)
+
+
+def _q_doc_frequent_terms(spark, sf):
+    """Corpus-wide frequent terms (share ≥ 0.2% of all tokens) — the
+    stopword/boilerplate-discovery pass of a training-data pipeline, run
+    through the same exact sketch-then-verify frequent-items plan with the
+    Misra–Gries-capped per-partition counter engaged (capacity 4096 ≫ the
+    documented P·n_p/t safety floor, so the superset guarantee holds and
+    the answer is bit-identical to the uncapped arm — pinned in tests)."""
+    from graphchidb_scala_spark.functions import sketches
+
+    toks = (
+        _docs(spark, sf)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return sketches.frequent_items(toks, "tok", 0.002, capacity=4096)
+
+
+_DOC_FREQUENT_TERMS_TOKENS = (
+    "(SELECT tok FROM (SELECT unnest(regexp_split_to_array(trim(text),"
+    " '\\s+')) AS tok FROM documents) u WHERE tok <> '') tt"
+)
+
+
 def _q_events_sessionize(spark, sf):
     return events.sessionize(_events(spark, sf), gap_minutes=30)
 
@@ -4660,6 +4696,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding windows + cross-engine-exact HLL sketch
         "events_window_sliding": _q_events_window_sliding,
         "events_hll_distinct": _q_events_hll,
+        # exact frequent items (sketch-then-verify, r14)
+        "events_heavy_users": _q_events_heavy_users,
+        "doc_frequent_terms": _q_doc_frequent_terms,
         # link-prediction variants + bipartite projection
         "jaccard_top20": _q_jaccard,
         "copurchase_top20": _q_copurchase,
@@ -4846,13 +4885,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   - ALL 23 keys last graded r10 — the oldest stratum, in registry
 #     order (vertex-program/vertex-op/doc_* block the r13 window held
 #     out);
-#   - 23 of the 50 last graded r11, in registry order (the ANN family,
-#     events windows, search keys); the other 27 r11 keys plus the r12
+#   - 21 of the 50 last graded r11, in registry order (the ANN family,
+#     events windows, search keys); the other 29 r11 keys plus the r12
 #     stratum lead the r15 window.
 _GRADED_WINDOW = [
     # r14-new (never graded)
     "doc_build_vocab_distributed", "multimodal_transcode",
     "doc_curriculum_sampled", "doc_ppl_buckets_sampled",
+    "events_heavy_users", "doc_frequent_terms",
     # last graded r10 (all 23), registry order
     "cc5", "bfs_vertex_program", "gather_apply_wsum", "vertex_get",
     "vertex_writes", "vertex_select_scan", "autofill_defaults",
@@ -4869,8 +4909,7 @@ _GRADED_WINDOW = [
     "events_window_hourly", "events_sessionize", "pagerank_converged",
     "cc_converged_stats", "ann_topk_lsh", "doc_split_hash",
     "doc_contamination", "doc_stratified_sample", "doc_cap_per_source",
-    "doc_pack_sequences", "doc_strip_boilerplate", "doc_weighted_sample",
-    "doc_repetition_stats",
+    "doc_pack_sequences", "doc_strip_boilerplate",
 ]
 
 
@@ -5541,6 +5580,8 @@ def _tfidf_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphchidb_scala_spark.functions import sketches
+
     return {
         "neighbors_point": _gsql(
             "SELECT 'out' AS dir, dst AS nbr, weight, "
@@ -6067,6 +6108,12 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
             "GROUP BY 1, 2"
         ),
         "events_hll_distinct": _events_hll_sql(),
+        "events_heavy_users": sketches.frequent_items_sql(
+            "events", "user_id", 5e-4
+        ),
+        "doc_frequent_terms": sketches.frequent_items_sql(
+            _DOC_FREQUENT_TERMS_TOKENS, "tok", 0.002
+        ),
         "doc_curate_corpus": _curate_sql(),
         "weighted_sssp4": _weighted_sssp_sql(iterations=4, source=1),
         "bpe_pair_top20": (

@@ -432,3 +432,117 @@ def sampled_quantiles_sql(
         f"SELECT {gpre}{cols}, CAST(count(*) AS BIGINT) AS n_sampled FROM {table} "
         f"WHERE {seeded_hash60_sql(key_col, seed)} < {thr} {gby}"
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    key_col: str,
+    min_share: float,
+    capacity: int | None = None,
+    n_total: int | None = None,
+) -> DataFrame:
+    """EXACT frequent-items (heavy hitters): every distinct ``key_col``
+    value occurring in at least ``min_share`` of the rows, with its exact
+    count — DF(``key_col``, cnt), (cnt DESC, key ASC). The φ-frequent-items
+    problem of Misra–Gries 1982 / Metwally SpaceSaving, solved with the
+    sketch-then-verify shape that stays exact:
+
+    1. **Candidate pass (no shuffle).** One Arrow-batched ``mapInPandas``
+       over the input partitions; each partition counts its own keys
+       (vectorized ``value_counts``) and emits only keys whose local count
+       could make the global threshold ``t = ceil(min_share · n)``.
+       Pigeonhole over P partitions: a key with global count ≥ t has local
+       count ≥ t/P in at least one partition, so emitting local counts with
+       ``c_p · P ≥ t`` yields a GUARANTEED superset of the answer — the
+       full key universe never reaches a shuffle.
+    2. **Verify pass (exact).** Broadcast the (φ-bounded: ≤ P/φ rows) 
+       candidate set back over the data, count ONLY candidate rows with a
+       map-side-combined groupBy, keep ``cnt ≥ t``.
+
+    With ``capacity=m`` the per-partition counter is Misra–Gries-bounded:
+    whenever it exceeds m keys, the (m+1)-th-largest count d is subtracted
+    from every key and non-positive keys are dropped (batched MG
+    decrement). Invariants: stored ≥ true − D and evicted ⇒ true ≤ D, where
+    D = Σ subtracted offsets ≤ n_p/(m+1). The superset guarantee therefore
+    needs ``D < t/P``; the pass CHECKS this per partition and raises
+    ValueError naming the minimum safe capacity instead of silently
+    missing a heavy key — a sketch that can be wrong must say so.
+    Candidates are emitted on ``(stored + D) · P ≥ t`` (an upper bound on
+    the true local count, so no key the uncapped pass would emit is lost).
+
+    Scale shape: at 100 TB the exact `groupBy(key).count()` answer shuffles
+    every distinct key (URLs, user ids: billions of combiner-resistant
+    rows). Here the shuffle carries only rows matching the broadcast
+    candidate list — for φ = 1e-4, ≤ 10⁴·P candidate keys regardless of
+    data size — and pass 1 is a pure scan. ``n_total`` short-circuits the
+    count job when the caller already knows the row count (parquet
+    metadata). NULL keys are ignored (no NULL is ever a heavy hitter of
+    interest; the oracle twin drops them identically).
+
+    Candidate-pass memory: exact mode holds one (key → int) entry per
+    distinct key per partition — bounded by partition size, the same
+    envelope as any hash aggregate's map side; ``capacity`` is the knob
+    when a partition's key universe itself outgrows memory."""
+    import math
+
+    from pyspark.sql.types import StructType
+
+    src = df.select(key_col).filter(F.col(key_col).isNotNull())
+    n = n_total if n_total is not None else src.count()
+    t = max(1, math.ceil(min_share * n))
+    p_parts = max(1, src.rdd.getNumPartitions())
+    out_schema = StructType([src.schema[key_col]])
+    cap = capacity
+
+    def _candidates(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        c: Counter = Counter()
+        dropped = 0  # Σ uniform MG offsets subtracted so far (exact mode: 0)
+        n_local = 0
+        for pdf in batches:
+            vals = pdf[key_col]
+            n_local += len(vals)
+            c.update(vals.value_counts().to_dict())
+            if cap is not None and len(c) > cap:
+                d = sorted(c.values(), reverse=True)[cap]
+                dropped += d
+                c = Counter({k: v - d for k, v in c.items() if v > d})
+        if cap is not None and dropped * p_parts >= t:
+            raise ValueError(
+                "frequent_items capacity too small for the superset "
+                f"guarantee: partition of {n_local} rows subtracted "
+                f"{dropped} >= t/P = {t}/{p_parts}; need capacity > "
+                f"{math.ceil(n_local * p_parts / t)} (have {cap})"
+            )
+        keep = [k for k, v in c.items() if (v + dropped) * p_parts >= t]
+        if keep:
+            yield pd.DataFrame({key_col: keep})
+
+    cands = src.mapInPandas(_candidates, out_schema).distinct()
+    return (
+        src.join(F.broadcast(cands), key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= t)
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+    )
+
+
+def frequent_items_sql(
+    table_expr: str, key_col: str, min_share: float
+) -> str:
+    """DuckDB twin of :func:`frequent_items`: the plain exact formulation
+    (the sketch-then-verify plan returns exactly this relation)."""
+    return (
+        f"WITH src AS (SELECT {key_col} FROM {table_expr} "
+        f"WHERE {key_col} IS NOT NULL),\n"
+        "n AS (SELECT count(*) AS v FROM src)\n"
+        f"SELECT {key_col}, CAST(count(*) AS BIGINT) AS cnt FROM src "
+        f"GROUP BY {key_col}\n"
+        f"HAVING count(*) >= greatest(1, CAST(ceil({min_share!r} * "
+        "(SELECT v FROM n)) AS BIGINT))\n"
+        f"ORDER BY cnt DESC, {key_col}"
+    )

@@ -1379,6 +1379,91 @@ def test_pii_scrub_counts_and_placeholders(spark):
 
 # ------------------------------------------------------------------- sketches
 
+def test_frequent_items_exact_vs_groupby(spark):
+    """Sketch-then-verify frequent items must equal the plain exact
+    groupBy-count answer on a skewed key column, across partitionings."""
+    from graphchidb_scala_spark.functions import sketches
+
+    # Zipf-ish skew: key = floor(sqrt(id)) → key k appears ~2k+1 times
+    df = spark.range(10_000).select(
+        F.floor(F.sqrt(F.col("id"))).cast("long").alias("k")
+    )
+    import math
+
+    n = df.count()
+    for share in (0.001, 0.01, 0.03):
+        t = max(1, math.ceil(share * n))
+        truth = sorted(
+            [
+                (r["k"], r["cnt"])
+                for r in df.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") >= t)
+                .collect()
+            ],
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        got = [
+            (r["k"], r["cnt"])
+            for r in sketches.frequent_items(df, "k", share).collect()
+        ]
+        got_repart = [
+            (r["k"], r["cnt"])
+            for r in sketches.frequent_items(
+                df.repartition(7), "k", share
+            ).collect()
+        ]
+        assert got == truth and got_repart == truth
+
+
+def test_frequent_items_mg_capped_arm_and_guard(spark):
+    """The Misra–Gries-capped candidate pass must be bit-identical to the
+    uncapped arm when the capacity honors the documented P·n_p/t floor,
+    and must RAISE (not silently under-report) when it does not."""
+    import pytest as _pytest
+
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.range(20_000).select(
+        F.floor(F.sqrt(F.col("id"))).cast("long").alias("k")
+    ).repartition(5)
+    exact = [
+        (r["k"], r["cnt"])
+        for r in sketches.frequent_items(df, "k", 0.005).collect()
+    ]
+    capped = [
+        (r["k"], r["cnt"])
+        for r in sketches.frequent_items(df, "k", 0.005, capacity=200).collect()
+    ]
+    assert capped == exact and len(exact) > 0
+    with _pytest.raises(Exception, match="capacity too small"):
+        sketches.frequent_items(df, "k", 0.005, capacity=2).collect()
+
+
+def test_frequent_items_nulls_threshold_floor_and_n_total(spark):
+    """NULL keys are ignored everywhere (share denominator included);
+    min_share so small the threshold floors at 1 returns every distinct
+    key; a caller-supplied n_total skips the count job but must yield the
+    same relation."""
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [(None,)] * 3, "k string"
+    )
+    out = [(r["k"], r["cnt"]) for r in sketches.frequent_items(df, "k", 0.5).collect()]
+    # denominator is the 7 non-null rows: t=4 → only 'a'
+    assert out == [("a", 5)]
+    floor_all = [
+        (r["k"], r["cnt"]) for r in sketches.frequent_items(df, "k", 1e-9).collect()
+    ]
+    assert floor_all == [("a", 5), ("b", 2)]
+    pre = [
+        (r["k"], r["cnt"])
+        for r in sketches.frequent_items(df, "k", 0.5, n_total=7).collect()
+    ]
+    assert pre == out
+
+
 def test_hll_distinct_error_bound_and_branches(spark):
     from graphchidb_scala_spark.functions import sketches
 
