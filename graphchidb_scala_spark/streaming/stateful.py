@@ -367,3 +367,82 @@ def stream_bloom_flag(
         .agg(F.size(F.collect_set("pos")).alias("_got"))
         .select(key_col, (F.col("_got") == F.col("_need")).alias("maybe_member"))
     )
+
+
+def _mg_fn(
+    capacity: int, min_share: float, group_col: str, value_col: str
+) -> Callable[..., Iterable[pd.DataFrame]]:
+    def fn(key: tuple[Any, ...], pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keys_list, cnts_list, dropped, n = state.get
+            c = dict(zip(keys_list, cnts_list))
+        else:
+            c, dropped, n = {}, 0, 0
+        for pdf in pdf_iter:
+            vals = pdf[value_col]
+            n += len(vals)
+            for v, k in vals.value_counts().items():
+                c[v] = c.get(v, 0) + int(k)
+            if len(c) > capacity:
+                d = sorted(c.values(), reverse=True)[capacity]
+                dropped += d
+                c = {kk: vv - d for kk, vv in c.items() if vv > d}
+        import math
+
+        state.update((list(c), [int(v) for v in c.values()], int(dropped), int(n)))
+        t = max(1, math.ceil(min_share * n))
+        keep = sorted(
+            ((kk, vv) for kk, vv in c.items() if vv + dropped >= t),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(keep),
+                value_col: [kk for kk, _ in keep],
+                "count_lo": [vv for _, vv in keep],
+                "count_hi": [vv + dropped for _, vv in keep],
+                "n_rows": [int(n)] * len(keep),
+            }
+        )
+
+    return fn
+
+
+def stream_frequent_items(
+    stream: DataFrame,
+    value_col: str,
+    group_col: str = "event_type",
+    min_share: float = 0.01,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Streaming Misra–Gries frequent items per group: state is ONE
+    capacity-bounded (key → count) summary plus the scalar offset total —
+    never the key universe — merged across micro-batches by the same
+    batched MG decrement the batch
+    :func:`~graphchidb_scala_spark.functions.sketches.frequent_items`
+    candidate pass uses. Every batch the group appears in re-emits its
+    current candidate set (update mode): keys whose count UPPER bound
+    ``count_hi = stored + dropped`` reaches ``ceil(min_share · n_rows)``.
+
+    Contract (the streaming twin of the batch operator's pass 1, which has
+    no pass-2 rescan available): ``count_lo ≤ true ≤ count_hi`` for every
+    emitted key, every key with true count ≥ ceil(min_share·n) IS emitted
+    while ``dropped < ceil(min_share·n)`` (the same superset condition the
+    batch arm enforces — size ``capacity`` to keep n/(capacity+1) below
+    the threshold), and ``count_hi − count_lo = dropped ≤ n/(capacity+1)``
+    bounds the count error. Pipe the emitted candidates through an exact
+    batch recount over cold storage when exactness is needed — the
+    sketch's job is to keep the candidate set small at stream rate."""
+    rows = stream.select(F.col(group_col), F.col(value_col).cast("string"))
+    return rows.groupBy(group_col).applyInPandasWithState(
+        _mg_fn(capacity, min_share, group_col, value_col),
+        outputStructType=(
+            f"{group_col} string, {value_col} string, count_lo bigint, "
+            "count_hi bigint, n_rows bigint"
+        ),
+        stateStructType=(
+            "keys array<string>, counts array<bigint>, dropped bigint, n bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1177,3 +1177,75 @@ def test_streaming_multimodal_transcode(spark, tmp_path):
     assert got == batch  # deterministic encoder -> byte-identical
     w, h, _, _ = jpeg.jpeg_rgb(got[1])
     assert (w, h) == (4, 3)
+
+
+def test_stream_frequent_items_mg_bounds_and_superset(spark, tmp_path):
+    """Streaming Misra-Gries candidates across forced micro-batches: every
+    emitted key's [count_lo, count_hi] brackets its true count, every
+    phi-heavy key of the full union is emitted in the final update (the
+    documented superset condition holds at this capacity), and with
+    capacity >= the distinct-key universe the bounds are EXACT (dropped=0,
+    lo == hi == true count)."""
+    import math
+
+    from graphchidb_scala_spark.streaming.stateful import stream_frequent_items
+
+    src = tmp_path / "mg_in"
+    src.mkdir()
+    parts = []
+    for b in range(3):
+        # zipf-ish: key k = isqrt(i) repeats ~2k+1 times within a batch
+        df = spark.createDataFrame(
+            [("g", str(math.isqrt(i))) for i in range(3000)],
+            "event_type string, v string",
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{b}"))
+        parts.append(df)
+    union = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    truth = {
+        r["v"]: r["cnt"]
+        for r in union.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(truth.values())
+    share = 0.03
+    t = max(1, math.ceil(share * n))
+    heavy = {k for k, c in truth.items() if c >= t}
+    assert heavy  # the test must actually exercise the superset claim
+
+    def run(capacity, qname):
+        stream = (
+            spark.readStream.schema("event_type string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        out = stream_frequent_items(
+            stream, "v", min_share=share, capacity=capacity
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table(qname).collect()
+        # the last update per group carries the final candidate set: keep
+        # rows from the max n_rows snapshot
+        n_max = max(r["n_rows"] for r in rows)
+        return {r["v"]: (r["count_lo"], r["count_hi"]) for r in rows
+                if r["n_rows"] == n_max}
+
+    # 55 distinct keys; capacity 40 engages eviction while honoring the
+    # documented floor capacity+1 > n/t (= 9000/270 ≈ 33.3)
+    capped = run(capacity=40, qname="mg_out_capped")
+    assert heavy <= set(capped)  # superset of the true heavy keys
+    for k, (lo, hi) in capped.items():
+        assert lo <= truth[k] <= hi
+    exact = run(capacity=1024, qname="mg_out_exact")
+    for k, (lo, hi) in exact.items():
+        assert lo == hi == truth[k]
+    assert {k for k, c in truth.items() if c >= t} == {
+        k for k, (lo, _) in exact.items() if lo >= t
+    }

@@ -691,6 +691,14 @@ CHECKS = {
         lambda g, docs, emb: text.quality_yield_curve(docs),
         ["partial_count", "Window", "!CartesianProduct"],
     ),
+    # frequent items (r14): candidate pass is a shuffle-free MapInPandas
+    # scan; the exact verify joins the data against the BROADCAST candidate
+    # list (never a sort-merge shuffle of the key universe) with map-side
+    # combine on the final count
+    "frequent_items_sketch_verify": (
+        lambda g, docs, emb: _frequent_items_plan(docs),
+        ["MapInPandas", "BroadcastHashJoin", "partial_count", "!SortMergeJoin"],
+    ),
 }
 
 
@@ -726,6 +734,15 @@ def _set_signature_plan(docs):
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     )
     return sketches.set_signature(toks, "tok", num_hashes=16)
+
+
+def _frequent_items_plan(docs):
+    from graphchidb_scala_spark.functions import sketches
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketches.frequent_items(toks, "tok", 0.002, n_total=50_000)
 
 
 def _bloom_probe_plan(docs):
