@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 import shutil
 import tempfile
 
-from graphchidb_scala_spark.functions import dedup, pipeline, similarity, text
+from graphchidb_scala_spark.functions import dedup, pipeline, similarity, sketches, text
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.operators import pregel
 from graphchidb_scala_spark.session import get_spark
@@ -258,6 +258,16 @@ def main() -> None:
                     ).alias("text"),
                 ),
                 langid_buckets=256, lm_xent_max=_V3_LM_MAX, cap=15,
+            ).count(),
+            # r14: exact frequent items over the token stream — the
+            # shuffle-free MG candidate pass + broadcast-verify count on
+            # the corpus's Zipf tail, regression-tracked like the langid
+            # family (capped arm, the production configuration)
+            "doc_frequent_terms": lambda: sketches.frequent_items(
+                docs.select(
+                    F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+                ).filter(F.col("tok") != ""),
+                "tok", 0.002, capacity=4096,
             ).count(),
             "ingest_100k_edges": ingest_100k,
             "bulk_build_store": bulk_build,

@@ -482,7 +482,14 @@ def frequent_items(
     Candidate-pass memory: exact mode holds one (key → int) entry per
     distinct key per partition — bounded by partition size, the same
     envelope as any hash aggregate's map side; ``capacity`` is the knob
-    when a partition's key universe itself outgrows memory."""
+    when a partition's key universe itself outgrows memory.
+
+    P is read from the pre-execution plan (``rdd.getNumPartitions``). AQE
+    can only COALESCE partitions at runtime (scan/narrow chains are never
+    split), and merging partitions raises local counts while the emit
+    threshold t/P stays fixed — so a runtime P smaller than planned emits
+    a (weakly) LARGER candidate set and the superset guarantee is
+    unaffected in either direction."""
     import math
 
     from pyspark.sql.types import StructType
