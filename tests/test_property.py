@@ -882,3 +882,41 @@ def test_bigram_lm_scores_ref_determined_and_grouped_consistency(spark, seed):
         for r in T.bigram_lm_scores(big, ref=ref, alpha=0.1).collect()
     }
     assert s_grouped == s_global
+
+
+@PROP
+@given(seed=st.integers(0, 2**31 - 1), share=st.sampled_from([0.02, 0.1, 0.3]))
+def test_frequent_items_matches_counter_model(spark, seed, share):
+    """Sketch-then-verify frequent items == the pure-Python Counter model on
+    random skewed multisets (geometric-ish key draw forces hot keys), across
+    a random repartitioning, exact and MG-capped arms."""
+    import math
+    from collections import Counter
+
+    from graphchidb_scala_spark.functions import sketches
+
+    rng = random.Random(seed)
+    vals = []
+    for _ in range(rng.randint(1, 400)):
+        # skewed draw: small keys vastly more likely
+        vals.append(str(min(int(rng.expovariate(0.5)), 30)))
+    truth = Counter(vals)
+    n = len(vals)
+    t = max(1, math.ceil(share * n))
+    want = sorted(
+        ((k, c) for k, c in truth.items() if c >= t),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "k string"
+    ).repartition(rng.choice([1, 3, 7]))
+    got = [(r["k"], r["cnt"]) for r in sketches.frequent_items(df, "k", share).collect()]
+    assert got == want
+    # capped arm: the universe is ≤ 31 distinct keys, so capacity 64 never
+    # evicts (dropped stays 0) and the capped pass is the exact pass —
+    # same answer, bit for bit
+    got_capped = [
+        (r["k"], r["cnt"])
+        for r in sketches.frequent_items(df, "k", share, capacity=64).collect()
+    ]
+    assert got_capped == want
