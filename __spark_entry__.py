@@ -1228,7 +1228,7 @@ def _q_doc_frequent_terms(spark, sf):
     stopword/boilerplate-discovery pass of a training-data pipeline, run
     through the same exact sketch-then-verify frequent-items plan with the
     Misra–Gries-capped per-partition counter engaged (capacity 4096 ≫ the
-    documented P·n_p/t safety floor, so the superset guarantee holds and
+    classic 1/φ = 500 safety floor, so the superset guarantee holds and
     the answer is bit-identical to the uncapped arm — pinned in tests)."""
     from graphchidb_scala_spark.functions import sketches
 

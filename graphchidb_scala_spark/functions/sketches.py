@@ -447,59 +447,68 @@ def frequent_items(
     problem of Misra–Gries 1982 / Metwally SpaceSaving, solved with the
     sketch-then-verify shape that stays exact:
 
-    1. **Candidate pass (no shuffle).** One Arrow-batched ``mapInPandas``
-       over the input partitions; each partition counts its own keys
-       (vectorized ``value_counts``) and emits only keys whose local count
-       could make the global threshold ``t = ceil(min_share · n)``.
-       Pigeonhole over P partitions: a key with global count ≥ t has local
-       count ≥ t/P in at least one partition, so emitting local counts with
-       ``c_p · P ≥ t`` yields a GUARANTEED superset of the answer — the
-       full key universe never reaches a shuffle.
-    2. **Verify pass (exact).** Broadcast the (φ-bounded: ≤ P/φ rows) 
-       candidate set back over the data, count ONLY candidate rows with a
+    1. **Candidate pass (no shuffle, ONE scan).** One Arrow-batched
+       ``mapInPandas`` over the input partitions; each partition counts its
+       own keys (vectorized ``value_counts``) and emits the keys whose
+       LOCAL share reaches φ: ``c_p ≥ φ·n_p``. Weighted-average
+       pigeonhole: if a key's global share c/n ≥ φ, some partition has
+       c_p/n_p ≥ c/n ≥ φ (were every local ratio below φ, the total would
+       be too), so the emitted set is a GUARANTEED superset of the answer
+       — ≤ ⌊1/φ⌋ keys per partition, and the full key universe never
+       reaches a shuffle. The local-share rule needs NO global row count,
+       so there is no pre-count scan; each partition also emits one marker
+       row carrying its n_p, and t = max(1, ceil(φ·Σn_p)) comes from
+       aggregating the (tiny, lineage-cut) candidate output itself.
+    2. **Verify pass (exact).** Broadcast the (≤ P/φ-row) candidate set
+       back over the data, count ONLY candidate rows with a
        map-side-combined groupBy, keep ``cnt ≥ t``.
 
     With ``capacity=m`` the per-partition counter is Misra–Gries-bounded:
     whenever it exceeds m keys, the (m+1)-th-largest count d is subtracted
     from every key and non-positive keys are dropped (batched MG
-    decrement). Invariants: stored ≥ true − D and evicted ⇒ true ≤ D, where
-    D = Σ subtracted offsets ≤ n_p/(m+1). The superset guarantee therefore
-    needs ``D < t/P``; the pass CHECKS this per partition and raises
-    ValueError naming the minimum safe capacity instead of silently
-    missing a heavy key — a sketch that can be wrong must say so.
-    Candidates are emitted on ``(stored + D) · P ≥ t`` (an upper bound on
-    the true local count, so no key the uncapped pass would emit is lost).
+    decrement). Invariants: stored ≥ true − D and evicted ⇒ true ≤ D,
+    where D = Σ subtracted offsets ≤ n_p/(m+1). Eviction is therefore safe
+    while ``D < φ·n_p`` — the classic MG bound: any ``capacity ≥ 1/φ``
+    satisfies it unconditionally. The pass CHECKS the condition per
+    partition and raises ValueError naming the safe capacity instead of
+    silently missing a heavy key — a sketch that can be wrong must say
+    so. Candidates are emitted on ``stored + D ≥ φ·n_p`` (an upper bound
+    on the true local count, so no key the uncapped pass would emit is
+    lost).
 
-    Scale shape: at 100 TB the exact `groupBy(key).count()` answer shuffles
-    every distinct key (URLs, user ids: billions of combiner-resistant
-    rows). Here the shuffle carries only rows matching the broadcast
-    candidate list — for φ = 1e-4, ≤ 10⁴·P candidate keys regardless of
-    data size — and pass 1 is a pure scan. ``n_total`` short-circuits the
-    count job when the caller already knows the row count (parquet
-    metadata). NULL keys are ignored (no NULL is ever a heavy hitter of
-    interest; the oracle twin drops them identically).
+    Scale shape: at 100 TB the exact `groupBy(key).count()` answer
+    shuffles every distinct key (URLs, user ids: billions of
+    combiner-resistant rows). Here the data is scanned exactly TWICE —
+    candidate pass + verify pass, the two-pass frequent-items optimum —
+    and the only shuffle carries rows matching the broadcast candidate
+    list. ``n_total`` (the row count, when the caller already knows it)
+    skips the marker aggregation and keeps the whole composition lazy —
+    useful for plan inspection; results are identical. NULL keys are
+    ignored (no NULL is ever a heavy hitter of interest; the oracle twin
+    drops them identically).
 
     Candidate-pass memory: exact mode holds one (key → int) entry per
     distinct key per partition — bounded by partition size, the same
     envelope as any hash aggregate's map side; ``capacity`` is the knob
     when a partition's key universe itself outgrows memory.
 
-    P is read from the pre-execution plan (``rdd.getNumPartitions``). AQE
-    can only COALESCE partitions at runtime (scan/narrow chains are never
-    split), and merging partitions raises local counts while the emit
-    threshold t/P stays fixed — so a runtime P smaller than planned emits
-    a (weakly) LARGER candidate set and the superset guarantee is
-    unaffected in either direction."""
+    The guarantee is per-partition-local (no cross-partition constant),
+    so it is indifferent to AQE coalescing, skewed partition sizes, or
+    the planned-vs-runtime partition count."""
     import math
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     src = df.select(key_col).filter(F.col(key_col).isNotNull())
-    n = n_total if n_total is not None else src.count()
-    t = max(1, math.ceil(min_share * n))
-    p_parts = max(1, src.rdd.getNumPartitions())
-    out_schema = StructType([src.schema[key_col]])
+    key_field = src.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, True),
+            StructField("_np", LongType(), True),
+        ]
+    )
     cap = capacity
+    share = float(min_share)
 
     def _candidates(batches):
         from collections import Counter
@@ -517,20 +526,46 @@ def frequent_items(
                 d = sorted(c.values(), reverse=True)[cap]
                 dropped += d
                 c = Counter({k: v - d for k, v in c.items() if v > d})
-        if cap is not None and dropped * p_parts >= t:
+        if cap is not None and dropped >= share * n_local - 1e-9:
             raise ValueError(
                 "frequent_items capacity too small for the superset "
                 f"guarantee: partition of {n_local} rows subtracted "
-                f"{dropped} >= t/P = {t}/{p_parts}; need capacity > "
-                f"{math.ceil(n_local * p_parts / t)} (have {cap})"
+                f"{dropped} >= phi*n_p = {share * n_local:.1f}; any "
+                f"capacity >= {math.ceil(1.0 / share)} (= 1/phi) is safe "
+                f"(have {cap})"
             )
-        keep = [k for k, v in c.items() if (v + dropped) * p_parts >= t]
-        if keep:
-            yield pd.DataFrame({key_col: keep})
+        keep = [
+            k for k, v in c.items() if v + dropped >= share * n_local - 1e-9
+        ]
+        if keep or n_local:
+            # object/Int64 dtypes so a numeric key column with the trailing
+            # None marker row arrow-converts to (typed, nullable) columns
+            # instead of float64-with-NaN
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(keep + [None], dtype=object),
+                    "_np": pd.Series(
+                        [None] * len(keep) + [n_local], dtype="Int64"
+                    ),
+                }
+            )
 
-    cands = src.mapInPandas(_candidates, out_schema).distinct()
+    cand_out = src.mapInPandas(_candidates, out_schema)
+    if n_total is not None:
+        n = n_total
+        cands = cand_out.filter(F.col(key_col).isNotNull()).select(key_col)
+    else:
+        from graphchidb_scala_spark.checkpoint import cut_lineage
+
+        # materialize the (tiny: ≤ 1/φ keys + 1 marker per partition)
+        # candidate output once; the marker sum is the exact row count, so
+        # no separate full-scan count job ever runs
+        pinned = cut_lineage(cand_out)
+        n = pinned.agg(F.sum("_np")).collect()[0][0] or 0
+        cands = pinned.filter(F.col(key_col).isNotNull()).select(key_col)
+    t = max(1, math.ceil(share * n))
     return (
-        src.join(F.broadcast(cands), key_col)
+        src.join(F.broadcast(cands.distinct()), key_col)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= t)
