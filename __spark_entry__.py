@@ -1240,6 +1240,32 @@ def _q_doc_frequent_terms(spark, sf):
     return sketches.frequent_items(toks, "tok", 0.002, capacity=4096)
 
 
+def _q_doc_frequent_terms_by_lang(spark, sf):
+    """Per-group frequent items ("top terms per language"): the grouped
+    local-share candidate pass — ≤ 1/φ candidates per (partition, group),
+    marker rows doubling as the exact group sizes — then the exact
+    broadcast-candidate verify against per-group thresholds. Corpus
+    analysis at 100 TB without shuffling a (lang × token) universe."""
+    from graphchidb_scala_spark.functions import sketches
+
+    toks = (
+        _docs(spark, sf)
+        .select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return sketches.frequent_items_grouped(
+        toks, "lang", "tok", 0.01, capacity=2048
+    )
+
+
+_DOC_FREQUENT_TERMS_BY_LANG_TOKENS = (
+    "(SELECT lang, tok FROM (SELECT lang, unnest(regexp_split_to_array("
+    "trim(text), '\\s+')) AS tok FROM documents) u WHERE tok <> '') tt"
+)
+
 _DOC_FREQUENT_TERMS_TOKENS = (
     "(SELECT tok FROM (SELECT unnest(regexp_split_to_array(trim(text),"
     " '\\s+')) AS tok FROM documents) u WHERE tok <> '') tt"
@@ -4699,6 +4725,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact frequent items (sketch-then-verify, r14)
         "events_heavy_users": _q_events_heavy_users,
         "doc_frequent_terms": _q_doc_frequent_terms,
+        "doc_frequent_terms_by_lang": _q_doc_frequent_terms_by_lang,
         # link-prediction variants + bipartite projection
         "jaccard_top20": _q_jaccard,
         "copurchase_top20": _q_copurchase,
@@ -4885,14 +4912,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   - ALL 23 keys last graded r10 — the oldest stratum, in registry
 #     order (vertex-program/vertex-op/doc_* block the r13 window held
 #     out);
-#   - 21 of the 50 last graded r11, in registry order (the ANN family,
-#     events windows, search keys); the other 29 r11 keys plus the r12
+#   - 20 of the 50 last graded r11, in registry order (the ANN family,
+#     events windows, search keys); the other 30 r11 keys plus the r12
 #     stratum lead the r15 window.
 _GRADED_WINDOW = [
     # r14-new (never graded)
     "doc_build_vocab_distributed", "multimodal_transcode",
     "doc_curriculum_sampled", "doc_ppl_buckets_sampled",
-    "events_heavy_users", "doc_frequent_terms",
+    "events_heavy_users", "doc_frequent_terms", "doc_frequent_terms_by_lang",
     # last graded r10 (all 23), registry order
     "cc5", "bfs_vertex_program", "gather_apply_wsum", "vertex_get",
     "vertex_writes", "vertex_select_scan", "autofill_defaults",
@@ -4909,7 +4936,7 @@ _GRADED_WINDOW = [
     "events_window_hourly", "events_sessionize", "pagerank_converged",
     "cc_converged_stats", "ann_topk_lsh", "doc_split_hash",
     "doc_contamination", "doc_stratified_sample", "doc_cap_per_source",
-    "doc_pack_sequences", "doc_strip_boilerplate",
+    "doc_pack_sequences",
 ]
 
 
@@ -6113,6 +6140,9 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         ),
         "doc_frequent_terms": sketches.frequent_items_sql(
             _DOC_FREQUENT_TERMS_TOKENS, "tok", 0.002
+        ),
+        "doc_frequent_terms_by_lang": sketches.frequent_items_grouped_sql(
+            _DOC_FREQUENT_TERMS_BY_LANG_TOKENS, "lang", "tok", 0.01
         ),
         "doc_curate_corpus": _curate_sql(),
         "weighted_sssp4": _weighted_sssp_sql(iterations=4, source=1),

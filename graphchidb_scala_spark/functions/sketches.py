@@ -588,3 +588,135 @@ def frequent_items_sql(
         "(SELECT v FROM n)) AS BIGINT))\n"
         f"ORDER BY cnt DESC, {key_col}"
     )
+
+
+def frequent_items_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    min_share: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT frequent items: every (group, key) whose count is at
+    least ``min_share`` of its GROUP's rows — DF(group, key, cnt, n_group),
+    (group ASC, cnt DESC, key ASC). Same two-scan local-share design as
+    :func:`frequent_items`, applied per group: a key at share ≥ φ within
+    its group has local-within-partition group share ≥ φ somewhere
+    (weighted-average pigeonhole per group), so per-partition emission at
+    local group share φ is a guaranteed superset — ≤ 1/φ candidates per
+    (partition, group). Marker rows carry per-partition GROUP row counts;
+    their sum is each group's exact size, so neither the thresholds nor
+    the final ``n_group`` column need any extra scan. ``capacity`` bounds
+    each per-group counter with the same batched MG decrement and the same
+    classic ``1/φ`` safety floor, raising when violated.
+
+    The corpus-analysis workhorse ("top terms per language", "hot URLs per
+    domain"): per-group heavy keys at 100 TB without ever shuffling a
+    (group × key) universe — the shuffle carries broadcast-candidate
+    matches plus one ≤#groups-row total per partition."""
+    import math
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(group_col, key_col).filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    out_schema = StructType(
+        [
+            StructField(group_col, src.schema[group_col].dataType, True),
+            StructField(key_col, src.schema[key_col].dataType, True),
+            StructField("_np", LongType(), True),
+        ]
+    )
+    cap = capacity
+    share = float(min_share)
+
+    def _candidates(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        per_g: dict = {}
+        n_g: Counter = Counter()
+        drop_g: Counter = Counter()
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                c = per_g.setdefault(g, Counter())
+                n_g[g] += len(sub)
+                c.update(sub[key_col].value_counts().to_dict())
+                if cap is not None and len(c) > cap:
+                    d = sorted(c.values(), reverse=True)[cap]
+                    drop_g[g] += d
+                    per_g[g] = Counter(
+                        {k: v - d for k, v in c.items() if v > d}
+                    )
+        gs, ks, ns = [], [], []
+        for g, c in per_g.items():
+            dropped, nl = drop_g[g], n_g[g]
+            if cap is not None and dropped >= share * nl - 1e-9:
+                raise ValueError(
+                    "frequent_items_grouped capacity too small for the "
+                    f"superset guarantee in group {g!r}: subtracted "
+                    f"{dropped} >= phi*n_p = {share * nl:.1f}; any "
+                    f"capacity >= {math.ceil(1.0 / share)} (= 1/phi) is "
+                    f"safe (have {cap})"
+                )
+            for k, v in c.items():
+                if v + dropped >= share * nl - 1e-9:
+                    gs.append(g)
+                    ks.append(k)
+                    ns.append(None)
+            gs.append(g)
+            ks.append(None)
+            ns.append(nl)
+        if gs:
+            yield pd.DataFrame(
+                {
+                    group_col: pd.Series(gs, dtype=object),
+                    key_col: pd.Series(ks, dtype=object),
+                    "_np": pd.Series(ns, dtype="Int64"),
+                }
+            )
+
+    from graphchidb_scala_spark.checkpoint import cut_lineage
+
+    pinned = cut_lineage(src.mapInPandas(_candidates, out_schema))
+    totals = pinned.filter(F.col(key_col).isNull()).groupBy(group_col).agg(
+        F.sum("_np").cast("bigint").alias("n_group")
+    )
+    cands = (
+        pinned.filter(F.col(key_col).isNotNull())
+        .select(group_col, key_col)
+        .distinct()
+    )
+    return (
+        src.join(F.broadcast(cands), [group_col, key_col])
+        .groupBy(group_col, key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .join(F.broadcast(totals), group_col)
+        .filter(
+            F.col("cnt")
+            >= F.greatest(F.lit(1), F.ceil(F.lit(share) * F.col("n_group")))
+        )
+        .orderBy(F.asc(group_col), F.desc("cnt"), F.asc(key_col))
+    )
+
+
+def frequent_items_grouped_sql(
+    table_expr: str, group_col: str, key_col: str, min_share: float
+) -> str:
+    """DuckDB twin of :func:`frequent_items_grouped` (plain exact per-group
+    GROUP BY … HAVING against the group totals)."""
+    return (
+        f"WITH src AS (SELECT {group_col}, {key_col} FROM {table_expr} "
+        f"WHERE {key_col} IS NOT NULL AND {group_col} IS NOT NULL),\n"
+        f"tot AS (SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_group "
+        f"FROM src GROUP BY {group_col})\n"
+        f"SELECT s.{group_col}, s.{key_col}, CAST(count(*) AS BIGINT) AS cnt,"
+        " t.n_group\n"
+        f"FROM src s JOIN tot t USING ({group_col})\n"
+        f"GROUP BY s.{group_col}, s.{key_col}, t.n_group\n"
+        f"HAVING count(*) >= greatest(1, CAST(ceil({min_share!r} * t.n_group)"
+        " AS BIGINT))\n"
+        f"ORDER BY s.{group_col}, cnt DESC, s.{key_col}"
+    )

@@ -1464,6 +1464,46 @@ def test_frequent_items_nulls_threshold_floor_and_n_total(spark):
     assert pre == out
 
 
+def test_frequent_items_grouped_exact_and_guard(spark):
+    """Grouped frequent items == per-group exact groupBy truth (thresholds
+    are per-GROUP sizes, groups of very different sizes), capped arm
+    identical at a guarantee-honoring capacity, guard raises below 1/phi
+    when eviction actually bites."""
+    import math
+
+    import pytest as _pytest
+
+    from graphchidb_scala_spark.functions import sketches
+
+    # group 'a': 3000 skewed rows; group 'b': 90 rows, different skew
+    rows = [("a", str(math.isqrt(i))) for i in range(3000)]
+    rows += [("b", str(i % 9)) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, k string").repartition(5)
+    share = 0.02
+    sizes = {"a": 3000, "b": 90}
+    truth = {}
+    for g, k in rows:
+        truth[(g, k)] = truth.get((g, k), 0) + 1
+    want = sorted(
+        (
+            (g, k, c, sizes[g])
+            for (g, k), c in truth.items()
+            if c >= max(1, math.ceil(share * sizes[g]))
+        ),
+        key=lambda r: (r[0], -r[2], r[1]),
+    )
+    got = [tuple(r) for r in
+           sketches.frequent_items_grouped(df, "g", "k", share).collect()]
+    assert got == [tuple(w) for w in want]
+    capped = [tuple(r) for r in
+              sketches.frequent_items_grouped(df, "g", "k", share,
+                                              capacity=64).collect()]
+    assert capped == got
+    with _pytest.raises(Exception, match="capacity too small"):
+        sketches.frequent_items_grouped(df, "g", "k", share,
+                                        capacity=2).collect()
+
+
 def test_hll_distinct_error_bound_and_branches(spark):
     from graphchidb_scala_spark.functions import sketches
 
