@@ -526,7 +526,9 @@ def frequent_items(
                 d = sorted(c.values(), reverse=True)[cap]
                 dropped += d
                 c = Counter({k: v - d for k, v in c.items() if v > d})
-        if cap is not None and dropped >= share * n_local - 1e-9:
+        # dropped > 0 guard precondition: an EMPTY partition has
+        # dropped == n_local == 0 and must not trip the epsilon compare
+        if cap is not None and dropped > 0 and dropped >= share * n_local - 1e-9:
             raise ValueError(
                 "frequent_items capacity too small for the superset "
                 f"guarantee: partition of {n_local} rows subtracted "
@@ -653,7 +655,7 @@ def frequent_items_grouped(
         gs, ks, ns = [], [], []
         for g, c in per_g.items():
             dropped, nl = drop_g[g], n_g[g]
-            if cap is not None and dropped >= share * nl - 1e-9:
+            if cap is not None and dropped > 0 and dropped >= share * nl - 1e-9:
                 raise ValueError(
                     "frequent_items_grouped capacity too small for the "
                     f"superset guarantee in group {g!r}: subtracted "

@@ -1440,6 +1440,32 @@ def test_frequent_items_mg_capped_arm_and_guard(spark):
         sketches.frequent_items(df, "k", 0.005, capacity=2).collect()
 
 
+def test_frequent_items_empty_partitions_with_capacity(spark):
+    """Empty partitions must not trip the MG guard (regression: the 10x
+    replica sweep hit `dropped=0 >= phi*0 - eps` on a 0-row partition and
+    the whole job died); result stays exact with many empty partitions in
+    both arms."""
+    from graphchidb_scala_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 3, "k string"
+    ).repartition(50)  # far more partitions than rows -> many empty
+    want = [("a", 30), ("b", 3)]
+    for cap in (None, 64):
+        got = [
+            (r["k"], r["cnt"])
+            for r in sketches.frequent_items(df, "k", 0.05, capacity=cap).collect()
+        ]
+        assert got == want
+    got_g = [
+        tuple(r)
+        for r in sketches.frequent_items_grouped(
+            df.select(F.lit("g").alias("g"), "k"), "g", "k", 0.05, capacity=64
+        ).collect()
+    ]
+    assert got_g == [("g", "a", 30, 33), ("g", "b", 3, 33)]
+
+
 def test_frequent_items_nulls_threshold_floor_and_n_total(spark):
     """NULL keys are ignored everywhere (share denominator included);
     min_share so small the threshold floors at 1 returns every distinct
