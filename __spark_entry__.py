@@ -3157,6 +3157,32 @@ WHERE rn <= {cap}
 """.strip()
 
 
+_PHRASE = ["table", "hash"]
+
+
+def _q_doc_phrase_search(spark, sf):
+    """Exact phrase search, unindexed: the whole sliding-window match runs
+    as a higher-order codegen filter over the token array (try_element_at
+    keeps tail lookups NULL under ANSI) — one perfectly-parallel scan, a
+    TakeOrdered top-k, nothing doc-sized shuffled. Beyond-reference IR
+    tier (the reference has no text search); complements doc_bm25/tfidf
+    bag-of-words scoring with consecutive-token semantics."""
+    return search.phrase_search(_docs(spark, sf), _PHRASE, k=10)
+
+
+def _q_doc_phrase_search_indexed(spark, sf):
+    """Same phrase against the PERSISTED positional postings (v2 index:
+    sorted 0-based position arrays per (token, doc)): partition-pruned
+    bucket read, rarest-term-anchored position-intersection joins, one
+    count per surviving start — identical results to the live scan, so
+    one oracle verifies both."""
+    path = _scratch_index_dir("postings_phrase", sf)
+    search.save_postings_index(_docs(spark, sf), path)
+    return search.phrase_search_indexed(spark, path, _PHRASE, k=10).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_matches"
+    )
+
+
 def _q_doc_tfidf_indexed(spark, sf):
     """TF-IDF over a PERSISTED inverted index: token-bucketed postings
     (partitionBy(_tb)), probe reads only the query terms' bucket
@@ -4701,6 +4727,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": _q_doc_bm25_search,
         "doc_bm25_search_indexed": _q_doc_bm25_indexed,
         "doc_tfidf_search_indexed": _q_doc_tfidf_indexed,
+        # exact phrase search: codegen scan + positional-postings probe (r14)
+        "doc_phrase_search": _q_doc_phrase_search,
+        "doc_phrase_search_indexed": _q_doc_phrase_search_indexed,
         "doc_rebalance_mix": _q_doc_rebalance_mix,
         "knn_graph_ivf": _q_knn_graph,
         # r10: the K≈sqrt(N) k-means codebook siblings — the graded
@@ -4912,14 +4941,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   - ALL 23 keys last graded r10 — the oldest stratum, in registry
 #     order (vertex-program/vertex-op/doc_* block the r13 window held
 #     out);
-#   - 20 of the 50 last graded r11, in registry order (the ANN family,
-#     events windows, search keys); the other 30 r11 keys plus the r12
+#   - 18 of the 50 last graded r11, in registry order (the ANN family,
+#     events windows, search keys); the other 32 r11 keys plus the r12
 #     stratum lead the r15 window.
 _GRADED_WINDOW = [
     # r14-new (never graded)
     "doc_build_vocab_distributed", "multimodal_transcode",
     "doc_curriculum_sampled", "doc_ppl_buckets_sampled",
     "events_heavy_users", "doc_frequent_terms", "doc_frequent_terms_by_lang",
+    "doc_phrase_search", "doc_phrase_search_indexed",
     # last graded r10 (all 23), registry order
     "cc5", "bfs_vertex_program", "gather_apply_wsum", "vertex_get",
     "vertex_writes", "vertex_select_scan", "autofill_defaults",
@@ -4935,8 +4965,7 @@ _GRADED_WINDOW = [
     "ann_topk_lsh_indexed", "embed_neardup", "multimodal_features",
     "events_window_hourly", "events_sessionize", "pagerank_converged",
     "cc_converged_stats", "ann_topk_lsh", "doc_split_hash",
-    "doc_contamination", "doc_stratified_sample", "doc_cap_per_source",
-    "doc_pack_sequences",
+    "doc_contamination", "doc_stratified_sample",
 ]
 
 
@@ -6101,6 +6130,12 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
         # persisted-postings BM25 probe: same arithmetic as the live scan,
         # so the same oracle verifies it (mirrors the tfidf indexed pair)
         "doc_bm25_search_indexed": _bm25_sql(),
+        "doc_phrase_search": search.phrase_search_sql("documents", _PHRASE, k=10),
+        # the indexed probe is result-identical to the live scan by
+        # construction — one oracle covers both
+        "doc_phrase_search_indexed": search.phrase_search_sql(
+            "documents", _PHRASE, k=10
+        ),
         # dup-n-gram fractions: ALL n-grams (multiplicity kept), fraction of
         # repeats = (total - distinct) / total, rounded to 6
         "doc_repetition_stats": (

@@ -109,11 +109,18 @@ def save_postings_index(
         token_count(F.col(text_col)).alias("dl"),
         F.col(text_col),
     )
+    # positional postings (v2): per-(token, doc) sorted 0-based position
+    # arrays ride along with tf — Σ|pos| = dl, so the index grows by one
+    # int per token occurrence and phrase queries become position
+    # intersections instead of corpus rescans
     postings = (
-        lens.select(F.col(id_col), "dl", F.explode(toks).alias("tok"))
+        lens.select(F.col(id_col), "dl", F.posexplode(toks).alias("pos", "tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok", id_col, "dl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("pos"),
+        )
         .withColumn("_tb", F.pmod(md5_hash60(F.col("tok")), F.lit(int(n_buckets))))
     )
     (
@@ -197,10 +204,13 @@ def append_postings_index(
         return 0
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     postings = (
-        lens.select(F.col(id_col), "dl", F.explode(toks).alias("tok"))
+        lens.select(F.col(id_col), "dl", F.posexplode(toks).alias("pos", "tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok", id_col, "dl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("pos"),
+        )
         .withColumn("_tb", F.pmod(md5_hash60(F.col("tok")), F.lit(n_buckets)))
     )
     # Ledger BEFORE postings: see the crash-window contract in the
@@ -435,4 +445,143 @@ def hybrid_search_rrf(
         )
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(int(k))
+    )
+
+
+def phrase_count(text_col, phrase: Sequence[str]):
+    """Column: number of occurrences of the exact token ``phrase`` in a
+    whitespace-tokenized text — one sliding-window pass entirely inside
+    whole-stage codegen (higher-order ``filter`` over a position
+    ``sequence``; no UDF, no explode, no shuffle). The k-term conjunction
+    unrolls to literal array lookups, so the comparison chain is fixed at
+    plan time."""
+    words = [str(w) for w in phrase]
+    if not words or any(w == "" for w in words):
+        raise ValueError("phrase must be non-empty words")
+    toks = F.split(F.trim(text_col), r"\s+")
+
+    def _hit(i):
+        # try_element_at: past-the-end lookups are NULL (never an ANSI
+        # error), so the conjunction simply fails near the text's tail and
+        # no explicit size-kk bound is needed
+        cond = F.try_element_at(toks, i) == words[0]
+        for j in range(1, len(words)):
+            cond = cond & (F.try_element_at(toks, i + F.lit(j)) == words[j])
+        return cond
+
+    # 1-based start positions; sequence(1, size) is always non-empty and
+    # ascending (split never yields a 0-length array)
+    return F.size(F.filter(F.sequence(F.lit(1), F.size(toks)), _hit))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search, unindexed: top-``k`` documents by occurrence
+    count of the consecutive-token ``phrase`` — DF(id, n_matches),
+    (n_matches DESC, id ASC). One perfectly-parallel corpus scan with the
+    whole sliding-window match in codegen (:func:`phrase_count`), then a
+    TakeOrdered top-k — no shuffle of anything doc-sized. This is the
+    right UNINDEXED plan at any scale; for repeated queries against a
+    static corpus, :func:`phrase_search_indexed` probes the positional
+    postings instead of rescanning."""
+    return (
+        docs.select(
+            F.col(id_col),
+            phrase_count(F.col(text_col), phrase).cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def phrase_search_indexed(
+    spark,
+    path: str,
+    phrase: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search against the persisted positional postings index
+    (:func:`save_postings_index` writes per-(token, doc) sorted position
+    arrays; requires an index written by this version — probing a
+    positions-free legacy index raises). Result is identical to
+    :func:`phrase_search` over the indexed corpus.
+
+    Plan (the classic IR positional intersection): partition-pruned read
+    of ONLY the phrase terms' bucket directories; the terms are chained by
+    ascending document frequency — the RAREST term anchors, so every
+    subsequent equi-join's probe side is already bounded by the rarest
+    term's postings, not the commonest — with each join on
+    (doc, anchor_pos + relative_offset). Occurrences = one count per
+    surviving (doc, anchor position). A repeated phrase word reuses the
+    same pruned posting rows under a different alias (its positions just
+    join at two offsets), costing nothing extra at scan time."""
+    words = [str(w) for w in phrase]
+    if not words or any(w == "" for w in words):
+        raise ValueError("phrase must be non-empty words")
+    meta, pairs = _probe_postings(spark, path, sorted(set(words)))
+    if "pos" not in pairs.columns:
+        raise ValueError(
+            "postings index has no positions (built by a pre-positional "
+            "version) — rebuild with save_postings_index to phrase-probe"
+        )
+    # document frequency per term over the pruned rows only (≤ k terms;
+    # the collect is k numbers, not data)
+    dfreq = {
+        r["tok"]: r["df"]
+        for r in pairs.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    if any(w not in dfreq for w in set(words)):
+        return spark.createDataFrame([], f"{id_col} bigint, n_matches bigint")
+    order = sorted(range(len(words)), key=lambda j: (dfreq[words[j]], j))
+    anchor = order[0]
+    exploded = {
+        w: pairs.filter(F.col("tok") == w).select(
+            F.col(id_col), F.explode("pos").alias("p")
+        )
+        for w in set(words)
+    }
+    cur = exploded[words[anchor]].select(
+        F.col(id_col), (F.col("p") - F.lit(anchor)).alias("_start")
+    )
+    for j in order[1:]:
+        nxt = exploded[words[j]].select(
+            F.col(id_col), (F.col("p") - F.lit(j)).alias("_start")
+        )
+        cur = cur.join(nxt, [id_col, "_start"])
+    return (
+        cur.filter(F.col("_start") >= 0)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def phrase_search_sql(
+    table: str, phrase: Sequence[str], k: int = 10, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`phrase_search` / :func:`phrase_search_indexed`
+    (1-based list indexing; lambda closes over the token array)."""
+    words = [str(w) for w in phrase]
+    kk = len(words)
+    conj = " AND ".join(
+        f"t[i+{j}] = '{w}'" if j else f"t[i] = '{w}'"
+        for j, w in enumerate(words)
+    )
+    return (
+        f"WITH tk AS (SELECT {id_col}, regexp_split_to_array(trim(text),"
+        " '\\s+') AS t FROM " + table + "),\n"
+        f"m AS (SELECT {id_col}, len(list_filter(range(1, len(t) - {kk} + 2),"
+        f" i -> {conj})) AS n_matches FROM tk)\n"
+        f"SELECT {id_col}, CAST(n_matches AS BIGINT) AS n_matches FROM m "
+        f"WHERE n_matches > 0 ORDER BY n_matches DESC, {id_col} LIMIT {int(k)}"
     )

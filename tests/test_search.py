@@ -188,3 +188,74 @@ def test_append_postings_index_equals_rebuild(spark, corpus, tmp_path):
     r = {r["doc_id"]: r["score"]
          for r in search.bm25_search_indexed(spark, rebuilt2, terms, k=20).collect()}
     assert g == r
+
+
+def test_phrase_search_matches_python_and_indexed(spark, corpus, tmp_path):
+    """Live codegen phrase scan == pure-Python sliding-window truth ==
+    positional-postings probe (incl. an APPENDED index), for plain,
+    overlapping-repeat, tail-boundary, and absent phrases."""
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+
+    def py_truth(phrase, k=10):
+        out = []
+        for i, t in rows:
+            toks = t.split()
+            c = sum(
+                1
+                for s in range(len(toks) - len(phrase) + 1)
+                if toks[s : s + len(phrase)] == phrase
+            )
+            if c:
+                out.append((i, c))
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    idx = str(tmp_path / "pidx")
+    search.save_postings_index(corpus.filter("doc_id <= 3"), idx, n_buckets=16)
+    assert search.append_postings_index(corpus.filter("doc_id > 3"), idx) == 2
+    for phrase in (
+        ["spark", "spark"],          # overlapping repeats in doc 0
+        ["merge", "window", "merge"],
+        ["window"],                  # single-word phrase == term count
+        ["spark", "table"],          # tail boundary in doc 3
+        ["no", "such", "phrase"],
+        ["window", "spark"],
+    ):
+        want = py_truth(phrase)
+        live = [
+            (r["doc_id"], r["n_matches"])
+            for r in search.phrase_search(corpus, phrase, k=10).collect()
+        ]
+        probed = [
+            (r["doc_id"], r["n_matches"])
+            for r in search.phrase_search_indexed(spark, idx, phrase, k=10).collect()
+        ]
+        assert live == want, phrase
+        assert probed == want, phrase
+
+
+def test_phrase_search_edges_and_legacy_index_raise(spark, tmp_path):
+    """Empty/short docs never error under ANSI (try_element_at tail
+    lookups), empty-phrase validation, and probing a positions-free legacy
+    index raises instead of silently returning nothing."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a b"), (4, "  a   b  a b  ")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["doc_id"], r["n_matches"])
+        for r in search.phrase_search(docs, ["a", "b"], k=10).collect()
+    ]
+    assert got == [(4, 2), (3, 1)]
+    with _pytest.raises(ValueError, match="non-empty"):
+        search.phrase_search(docs, [])
+    idx = str(tmp_path / "legacy")
+    search.save_postings_index(docs, idx, n_buckets=8)
+    legacy = spark.read.parquet(f"{idx}/postings").drop("pos")
+    legacy.write.mode("overwrite").parquet(f"{tmp_path}/legacy2/postings")
+    spark.read.parquet(f"{idx}/meta").write.mode("overwrite").parquet(
+        f"{tmp_path}/legacy2/meta"
+    )
+    with _pytest.raises(ValueError, match="positions"):
+        search.phrase_search_indexed(spark, f"{tmp_path}/legacy2", ["a", "b"])

@@ -118,6 +118,13 @@ CHECKS = {
         lambda g, docs, emb: _postings_probe(docs),
         ["PartitionFilters: [_tb"],
     ),
+    # phrase probe (r14): positional intersection over the SAME pruned
+    # buckets — the position-chain joins stay broadcast/hash joins on the
+    # term-filtered postings, never a corpus scan
+    "phrase_probe_partition_pruning": (
+        lambda g, docs, emb: _phrase_probe(docs),
+        ["PartitionFilters: [_tb", "!CartesianProduct"],
+    ),
     # repetition signals are a pure projection: array construction +
     # distinct-count arithmetic all in codegen on the scan
     "repetition_stats_pure_projection": (
@@ -852,6 +859,16 @@ def _postings_probe(docs):
     path = tempfile.mkdtemp(prefix="audit_postings_")
     _search().save_postings_index(docs, path, n_buckets=16)
     return _search().tfidf_search_indexed(docs.sparkSession, path, ("spark", "merge"), k=20)
+
+
+def _phrase_probe(docs):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="audit_phrase_")
+    _search().save_postings_index(docs, path, n_buckets=16)
+    return _search().phrase_search_indexed(
+        docs.sparkSession, path, ("table", "hash"), k=10
+    )
 
 
 def _node2vec_hop(g):
