@@ -585,3 +585,151 @@ def phrase_search_sql(
         f"SELECT {id_col}, CAST(n_matches AS BIGINT) AS n_matches FROM m "
         f"WHERE n_matches > 0 ORDER BY n_matches DESC, {id_col} LIMIT {int(k)}"
     )
+
+
+def near_count(text_col, term_a: str, term_b: str, slop: int = 3):
+    """Column: number of position pairs (p_a, p_b) with
+    ``|p_a − p_b| ≤ slop`` (and p_a ≠ p_b) in a whitespace-tokenized text —
+    the classic NEAR/w proximity operator. One pass over the token array
+    entirely in codegen: for each ``term_a`` position, count ``term_b``
+    positions inside the window (nested higher-order filters, no UDF, no
+    explode). ``term_a == term_b`` is allowed (each unordered same-term
+    pair then counts twice — symmetric, deterministic)."""
+    a, b = str(term_a), str(term_b)
+    if not a or not b:
+        raise ValueError("terms must be non-empty")
+    w = int(slop)
+    if w < 1:
+        raise ValueError("slop must be >= 1")
+    toks = F.split(F.trim(text_col), r"\s+")
+    positions = F.sequence(F.lit(1), F.size(toks))
+
+    def _pairs_at(i):
+        window = F.filter(
+            positions,
+            lambda j: (j >= i - w)
+            & (j <= i + w)
+            & (j != i)
+            & (F.try_element_at(toks, j) == b),
+        )
+        return F.when(F.try_element_at(toks, i) == a, F.size(window)).otherwise(
+            F.lit(0)
+        )
+
+    return F.aggregate(
+        positions, F.lit(0), lambda acc, i: acc + _pairs_at(i)
+    )
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/w search, unindexed: top-``k`` documents by within-``slop``
+    co-occurrence count of two terms — DF(id, n_pairs),
+    (n_pairs DESC, id ASC). Same plan shape as :func:`phrase_search`: one
+    perfectly-parallel codegen scan, TakeOrdered top-k, nothing doc-sized
+    shuffled."""
+    return (
+        docs.select(
+            F.col(id_col),
+            near_count(F.col(text_col), term_a, term_b, slop)
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .orderBy(F.desc("n_pairs"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def proximity_search_indexed(
+    spark,
+    path: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR/w against the positional postings index — identical results to
+    :func:`proximity_search`. The rarer term's positions explode (bounded
+    by its postings); the other term's positions stay PACKED as one array
+    row per doc, so the only join is a doc-id equi-join between the two
+    pruned posting sets, and the window count runs as an array filter in
+    codegen on the joined row. Per-pair work is O(|pos_b| log-free scan)
+    — positions are short arrays; at 100 TB the cost is bounded by the
+    rarest term's corpus frequency, exactly like the phrase probe."""
+    a, b = str(term_a), str(term_b)
+    if not a or not b:
+        raise ValueError("terms must be non-empty")
+    w = int(slop)
+    if w < 1:
+        raise ValueError("slop must be >= 1")
+    meta, pairs = _probe_postings(spark, path, sorted({a, b}))
+    if "pos" not in pairs.columns:
+        raise ValueError(
+            "postings index has no positions (built by a pre-positional "
+            "version) — rebuild with save_postings_index to proximity-probe"
+        )
+    dfreq = {
+        r["tok"]: r["df"]
+        for r in pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    if a not in dfreq or b not in dfreq:
+        return spark.createDataFrame([], f"{id_col} bigint, n_pairs bigint")
+    rare, dense = (a, b) if dfreq[a] <= dfreq[b] else (b, a)
+    rare_pos = pairs.filter(F.col("tok") == rare).select(
+        F.col(id_col), F.explode("pos").alias("p")
+    )
+    dense_pos = pairs.filter(F.col("tok") == dense).select(
+        F.col(id_col), F.col("pos").alias("_parr")
+    )
+    per_pair = rare_pos.join(dense_pos, id_col).select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.col("_parr"),
+                lambda x: (x >= F.col("p") - w)
+                & (x <= F.col("p") + w)
+                & (x != F.col("p")),
+            )
+        ).alias("_c"),
+    )
+    return (
+        per_pair.groupBy(id_col)
+        .agg(F.sum("_c").cast("bigint").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+        .orderBy(F.desc("n_pairs"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def proximity_search_sql(
+    table: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`proximity_search` /
+    :func:`proximity_search_indexed` (nested list_filter window count)."""
+    a, b, w = str(term_a), str(term_b), int(slop)
+    return (
+        f"WITH tk AS (SELECT {id_col}, regexp_split_to_array(trim(text),"
+        " '\\s+') AS t FROM " + table + "),\n"
+        f"pa AS (SELECT {id_col}, unnest(list_filter(range(1, len(t)+1),"
+        f" i -> t[i] = '{a}')) AS p, t FROM tk),\n"
+        f"hit AS (SELECT {id_col}, len(list_filter(range(greatest(1, p-{w}),"
+        f" p+{w}+1), j -> j <= len(t) AND j <> p AND t[j] = '{b}')) AS c"
+        " FROM pa)\n"
+        f"SELECT {id_col}, CAST(sum(c) AS BIGINT) AS n_pairs FROM hit "
+        f"GROUP BY {id_col} HAVING sum(c) > 0 "
+        f"ORDER BY n_pairs DESC, {id_col} LIMIT {int(k)}"
+    )

@@ -259,3 +259,54 @@ def test_phrase_search_edges_and_legacy_index_raise(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="positions"):
         search.phrase_search_indexed(spark, f"{tmp_path}/legacy2", ["a", "b"])
+
+
+def test_proximity_search_matches_python_and_indexed(spark, corpus, tmp_path):
+    """NEAR/w live codegen pass == pure-Python window-pair truth ==
+    positional-postings probe, incl. same-term queries and slop extremes;
+    validation raises on empty terms / slop < 1."""
+    import pytest as _pytest
+
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+
+    def py_truth(a, b, w, k=10):
+        out = []
+        for i, t in rows:
+            toks = t.split()
+            c = sum(
+                1
+                for pa, wa in enumerate(toks)
+                if wa == a
+                for pb, wb in enumerate(toks)
+                if wb == b and pb != pa and abs(pa - pb) <= w
+            )
+            if c:
+                out.append((i, c))
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    idx = str(tmp_path / "nidx")
+    search.save_postings_index(corpus, idx, n_buckets=16)
+    for a, b, w in (
+        ("spark", "window", 1),
+        ("spark", "window", 3),
+        ("merge", "merge", 2),   # same-term pairs, each counted twice
+        ("table", "row", 1),
+        ("spark", "absent", 2),
+    ):
+        want = py_truth(a, b, w)
+        live = [
+            (r["doc_id"], r["n_pairs"])
+            for r in search.proximity_search(corpus, a, b, slop=w, k=10).collect()
+        ]
+        probed = [
+            (r["doc_id"], r["n_pairs"])
+            for r in search.proximity_search_indexed(
+                spark, idx, a, b, slop=w, k=10
+            ).collect()
+        ]
+        assert live == want, (a, b, w)
+        assert probed == want, (a, b, w)
+    with _pytest.raises(ValueError, match="slop"):
+        search.proximity_search(corpus, "a", "b", slop=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        search.proximity_search(corpus, "", "b")
