@@ -125,6 +125,13 @@ CHECKS = {
         lambda g, docs, emb: _phrase_probe(docs),
         ["PartitionFilters: [_tb", "!CartesianProduct"],
     ),
+    # NEAR/w probe (r14): same pruned buckets; the window count is an
+    # array filter on the doc-id equi-join row, never a position×position
+    # expansion of the dense term
+    "near_probe_partition_pruning": (
+        lambda g, docs, emb: _near_probe(docs),
+        ["PartitionFilters: [_tb", "!CartesianProduct"],
+    ),
     # repetition signals are a pure projection: array construction +
     # distinct-count arithmetic all in codegen on the scan
     "repetition_stats_pure_projection": (
@@ -868,6 +875,16 @@ def _phrase_probe(docs):
     _search().save_postings_index(docs, path, n_buckets=16)
     return _search().phrase_search_indexed(
         docs.sparkSession, path, ("table", "hash"), k=10
+    )
+
+
+def _near_probe(docs):
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="audit_near_")
+    _search().save_postings_index(docs, path, n_buckets=16)
+    return _search().proximity_search_indexed(
+        docs.sparkSession, path, "table", "hash", slop=3, k=10
     )
 
 
