@@ -1,4 +1,6 @@
-"""Keyword search over the document corpus: TF-IDF and BM25 scoring.
+"""Keyword search over the document corpus: TF-IDF / BM25 scoring, exact
+phrase match, and NEAR/w proximity — live scans and a persisted positional
+inverted index.
 
 The retrieval half of a training-data pipeline (find docs matching an eval
 query, audit what the corpus says about a topic, build weak labels). Same
@@ -6,12 +8,19 @@ design rules as the rest of the repo: whitespace tokenization identical to
 ``text.token_count``, no rand(), no Python in the hot path, and every score
 is a deterministic expression with an exact DuckDB twin.
 
-Scale shape: the ONLY full pass over the corpus is the token explode; the
-very first operation after it filters to the query's terms (a literal IN
-over a handful of strings), so everything that shuffles afterwards is
-proportional to the number of matching (doc, term) pairs, not corpus size.
-Document norms (BM25's length term) come from a pure projection. Top-k is a
+Scale shape, live tier: the ONLY full pass over the corpus is the token
+explode (bag-of-words scoring) or the codegen sliding-window/proximity
+match (phrase/NEAR — no explode at all); everything that shuffles is
+proportional to matching (doc, term) pairs, not corpus size. Top-k is a
 TakeOrderedAndProject — no global sort.
+
+Indexed tier: :func:`save_postings_index` / :func:`append_postings_index`
+persist token-bucketed positional postings (partitionBy on the token-hash
+bucket, sorted per-(token, doc) position arrays, one-row meta for exact
+idf/avgdl). Probes — tfidf, bm25, phrase, NEAR — read only their terms'
+bucket directories via partition pruning, so repeated queries never rescan
+the corpus; position intersections are bounded by the rarest term's
+postings.
 """
 
 from __future__ import annotations
