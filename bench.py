@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 import shutil
 import tempfile
 
-from graphchidb_scala_spark.functions import dedup, pipeline, similarity, sketches, text
+from graphchidb_scala_spark.functions import (
+    dedup,
+    pipeline,
+    search,
+    similarity,
+    sketches,
+    text,
+)
 from graphchidb_scala_spark.operators import graph_queries as gq
 from graphchidb_scala_spark.operators import pregel
 from graphchidb_scala_spark.session import get_spark
@@ -259,6 +266,12 @@ def main() -> None:
                 ),
                 langid_buckets=256, lm_xent_max=_V3_LM_MAX, cap=15,
             ).count(),
+            # r14: exact phrase search, live tier — the higher-order
+            # codegen sliding-window scan (no explode, no shuffle); tracks
+            # the nested-lambda execution path no other entry exercises
+            "doc_phrase_search": lambda: search.phrase_search(
+                docs, ["table", "hash"], k=10
+            ).collect(),
             # r14: exact frequent items over the token stream — the
             # shuffle-free MG candidate pass + broadcast-verify count on
             # the corpus's Zipf tail, regression-tracked like the langid
