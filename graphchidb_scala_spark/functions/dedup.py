@@ -226,6 +226,35 @@ def _est2_cut(threshold: float) -> float:
     return max(threshold / 2.0, threshold - 4.0 * sigma)
 
 
+def _pos_tagged_sig(sig_col, mask_bits: int = 57):
+    """Position-tagged copy of a fixed-width signature array: element i
+    becomes ``(value & (2^mask_bits − 1)) + i·2^mask_bits`` — so the
+    POSITIONAL agreement count of two signatures equals
+    ``size(array_intersect(tagged_a, tagged_b))`` (tags are distinct
+    within an array because the position field differs, and equal across
+    arrays only at the same position with equal masked values).
+
+    Why: the former ``aggregate(zip_with(a, b, ==), 0, +)`` fold is a
+    HigherOrderFunction — CodegenFallback, evaluated interpreted per
+    element per candidate row; ``array_intersect`` on bigint arrays runs
+    inside codegen with a primitive hash set (guide §4.1: prefer built-ins
+    that stay in codegen). Measured 23.4M-candidate prune: ~35 s → ~4 s.
+
+    Exactness: masking a 64-bit value to ``mask_bits`` can only CREATE
+    agreements (two different values colliding), never remove one, so the
+    tagged count ≥ the exact count and every ``count ≥ bar`` prune keeps a
+    SUPERSET of the pairs the exact fold kept — the downstream exact
+    verify makes the final result bit-identical. With ≤ 64 positions the
+    tag fits a signed long: 63·2^57 + (2^57−1) = 2^63 − 1."""
+    mask = (1 << mask_bits) - 1
+    shift = 1 << mask_bits
+    return F.transform(
+        sig_col,
+        lambda x, i: x.cast("long").bitwiseAND(F.lit(mask))
+        + i.cast("long") * F.lit(shift),
+    )
+
+
 def _minhash_sig2_table(expl: DataFrame, seed_offset: int) -> DataFrame:
     """DF(id, sig2 array<int>) over an exploded (id, sh) frame: sig2[i] =
     min over shingles of int32(xxhash64(sh, seed_offset+i)) — the
@@ -258,19 +287,20 @@ def _sig2_prune(cand: DataFrame, sig2_b, threshold: float) -> DataFrame:
     keep pairs whose int32-minhash agreement ≥ ``_est2_cut`` · width.
     Pair-deterministic (a pure function of the two signatures), so it
     commutes with distinct — the prune∘distinct == distinct∘prune
-    property the repair seam relies on is preserved."""
-    est2 = F.aggregate(
-        F.zip_with("_s2a", "_s2b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    property the repair seam relies on is preserved.
+
+    Agreement via :func:`_pos_tagged_sig` with the full 32 value bits
+    kept (int32 elements, ≤ 192 positions — tag < 193·2³² fits a long),
+    so the count is EXACTLY the positional fold's, just codegen'd."""
+    est2 = F.size(F.array_intersect("_s2a", "_s2b"))
+    tagged = _pos_tagged_sig(F.col("sig2"), mask_bits=32)
     return (
         cand.join(
-            sig2_b.select(F.col("id").alias("id_a"), F.col("sig2").alias("_s2a")),
+            sig2_b.select(F.col("id").alias("id_a"), tagged.alias("_s2a")),
             "id_a",
         )
         .join(
-            sig2_b.select(F.col("id").alias("id_b"), F.col("sig2").alias("_s2b")),
+            sig2_b.select(F.col("id").alias("id_b"), tagged.alias("_s2b")),
             "id_b",
         )
         .filter(est2 >= F.lit(_est2_cut(threshold)) * F.size("_s2a"))
@@ -725,18 +755,19 @@ def minhash_lsh_exact_pairs(
             if n_docs * (num_hashes * 8 + 48) < (64 << 20)
             else sigs_m
         )
-        est_agree = F.aggregate(
-            F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
+        # positional agreement as a codegen array_intersect over
+        # position-tagged signatures (see _pos_tagged_sig: mask collisions
+        # only inflate the count ⇒ prune keeps a superset ⇒ the exact
+        # verify below yields bit-identical results)
+        est_agree = F.size(F.array_intersect("_siga", "_sigb"))
+        tagged = _pos_tagged_sig(F.col("sig"))
         cands = (
             cands.join(
-                sigs_v.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga")),
+                sigs_v.select(F.col("id").alias("id_a"), tagged.alias("_siga")),
                 "id_a",
             )
             .join(
-                sigs_v.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb")),
+                sigs_v.select(F.col("id").alias("id_b"), tagged.alias("_sigb")),
                 "id_b",
             )
             .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
@@ -759,7 +790,16 @@ def minhash_lsh_exact_pairs(
             cands = _sig2_prune(cands, F.broadcast(sig2), float(threshold))
     va = sh_base_v.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa"), F.col("n").alias("na"))
     vb = sh_base_v.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb"), F.col("n").alias("nb"))
-    inter = cands.join(va, "id_a").join(vb, "id_b").withColumn(
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    ratio_tau = _prefilter_tau(float(threshold))
+    if ratio_tau > 0:
+        # lossless size-ratio prefilter (J ≥ τ ⟹ min(n)/max(n) ≥ τ, slacked
+        # by the rounding half-ulp): two O(1) reads ahead of the intersect
+        joined = joined.filter(
+            (F.col("nb") >= ratio_tau * F.col("na"))
+            & (F.col("na") >= ratio_tau * F.col("nb"))
+        )
+    inter = joined.withColumn(
         "c", F.size(F.array_intersect("_sa", "_sb"))
     )
     return (
@@ -1274,20 +1314,22 @@ def minhash_cluster_members(
             sigs_m = sig_arr.select("id", "sig")
             sigs_broadcast = n_docs * (num_hashes * 8 + 48) < (64 << 20)
             sigs_v = F.broadcast(sigs_m) if sigs_broadcast else sigs_m
-            est_agree = F.aggregate(
-                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
+            # codegen positional agreement (see _pos_tagged_sig): the
+            # former interpreted zip_with fold was ~35 s of the capstone's
+            # 23.4M-candidate repair at sf0.1; the tagged intersect keeps
+            # a superset under mask collisions, so the exact verify below
+            # yields bit-identical clusters
+            est_agree = F.size(F.array_intersect("_siga", "_sigb"))
+            tagged = _pos_tagged_sig(F.col("sig"))
 
             def sig_prune(cand: DataFrame) -> DataFrame:
                 return (
                     cand.join(
-                        sigs_v.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga")),
+                        sigs_v.select(F.col("id").alias("id_a"), tagged.alias("_siga")),
                         "id_a",
                     )
                     .join(
-                        sigs_v.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb")),
+                        sigs_v.select(F.col("id").alias("id_b"), tagged.alias("_sigb")),
                         "id_b",
                     )
                     .filter(est_agree >= float(threshold) / 2.0 * F.size("_siga"))
@@ -1315,6 +1357,8 @@ def minhash_cluster_members(
             )
             sig2_b = F.broadcast(_minhash_sig2_table(expl2, seed_offset=num_hashes))
 
+        ratio_tau = _prefilter_tau(float(threshold))
+
         def _verify(
             cand: DataFrame, extra: tuple[str, ...] = (), pruned: bool = False
         ) -> DataFrame:
@@ -1326,7 +1370,7 @@ def minhash_cluster_members(
                 cand = sig_prune(cand)
             if sig2_b is not None:
                 cand = _sig2_prune(cand, sig2_b, float(threshold))
-            return (
+            out = (
                 cand.join(
                     sh_v.select(F.col("id").alias("id_a"), F.col("_arr").alias("_sa")),
                     "id_a",
@@ -1335,7 +1379,17 @@ def minhash_cluster_members(
                     sh_v.select(F.col("id").alias("id_b"), F.col("_arr").alias("_sb")),
                     "id_b",
                 )
-                .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+            )
+            if ratio_tau > 0:
+                # lossless size-ratio prefilter (J ≥ τ ⟹ min(n)/max(n) ≥ τ;
+                # slacked by the rounding half-ulp, see _prefilter_tau):
+                # two O(1) length reads ahead of the O(n) intersect
+                out = out.filter(
+                    (F.size("_sb") >= ratio_tau * F.size("_sa"))
+                    & (F.size("_sa") >= ratio_tau * F.size("_sb"))
+                )
+            return (
+                out.withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
                 .filter(
                     F.round(
                         F.col("_i")
@@ -1395,18 +1449,26 @@ def minhash_cluster_members(
         # replication cost ~2 s at sf0.1 where nothing is hot)
         G = crossing_salt_factor(lb, parallelism)
         cross = salted_label_crossing_candidates(lb, parallelism, salts=G)
-        pruned_in_stage = sig_prune is not None and sigs_broadcast
-        if pruned_in_stage:
-            cross = sig_prune(cross)
+        # DISTINCT FIRST, then prune (r14 optimization, prune∘distinct ==
+        # distinct∘prune — the documented pair-deterministic property):
+        # the raw crossing mass is narrow (4 longs/row), so the distinct's
+        # exchange is cheap, while every per-candidate tier (sig joins +
+        # agreement intersect) costs ~40 µs·core/row — running the tiers
+        # on the multi-band duplicate factor (3.2× at sf0.1: 23.4M raw vs
+        # 7.35M unique survivors) was the dominant repair cost. Measured
+        # on the capstone corpus: prune-first 25.6 s + distinct vs
+        # distinct 5.3 s + prune 9.6 s. The r13 prune-in-stage design
+        # (avoid exchanging raw candidates) predates the codegen tagged
+        # prune; with the fold 3× cheaper and the distinct exchange
+        # byte-light, distinct-first wins at both sf0.1 and the 10×
+        # replica.
         cross = (
             cross.distinct()
             # round-robin — the hash form on the distinct's own keys is
             # elided at parallelism == shuffle.partitions (pin lost)
             .repartition(parallelism)
         )
-        new_edges = cut_lineage(
-            _verify(cross, extra=("_la", "_lb"), pruned=pruned_in_stage)
-        )
+        new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
         if new_edges.count() > 0:
             lbl_pairs = new_edges.select(
                 F.col("_la").alias("id_a"), F.col("_lb").alias("id_b")
@@ -2038,8 +2100,12 @@ def cross_corpus_dup_members(
     n_sigs_ab = sigs_a.count() + sigs_b.count()
     est_on = n_sigs_ab > _ESTIMATE_TIER_MIN_DOCS
     small_sigs = n_sigs_ab * (num_hashes * 8 + 48) < (64 << 20)
-    sa = sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga"))
-    sb = sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb"))
+    sa = sigs_a.select(
+        F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig")).alias("_siga")
+    )
+    sb = sigs_b.select(
+        F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig")).alias("_sigb")
+    )
     if small_sigs:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     # verify-side cap (see _VERIFY_BCAST_CAP): every escalation round joins
@@ -2066,11 +2132,9 @@ def cross_corpus_dup_members(
                 .select("id_a", "id_b")
             )
         if est_on:
-            est_agree = F.aggregate(
-                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
+            # codegen positional agreement (see _pos_tagged_sig; superset
+            # under mask collisions ⇒ exact verify below is unchanged)
+            est_agree = F.size(F.array_intersect("_siga", "_sigb"))
             cand = (
                 cand.join(sa, "id_a")
                 .join(sb, "id_b")
@@ -2324,15 +2388,17 @@ def cross_corpus_neardup_pairs(
     n_sigs_ab = sigs_a.count() + sigs_b.count()
     if n_sigs_ab > _ESTIMATE_TIER_MIN_DOCS:
         small_sigs = n_sigs_ab * (num_hashes * 8 + 48) < (64 << 20)
-        sa = sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("_siga"))
-        sb = sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("_sigb"))
+        sa = sigs_a.select(
+            F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig")).alias("_siga")
+        )
+        sb = sigs_b.select(
+            F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig")).alias("_sigb")
+        )
         if small_sigs:
             sa, sb = F.broadcast(sa), F.broadcast(sb)
-        est_agree = F.aggregate(
-            F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
+        # codegen positional agreement (see _pos_tagged_sig; superset under
+        # mask collisions ⇒ the exact verify below is unchanged)
+        est_agree = F.size(F.array_intersect("_siga", "_sigb"))
         cands = (
             cands.join(sa, "id_a")
             .join(sb, "id_b")

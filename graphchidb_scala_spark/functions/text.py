@@ -134,6 +134,65 @@ def _char_gram_buckets(
     )
 
 
+def _doc_bucket_counts(
+    frame: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_sizes: tuple[int, ...],
+    buckets: int,
+    hash_fn=None,
+) -> DataFrame:
+    """Per-document hashed-gram bucket histogram DF(id, _b, _c) — the one
+    corpus-sized pass both the weak-supervision trainer and the scorer
+    need; computing it once and deriving the per-language training counts
+    by joining the doc→lang labels halves the md5-gram work (the dominant
+    per-gram cost) without changing a single count."""
+    return (
+        _char_gram_buckets(frame, [id_col], text_col, ngram_sizes, buckets, hash_fn)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def _langid_model_from_counts(
+    spark,
+    langs: DataFrame,
+    counts: DataFrame,
+    doc_counts: DataFrame,
+    buckets: int,
+    alpha: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Smoothing/normalization algebra shared by :func:`langid_model` and
+    the weak-supervision fast path: ``langs`` DF(lang), ``counts``
+    DF(lang, _b, _n) gram-bucket counts, ``doc_counts`` DF(lang, _nd)
+    document counts. Returns (model, priors) exactly as documented on
+    :func:`langid_model`."""
+    b = int(buckets)
+    a = float(alpha)
+    grid = langs.crossJoin(
+        spark.range(b).select(F.col("id").cast("bigint").alias("_b"))
+    )
+    smoothed = grid.join(counts, ["lang", "_b"], "left").select(
+        "lang", "_b", (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(a)).alias("_c")
+    )
+    totals = smoothed.groupBy("lang").agg(F.sum("_c").alias("_t"))
+    model = smoothed.join(F.broadcast(totals), "lang").select(
+        "lang", "_b", F.log(F.col("_c") / F.col("_t")).alias("_ll")
+    )
+    norm = F.broadcast(
+        doc_counts.agg(
+            F.sum("_nd").alias("_N"), F.count(F.lit(1)).alias("_L")
+        )
+    )
+    priors = doc_counts.crossJoin(norm).select(
+        "lang",
+        F.log(
+            (F.col("_nd") + F.lit(a)) / (F.col("_N") + F.lit(a) * F.col("_L"))
+        ).alias("_lp"),
+    )
+    return model, priors
+
+
 def langid_model(
     labeled: DataFrame,
     buckets: int = 4096,
@@ -160,8 +219,6 @@ def langid_model(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (Laplace smoothing)")
     b = int(buckets)
-    a = float(alpha)
-    spark = labeled.sparkSession
     langs = labeled.select(F.col(lang_col).alias("lang")).distinct()
     counts = (
         _char_gram_buckets(
@@ -170,31 +227,12 @@ def langid_model(
         .groupBy(F.col(lang_col).alias("lang"), "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    grid = langs.crossJoin(
-        spark.range(b).select(F.col("id").cast("bigint").alias("_b"))
-    )
-    smoothed = grid.join(counts, ["lang", "_b"], "left").select(
-        "lang", "_b", (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(a)).alias("_c")
-    )
-    totals = smoothed.groupBy("lang").agg(F.sum("_c").alias("_t"))
-    model = smoothed.join(F.broadcast(totals), "lang").select(
-        "lang", "_b", F.log(F.col("_c") / F.col("_t")).alias("_ll")
-    )
     doc_counts = labeled.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("_nd")
     )
-    norm = F.broadcast(
-        doc_counts.agg(
-            F.sum("_nd").alias("_N"), F.count(F.lit(1)).alias("_L")
-        )
+    return _langid_model_from_counts(
+        labeled.sparkSession, langs, counts, doc_counts, b, float(alpha)
     )
-    priors = doc_counts.crossJoin(norm).select(
-        "lang",
-        F.log(
-            (F.col("_nd") + F.lit(a)) / (F.col("_N") + F.lit(a) * F.col("_L"))
-        ).alias("_lp"),
-    )
-    return model, priors
 
 
 def score_languages(
@@ -207,6 +245,7 @@ def score_languages(
     text_col: str = "text",
     round_dp: int = 4,
     hash_fn=None,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against a trained :func:`langid_model`
     (pass the SAME ``hash_fn`` the model was trained with):
@@ -220,14 +259,21 @@ def score_languages(
     one broadcast join against the |langs|·buckets model — candidate rows
     are doc-buckets × |langs|, never grams × |langs| — one (doc, lang)
     aggregation, and one doc-partitioned window for the softmax + argmax.
-    No driver-side model object, no UDF."""
+    No driver-side model object, no UDF.
+
+    ``doc_counts`` (DF(id, _b, _c), a precomputed
+    :func:`_doc_bucket_counts` over ``df`` with identical gram/hash
+    parameters) skips the corpus gram pass — the weak-supervision path
+    shares one histogram between trainer and scorer."""
     from pyspark.sql.window import Window
 
     b = int(buckets)
+    if doc_counts is None:
+        doc_counts = _doc_bucket_counts(
+            df, id_col, text_col, tuple(ngram_sizes), b, hash_fn
+        )
     scored = (
-        _char_gram_buckets(df, [id_col], text_col, tuple(ngram_sizes), b, hash_fn)
-        .groupBy(id_col, "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        doc_counts
         .join(F.broadcast(model), "_b")
         .groupBy(id_col, "lang")
         .agg(F.sum(F.col("_ll") * F.col("_c")).alias("_s"))
@@ -286,19 +332,59 @@ def detect_language(
     (fr/es confusions) while 4096 — the default — separated every held-out
     document; even 4096·|langs| rows is a trivially-broadcast model."""
     if labeled is None:
-        labeled = (
-            df.select(F.col(text_col), lang_id(F.col(text_col)).alias(lang_col))
-            .filter(F.col(lang_col) != "und")
+        # Weak supervision shares ONE corpus gram pass between trainer and
+        # scorer: the per-doc bucket histogram is computed once (the only
+        # corpus-sized md5-gram job) and the per-language training counts
+        # are its exact per-label rollup — Σ over a lang's docs of per-doc
+        # bucket counts == groupBy(lang,_b) over that slice's exploded
+        # grams, so the model (and every oracle hash) is bit-identical
+        # while the detector does half the gram hashing. Requires `id_col`
+        # unique per row (already assumed by the scorer's per-doc groupBy).
+        from graphchidb_scala_spark.checkpoint import cut_lineage
+
+        perdoc = cut_lineage(
+            _doc_bucket_counts(
+                df, id_col, text_col, tuple(ngram_sizes), int(buckets), hash_fn
+            )
+        )
+        weak = cut_lineage(
+            df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang"))
+            .filter(F.col("lang") != "und")
         )
         # an all-'und' corpus would train an EMPTY model and the scoring
         # join would silently return zero rows, breaking score_languages'
         # every-row-gets-a-verdict contract (advisor r12) — fail loudly.
-        if labeled.isEmpty():
+        if weak.isEmpty():
             raise ValueError(
                 "detect_language weak supervision: the stopword heuristic "
                 "labeled zero documents (all 'und'); pass an explicit "
                 "`labeled` training slice instead"
             )
+        counts = (
+            perdoc.join(weak, id_col)
+            .groupBy("lang", "_b")
+            .agg(F.sum("_c").alias("_n"))
+        )
+        model, priors = _langid_model_from_counts(
+            df.sparkSession,
+            weak.select("lang").distinct(),
+            counts,
+            weak.groupBy("lang").agg(F.count(F.lit(1)).alias("_nd")),
+            int(buckets),
+            float(alpha),
+        )
+        return score_languages(
+            df,
+            model,
+            priors,
+            buckets=buckets,
+            ngram_sizes=ngram_sizes,
+            id_col=id_col,
+            text_col=text_col,
+            round_dp=round_dp,
+            hash_fn=hash_fn,
+            doc_counts=perdoc,
+        )
     model, priors = langid_model(
         labeled,
         buckets=buckets,
@@ -1046,13 +1132,21 @@ def bigram_lm_scores(
             )
         )
 
+    # ONE events pass over the reference: c2 is the only aggregation that
+    # scans the exploded events; c1 is its exact rollup (c1(g,ctx) =
+    # Σ_w c2(g,ctx,w)) and the vocabulary is its distinct w — both reuse
+    # c2's shuffle via ReusedExchange instead of re-running the
+    # tokenize+zip+explode per consumer (the pre-optimization plan scanned
+    # the reference events three times: vocab-distinct, c2, c1). Counts are
+    # bit-identical, so the model — and the oracle hash — is unchanged;
+    # the rollup/distinct inputs are bounded by bigram TYPES, not events.
     rev = _events(ref, [])
-    vocab = rev.select("_g", F.col("w").alias("_v")).distinct()
+    c2 = rev.groupBy("_g", "ctx", "w").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("_g", "ctx").agg(F.sum("_c2").alias("_c1"))
+    vocab = c2.select("_g", F.col("w").alias("_v")).distinct()
     vsize = vocab.groupBy("_g").agg(
         (F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_vs")
     )
-    c2 = rev.groupBy("_g", "ctx", "w").agg(F.count(F.lit(1)).alias("_c2"))
-    c1 = rev.groupBy("_g", "ctx").agg(F.count(F.lit(1)).alias("_c1"))
 
     ev = (
         _events(df, [id_col])
