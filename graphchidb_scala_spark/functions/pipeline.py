@@ -752,13 +752,19 @@ def curate_corpus_v3(
         id_col=id_col,
         text_col=text_col,
     )
-    # `scored` feeds both the clustering and the keep-best drop WITHOUT a
-    # third lineage cut: its repeats are shuffle-boundary-aligned, so Spark
-    # reuses the LM/screen shuffle files across the consumers — an explicit
-    # localCheckpoint here measured NO gain at the 10× replica (sweep
-    # sf1_r13 977 s vs sf1_r13b 1029 s, weather band), unlike the two cuts
-    # above whose inputs repeat through mapInPandas/model-join stages.
-    scored = filt.withColumn("_len", F.length(F.col(text_col)).cast("bigint"))
+    # THIRD lineage cut (r14 optimization): `scored` has three full
+    # re-executions downstream — the signature build, the shingle-array
+    # build (both cut inside minhash_cluster_members) and keep-best's
+    # survivor side — and each re-execution replays the grouped-LM model
+    # joins + gate + screen off `tagged`. The r13 ablation measured this
+    # cut useless (977 vs 1029 s at 10×, weather band), but that was when
+    # the crossing repair dominated the stage; with the repair 3× faster
+    # (r14 tagged prune + distinct-first) the LM chain re-execution is the
+    # next cost tier and the cut wins at sf0.1 AND the 10× replica
+    # (OPTIMIZATION_r14.md, capstone section). Results unchanged.
+    scored = cut_lineage(
+        filt.withColumn("_len", F.length(F.col(text_col)).cast("bigint"))
+    )
     clusters = minhash_cluster_members(
         scored, id_col=id_col, text_col=text_col,
         threshold=float(neardup_threshold), verify=True,
