@@ -250,10 +250,19 @@ def probe_cells(vec_col: Column, codebook: list[tuple[int, list[float]]], nprobe
     )
 
 
-# Codebooks up to this size fold into the codegen expression tree as
-# literals (ivf_cell/probe_cells); past it the Arrow matmul path wins
-# and keeps the plan tree small.
-_LITERAL_CODEBOOK_MAX = 128
+# Codebooks up to this size fold into the expression tree as literals
+# (ivf_cell/probe_cells); past it the Arrow matmul path wins. r14
+# measurement: the literal form is NOT codegen — zip_with/aggregate are
+# HigherOrderFunctions (CodegenFallback), so assignment interprets
+# K·dim lambda evals per row. At K=44/dim=64 on 2000 rows the literal
+# projections cost ~3 s EACH (probe + assign) while the Arrow matmul
+# twin runs the whole knn_graph in ~2 s (r11 sweep: knn_graph_kmeans
+# 11.7 s vs knn_graph_kmeans_arrow 2.0 s, identical rows; graded
+# hash-identical against the same oracle). 16 keeps the tiny
+# label-centroid books (K=10 fixtures) on the join-free literal
+# projection; every K≈sqrt(N) book now takes the Arrow path (guide
+# §4.2: hand whole batches to vectorized native code).
+_LITERAL_CODEBOOK_MAX = 16
 
 
 def default_codebook(
