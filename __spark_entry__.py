@@ -3419,7 +3419,11 @@ def _q_multimodal_transcode(spark, sf):
             F.expr("substring(unhex(hx), 1, w * h * 3)"),
         ).alias("payload"),
         F.lit("{}").alias("meta"),
-    )
+        # spread BEFORE the per-row Python codec stages (r14): the docs
+        # parquet is 1-2 scan splits at bench scale, which serialized the
+        # whole transcode+verify chain onto 1-2 cores (measured 57.7 s at
+        # sf0.1; the per-row work is ms-scale Python). Row-identical.
+    ).repartition(spark.sparkContext.defaultParallelism)
     out = multimodal.transcode_images(media, quality=92, prefer_stdlib=True)
 
     def verify(batches):
