@@ -1134,7 +1134,7 @@ def crossing_salt_factor(
 
 
 def salted_label_crossing_candidates(
-    lb: DataFrame, parallelism: int, salts: int = 8
+    lb: DataFrame, parallelism: int, salts: int = 8, ratio_tau: float = 0.0
 ) -> DataFrame:
     """Salted block self-join of a labeled bucket table DF(id, bkt, _lbl):
     all (id_a < id_b) pairs sharing a bucket with DIFFERENT labels, as
@@ -1142,6 +1142,13 @@ def salted_label_crossing_candidates(
     dedupe). The :func:`minhash_cluster_members` repair seam, split out
     so the plan shape is directly auditable (the operator's own plan
     hides it behind cut_lineage materialization).
+
+    ``ratio_tau`` > 0 requires ``lb`` to carry a shingle-count column
+    ``n`` and applies the LOSSLESS size-ratio bound (J ≥ τ ⟹
+    min(n)/max(n) ≥ τ, pre-slacked via :func:`_prefilter_tau`) INSIDE the
+    join predicate — candidates it drops cannot pass the exact verify, so
+    the final verified set is unchanged while the raw candidate mass
+    never materializes (r14: the earliest point the bound can run).
 
     Why salted: AQE's skew split does not apply to user-specified
     repartitions, so the numbered pin that defeats bytes-small AQE
@@ -1153,6 +1160,12 @@ def salted_label_crossing_candidates(
     x < y keeping one orientation, and the hot bucket spreads over
     salts² tasks."""
     G = int(salts)
+    ratio = (
+        (F.col("b.n") >= F.col("a.n") * F.lit(float(ratio_tau)))
+        & (F.col("a.n") >= F.col("b.n") * F.lit(float(ratio_tau)))
+        if ratio_tau > 0
+        else F.lit(True)
+    )
     if G <= 1:
         # degenerate (no hot bucket — crossing_salt_factor probe): the
         # plain bucket self-join, no replication, same output contract
@@ -1162,7 +1175,8 @@ def salted_label_crossing_candidates(
             b,
             (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a._lbl") != F.col("b._lbl")),
+            & (F.col("a._lbl") != F.col("b._lbl"))
+            & ratio,
         ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -1181,7 +1195,8 @@ def salted_label_crossing_candidates(
         & (F.col("a._sa") == F.col("b._sa"))
         & (F.col("a._sb") == F.col("b._sb"))
         & (F.col("a.id") < F.col("b.id"))
-        & (F.col("a._lbl") != F.col("b._lbl")),
+        & (F.col("a._lbl") != F.col("b._lbl"))
+        & ratio,
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
@@ -1428,10 +1443,16 @@ def minhash_cluster_members(
         # (the AQE bytes-small trap: the labeled bucket table is 3 narrow
         # columns, but the self-join's output is the crossing-candidate
         # expansion)
+        # ride the shingle count on the labeled bucket table so the
+        # size-ratio bound can run inside the crossing join itself (r14):
+        # same count-gated broadcast class as the labels join
+        sh_n = sh.select("id", "n")
         lb = cut_lineage(
-            bkts_m.join(_broadcast_if_small_ids(labels), "id").select(
-                "id", "bkt", F.col("cluster").alias("_lbl")
+            bkts_m.join(_broadcast_if_small_ids(labels), "id")
+            .join(
+                F.broadcast(sh_n) if n_docs < 4_000_000 else sh_n, "id"
             )
+            .select("id", "bkt", "n", F.col("cluster").alias("_lbl"))
         )
         # salted block self-join (seam above: hot buckets spread over
         # salts² tasks — the numbered pin opted the join out of AQE skew
@@ -1448,7 +1469,9 @@ def minhash_cluster_members(
         # would straggle one task (judge r11 item: the unconditional 8×
         # replication cost ~2 s at sf0.1 where nothing is hot)
         G = crossing_salt_factor(lb, parallelism)
-        cross = salted_label_crossing_candidates(lb, parallelism, salts=G)
+        cross = salted_label_crossing_candidates(
+            lb, parallelism, salts=G, ratio_tau=ratio_tau
+        )
         # DISTINCT FIRST, then prune (r14 optimization, prune∘distinct ==
         # distinct∘prune — the documented pair-deterministic property):
         # the raw crossing mass is narrow (4 longs/row), so the distinct's
