@@ -172,8 +172,8 @@ def _build_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]
             ln[i] = length
     if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
         _LUT_CACHE.clear()
-    _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
+    _LUT_CACHE[key] = out = (sym, ln)
+    return out
 
 
 def _decode_huff_lut(br: _BitReader, lut: tuple[list[int], list[int]]) -> int:

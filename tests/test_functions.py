@@ -4102,3 +4102,87 @@ def test_two_level_batch_probe(spark, tmp_path):
     sset = {(r["qid"], r["vec_id"]) for r in small}
     fpairs = {(q, v) for q, v, _ in flat}
     assert len(sset & fpairs) / len(fpairs) >= 0.8
+
+
+def test_pos_tagged_sig_agreement_exact_and_superset(spark):
+    """r14 optimization internals: the position-tagged array_intersect
+    agreement (a) EQUALS the positional fold when values fit the mask,
+    (b) can only be >= it (superset prune) on full-range values, and
+    (c) est2's 32-bit masking is exactly lossless for int32 elements."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphchidb_scala_spark.functions.dedup import _pos_tagged_sig
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        a = [rng.randrange(-(2**63), 2**63 - 1) for _ in range(64)]
+        b = [
+            x if rng.random() < 0.4 else rng.randrange(-(2**63), 2**63 - 1)
+            for x in a
+        ]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a array<long>, b array<long>")
+    fold = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    tagged = F.size(
+        F.array_intersect(_pos_tagged_sig(F.col("a")), _pos_tagged_sig(F.col("b")))
+    )
+    bad = df.select(fold.alias("f"), tagged.alias("t")).filter(
+        F.col("t") < F.col("f")
+    )
+    assert bad.count() == 0  # superset property: tagged never undercounts
+    # with values masked into 57 bits up front the counts are EQUAL
+    mask = (1 << 57) - 1
+    dfm = spark.createDataFrame(
+        [(i, [x & mask for x in a], [x & mask for x in b]) for i, a, b in rows],
+        "i long, a array<long>, b array<long>",
+    )
+    diff = dfm.select(fold.alias("f"), tagged.alias("t")).filter(
+        F.col("t") != F.col("f")
+    )
+    assert diff.count() == 0
+    # int32 elements under mask_bits=32 (the _sig2_prune configuration):
+    # exact equality, no collisions possible
+    rows32 = [
+        (
+            i,
+            [rng.randrange(-(2**31), 2**31 - 1) for _ in range(192)],
+            [rng.randrange(-(2**31), 2**31 - 1) for _ in range(192)],
+        )
+        for i in range(50)
+    ]
+    df32 = spark.createDataFrame(rows32, "i long, a array<int>, b array<int>")
+    t32 = F.size(
+        F.array_intersect(
+            _pos_tagged_sig(F.col("a"), mask_bits=32),
+            _pos_tagged_sig(F.col("b"), mask_bits=32),
+        )
+    )
+    diff32 = df32.select(fold.alias("f"), t32.alias("t")).filter(
+        F.col("t") != F.col("f")
+    )
+    assert diff32.count() == 0
+
+
+def test_jpeg_lut_cache_reuse_and_identical_decode():
+    """r14 optimization internals: _build_lut memoizes on table content
+    (same DHT -> same object) and the memoized decode is bit-identical."""
+    from graphchidb_scala_spark.functions import jpeg as J
+
+    rgb = bytes(range(192))  # 16*4*3
+    jb = J.encode_jpeg(16, 4, rgb, quality=92, subsample=True)
+    J._LUT_CACHE.clear()
+    first = J.jpeg_rgb(jb)
+    n_after_first = len(J._LUT_CACHE)
+    assert n_after_first > 0
+    second = J.jpeg_rgb(jb)
+    assert len(J._LUT_CACHE) == n_after_first  # pure cache hits, no growth
+    assert first == second
+    tbl = {(2, 0): 5, (2, 1): 9, (3, 4): 1}
+    assert J._build_lut(tbl) is J._build_lut(dict(tbl))  # content-keyed
