@@ -262,18 +262,34 @@ def _minhash_sig2_table(expl: DataFrame, seed_offset: int) -> DataFrame:
     explode→groupBy shape as :func:`minhash_signatures`: each shingle is
     hashed ``_EST2_HASHES`` times inside the map-side partial aggregate and
     one shuffle moves ints-per-doc. Lineage-cut: it is broadcast into a
-    prune join over a many-million-row candidate list."""
+    prune join over a many-million-row candidate list.
+
+    Built as TWO ≤96-column min-aggregates joined on id (r14): a single
+    192-column HashAggregate exceeds ``spark.sql.codegen.maxFields`` (100)
+    and the whole stage silently drops out of codegen — measured 8.1–18.8 s
+    vs 3.3–3.9 s chunked on the sf0.1 capstone corpus
+    (tools/profile_sig2_build.py; the string-vs-long input accounts for the
+    spread within each form). Output values are bit-identical — the chunks
+    partition the seed range."""
     # top 32 bits via shiftright (always in int range — ANSI mode rejects
     # a plain bigint→int cast on overflow)
-    aggs = [
-        F.min(
-            F.shiftright(F.xxhash64("sh", F.lit(seed_offset + i)), 32).cast("int")
-        ).alias(f"_g{i}")
-        for i in range(_EST2_HASHES)
-    ]
+    half = _EST2_HASHES // 2
+
+    def _chunk(lo: int, hi: int) -> DataFrame:
+        return expl.groupBy("id").agg(
+            *[
+                F.min(
+                    F.shiftright(F.xxhash64("sh", F.lit(seed_offset + i)), 32).cast(
+                        "int"
+                    )
+                ).alias(f"_g{i}")
+                for i in range(lo, hi)
+            ]
+        )
+
     return cut_lineage(
-        expl.groupBy("id")
-        .agg(*aggs)
+        _chunk(0, half)
+        .join(_chunk(half, _EST2_HASHES), "id")
         .select(
             "id",
             F.array(*[F.col(f"_g{i}") for i in range(_EST2_HASHES)]).alias("sig2"),
@@ -1246,7 +1262,11 @@ def minhash_cluster_members(
     round's — after it is verified and merged, no unverified crossing
     candidate exists, and the result EQUALS the pairs→CC clustering (both
     partitions are CC over the same verified candidate set; same xxhash64
-    candidate universe and estimate-tier as :func:`minhash_lsh_exact_pairs`).
+    candidate universe and estimate-tier BARS as
+    :func:`minhash_lsh_exact_pairs` — this path may additionally engage
+    the second-stage tier in the broadcast regime when a sampled probe
+    predicts it pays, a cost-only decision within the same documented
+    ~3e-5 miss class).
     Measured identical keep-best survivors on the templated sf0.1 corpus
     and the dup-dense sf1 replica. Worst case (nothing verifies — every
     doc its own cluster) degenerates to the pair path's candidate cost.
@@ -1352,25 +1372,36 @@ def minhash_cluster_members(
                 )
 
         # second-stage estimate (see _EST2_HASHES): same engage floor as
-        # stage 1, the same 4σ bar as the pairs path, and the same
-        # arrays-don't-broadcast REGIME GATE (equivalence holds per path:
-        # both the star-edge verify and the crossing repair run the
-        # identical prune chain, so the members fixpoint still equals
-        # pairs→CC over this path's candidate decisions). Built over the
-        # RAW string shingles — this path's stage-1 family hashes strings
-        # directly (minhash_signatures), and stage 2 continues it.
-        sig2_b = None
-        if (
+        # stage 1 and the same 4σ bar as the pairs path. Built over the
+        # md5-60 PRE-HASHED shingle longs already materialized in `sh`
+        # (r14: explode of checkpointed long arrays + long-input xxhash64 —
+        # no re-shingling, no string hashing; the same
+        # pre-hashed-input idiom as minhash_lsh_exact_pairs' stage 2, and
+        # an equally valid min-wise family, so the 4σ analysis is
+        # unchanged; the exact verify downstream keeps results
+        # bit-identical under any family). In the arrays-don't-broadcast
+        # regime the tier engages unconditionally (every pruned row saves
+        # a fat-array exchange row); in the BROADCAST regime it engages
+        # adaptively inside the crossing repair below, where a sampled
+        # agree64 probe predicts whether the tier prunes enough to beat
+        # its own cost (see the repair section).
+        _est2_possible = (
             sig_prune is not None
-            and not _sh_bcast
             and _est2_cut(float(threshold)) > float(threshold) / 2.0 + 1e-9
             and n_docs * (_EST2_HASHES * 4 + 48) < (64 << 20)
-        ):
-            expl2 = df.select(
-                F.col(id_col).cast("bigint").alias("id"),
-                F.explode(char_shingles(F.col(text_col), k)).alias("sh"),
+        )
+
+        def _build_sig2():
+            return F.broadcast(
+                _minhash_sig2_table(
+                    sh.select("id", F.explode("_arr").alias("sh")),
+                    seed_offset=num_hashes,
+                )
             )
-            sig2_b = F.broadcast(_minhash_sig2_table(expl2, seed_offset=num_hashes))
+
+        sig2_b = None
+        if _est2_possible and not _sh_bcast:
+            sig2_b = _build_sig2()
 
         ratio_tau = _prefilter_tau(float(threshold))
 
@@ -1491,6 +1522,52 @@ def minhash_cluster_members(
             # elided at parallelism == shuffle.partitions (pin lost)
             .repartition(parallelism)
         )
+        # BROADCAST-regime adaptive est2 engage (r14 session D). With the
+        # shingle arrays broadcast-resident the exact verify is map-side,
+        # so the old blanket regime gate kept est2 off — but on
+        # shared-vocabulary corpora the crossing mass collapses toward
+        # all-pairs (8.36M distinct candidates over 4,992 capstone docs at
+        # sf0.1) and the ~320-element exact intersect per candidate
+        # dwarfs a 192-int agreement check: measured repair verify 15.3 s
+        # (prune+exact) vs 8.6 s (prune+est2+exact) + 3.5 s cheap sig2
+        # build (tools/profile_verify_kernel_d.py, profile_sig2_build.py).
+        # On bar-hugging corpora est2 keeps ~everything and would be pure
+        # cost, so engage only when (a) the candidate mass says the
+        # banding collapsed (≫ docs) and (b) a 1/64 hash-sampled agree64
+        # probe predicts the tier keeps < half — the probe only reads the
+        # already-broadcast stage-1 signatures, so it costs one tiny job.
+        # The engage decision affects COST only: est2 keeps a documented
+        # ~3e-5-miss superset and the exact verify is unchanged.
+        if _est2_possible and sig2_b is None:
+            cross = cut_lineage(cross)
+            n_cand = cross.count()
+            if n_cand > 32 * n_docs:
+                bar = _est2_cut(float(threshold))
+                probe = (
+                    cross.filter(
+                        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(64)) == 0
+                    )
+                    .join(
+                        sigs_v.select(F.col("id").alias("id_a"), tagged.alias("_pa")),
+                        "id_a",
+                    )
+                    .join(
+                        sigs_v.select(F.col("id").alias("id_b"), tagged.alias("_pb")),
+                        "id_b",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            (
+                                F.size(F.array_intersect("_pa", "_pb"))
+                                >= F.lit(bar) * F.size("_pa")
+                            ).cast("int")
+                        ).alias("k"),
+                    )
+                    .first()
+                )
+                if probe["n"] and (probe["k"] or 0) < 0.5 * probe["n"]:
+                    sig2_b = _build_sig2()
         new_edges = cut_lineage(_verify(cross, extra=("_la", "_lb")))
         if new_edges.count() > 0:
             lbl_pairs = new_edges.select(

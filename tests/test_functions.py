@@ -4186,3 +4186,46 @@ def test_jpeg_lut_cache_reuse_and_identical_decode():
     assert first == second
     tbl = {(2, 0): 5, (2, 1): 9, (3, 4): 1}
     assert J._build_lut(tbl) is J._build_lut(dict(tbl))  # content-keyed
+
+
+def test_minhash_sig2_table_chunked_equals_single_agg(spark):
+    """r14 session D internals: the codegen-safe two-chunk sig2 build
+    (two <=96-column min-aggregates joined on id) is bit-identical to the
+    single 192-column aggregate it replaced — the chunks partition the
+    seed range, so every output element comes from the same min() over
+    the same hashes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphchidb_scala_spark.functions.dedup import (
+        _EST2_HASHES,
+        _minhash_sig2_table,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(-(2**63), 2**63 - 1))
+        for i in range(40)
+        for _ in range(rng.randrange(3, 12))
+    ]
+    expl = spark.createDataFrame(rows, "id long, sh long")
+    chunked = {
+        r["id"]: r["sig2"] for r in _minhash_sig2_table(expl, seed_offset=64).collect()
+    }
+    single = {
+        r["id"]: r["s"]
+        for r in expl.groupBy("id")
+        .agg(
+            F.array(
+                *[
+                    F.min(
+                        F.shiftright(F.xxhash64("sh", F.lit(64 + i)), 32).cast("int")
+                    )
+                    for i in range(_EST2_HASHES)
+                ]
+            ).alias("s")
+        )
+        .collect()
+    }
+    assert chunked == single

@@ -1,0 +1,173 @@
+"""Session-D kernel A/B on the capstone's crossing candidates, production
+shape (ratio bound inside the join, distinct-first): does the stage-1
+tagged sig-prune still pay for itself ahead of the BROADCAST exact verify,
+and would the est2 tier?
+
+Arms (each timed end-to-end from the materialized distinct candidates):
+  P (production): sig_prune -> exact verify
+  N (no prune):   exact verify directly
+  E (est2):       sig_prune -> est2 prune -> exact verify
+
+Usage: python tools/profile_verify_kernel_d.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+import graphchidb_scala_spark.functions.dedup as D
+from graphchidb_scala_spark.checkpoint import cut_lineage
+from graphchidb_scala_spark.functions.text import (
+    bigram_lm_scores,
+    detect_language,
+    filter_documents,
+    strip_html,
+)
+from graphchidb_scala_spark.session import get_spark
+from graphchidb_scala_spark.sources.tpch import load_tables
+
+from __spark_entry__ import _HTML_PRE, _HTML_POST, _V3_LM_MAX
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark("verify-kernel-d")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .repartition(n_par).cache()
+    )
+    docs.count()
+    crawled = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias("text"),
+    )
+    clean = cut_lineage(
+        crawled.select("doc_id", "source", strip_html(F.col("text")).alias("text"))
+    )
+    det = detect_language(clean, buckets=256)
+    tagged_df = cut_lineage(clean.join(det.select("doc_id", "lang"), "doc_id"))
+    lm = bigram_lm_scores(tagged_df, alpha=0.1, group_col="lang")
+    keep = lm.filter(F.col("lm_xent") <= float(_V3_LM_MAX)).select("doc_id")
+    gated = tagged_df.join(keep, "doc_id", "semi")
+    filt = filter_documents(gated, min_tokens=5, min_quality=0.3, langs=None)
+    scored = cut_lineage(
+        filt.withColumn("_len", F.length(F.col("text")).cast("bigint"))
+    )
+
+    num_hashes, bands, k, threshold = 64, 32, 5, 0.5
+    rows_per_band = num_hashes // bands
+    ratio_tau = D._prefilter_tau(threshold)
+    sig_arr = cut_lineage(
+        D.minhash_signatures(scored, id_col="doc_id", text_col="text",
+                             num_hashes=num_hashes, k=k)
+    )
+    bucket_cols = [
+        F.concat_ws(
+            ",", F.lit(str(b)),
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).cast("string"),
+        )
+        for b in range(bands)
+    ]
+    bkts = cut_lineage(
+        sig_arr.select("id", F.explode(F.array(*bucket_cols)).alias("bkt"))
+    )
+    sh = cut_lineage(
+        scored.select(
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.transform(D.char_shingles(F.col("text"), k), D.md5_hash60).alias("_arr"),
+        ).withColumn("n", F.size("_arr"))
+    )
+
+    edges = D.band_bucket_star_edges(bkts, n_par)
+    sh_v, _ = D._verify_side(sh)
+    sh_vm = sh_v.drop("n")
+    sigs_v = F.broadcast(sig_arr.select("id", "sig"))
+    tag = D._pos_tagged_sig(F.col("sig"))
+
+    def sig_prune(cand):
+        return (
+            cand.join(sigs_v.select(F.col("id").alias("id_a"), tag.alias("_ta")), "id_a")
+            .join(sigs_v.select(F.col("id").alias("id_b"), tag.alias("_tb")), "id_b")
+            .filter(
+                F.size(F.array_intersect("_ta", "_tb"))
+                >= float(threshold) / 2.0 * F.size("_ta")
+            )
+            .drop("_ta", "_tb")
+        )
+
+    def exact(cand):
+        out = (
+            cand.join(sh_vm.select(F.col("id").alias("id_a"), F.col("_arr").alias("_sa")), "id_a")
+            .join(sh_vm.select(F.col("id").alias("id_b"), F.col("_arr").alias("_sb")), "id_b")
+            .filter(
+                (F.size("_sb") >= ratio_tau * F.size("_sa"))
+                & (F.size("_sa") >= ratio_tau * F.size("_sb"))
+            )
+            .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+            .filter(
+                F.round(F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")), 4)
+                >= threshold
+            )
+        )
+        return out
+
+    star_lbl = D.near_duplicate_clusters(
+        cut_lineage(exact(sig_prune(edges)).select("id_a", "id_b"))
+    )
+    bkts_m = cut_lineage(bkts.select(F.col("id").cast("bigint").alias("id"), "bkt"))
+    labels = cut_lineage(
+        bkts_m.select("id").distinct()
+        .join(D._broadcast_if_small_ids(star_lbl), "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+    sh_n = sh.select("id", "n")
+    lb = cut_lineage(
+        bkts_m.join(D._broadcast_if_small_ids(labels), "id")
+        .join(F.broadcast(sh_n), "id")
+        .select("id", "bkt", "n", F.col("cluster").alias("_lbl"))
+    )
+    raw = D.salted_label_crossing_candidates(lb, n_par, salts=1, ratio_tau=ratio_tau)
+
+    t0 = time.time()
+    dist = cut_lineage(raw.distinct().repartition(n_par))
+    n_dist = dist.count()
+    print(f"setup: distinct candidates rows={n_dist} "
+          f"(raw->distinct cut {time.time()-t0:.1f}s)", flush=True)
+
+    # est2 table (192 int32 hashes) for arm E
+    expl2 = scored.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.explode(D.char_shingles(F.col("text"), k)).alias("sh"),
+    )
+    t0 = time.time()
+    sig2_b = F.broadcast(D._minhash_sig2_table(expl2, seed_offset=num_hashes))
+    print(f"setup: sig2 table built {time.time()-t0:.1f}s", flush=True)
+
+    def t(name, df):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        t0 = time.time()
+        n = df.count()
+        print(f"{name}: rows={n} {time.time()-t0:.1f}s", flush=True)
+
+    for r in range(reps):
+        print(f"--- rep {r}", flush=True)
+        t("P prune+exact   ", exact(sig_prune(dist)))
+        t("N exact only    ", exact(dist))
+        t("E prune+est2+exact", exact(D._sig2_prune(sig_prune(dist), sig2_b, threshold)))
+        t("p  (prune alone) ", sig_prune(dist))
+        t("e2 (prune+est2)  ", D._sig2_prune(sig_prune(dist), sig2_b, threshold))
+
+
+if __name__ == "__main__":
+    main()
