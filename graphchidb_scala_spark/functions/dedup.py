@@ -226,7 +226,7 @@ def _est2_cut(threshold: float) -> float:
     return max(threshold / 2.0, threshold - 4.0 * sigma)
 
 
-def _pos_tagged_sig(sig_col, mask_bits: int = 57):
+def _pos_tagged_sig(sig_col, mask_bits: int | None = None, width: int = 64):
     """Position-tagged copy of a fixed-width signature array: element i
     becomes ``(value & (2^mask_bits − 1)) + i·2^mask_bits`` — so the
     POSITIONAL agreement count of two signatures equals
@@ -244,8 +244,17 @@ def _pos_tagged_sig(sig_col, mask_bits: int = 57):
     agreements (two different values colliding), never remove one, so the
     tagged count ≥ the exact count and every ``count ≥ bar`` prune keeps a
     SUPERSET of the pairs the exact fold kept — the downstream exact
-    verify makes the final result bit-identical. With ≤ 64 positions the
-    tag fits a signed long: 63·2^57 + (2^57−1) = 2^63 − 1."""
+    verify makes the final result bit-identical.
+
+    ``mask_bits`` defaults to the widest mask whose tag still fits a
+    signed long for ``width`` positions: 63 − ceil(log2(width)) (e.g. 57
+    for the canonical 64-hash signature: 63·2^57 + (2^57−1) = 2^63 − 1).
+    Pass ``width=num_hashes`` at every call site — a fixed 57 overflows
+    under ANSI mode at position ≥ 64 (advisor r14)."""
+    if mask_bits is None:
+        mask_bits = 63 - (int(width) - 1).bit_length()
+        if mask_bits < 1:
+            raise ValueError(f"signature width {width} too large to position-tag")
     mask = (1 << mask_bits) - 1
     shift = 1 << mask_bits
     return F.transform(
@@ -309,7 +318,7 @@ def _sig2_prune(cand: DataFrame, sig2_b, threshold: float) -> DataFrame:
     kept (int32 elements, ≤ 192 positions — tag < 193·2³² fits a long),
     so the count is EXACTLY the positional fold's, just codegen'd."""
     est2 = F.size(F.array_intersect("_s2a", "_s2b"))
-    tagged = _pos_tagged_sig(F.col("sig2"), mask_bits=32)
+    tagged = _pos_tagged_sig(F.col("sig2"), mask_bits=32, width=_EST2_HASHES)
     return (
         cand.join(
             sig2_b.select(F.col("id").alias("id_a"), tagged.alias("_s2a")),
@@ -776,7 +785,7 @@ def minhash_lsh_exact_pairs(
         # only inflate the count ⇒ prune keeps a superset ⇒ the exact
         # verify below yields bit-identical results)
         est_agree = F.size(F.array_intersect("_siga", "_sigb"))
-        tagged = _pos_tagged_sig(F.col("sig"))
+        tagged = _pos_tagged_sig(F.col("sig"), width=num_hashes)
         cands = (
             cands.join(
                 sigs_v.select(F.col("id").alias("id_a"), tagged.alias("_siga")),
@@ -1176,6 +1185,12 @@ def salted_label_crossing_candidates(
     x < y keeping one orientation, and the hot bucket spreads over
     salts² tasks."""
     G = int(salts)
+    if ratio_tau > 0 and "n" not in lb.columns:
+        raise ValueError(
+            "salted_label_crossing_candidates: ratio_tau > 0 requires the "
+            "labeled bucket table to carry a shingle-count column 'n' "
+            "(DF(id, bkt, n, _lbl)); pass ratio_tau=0.0 to skip the bound"
+        )
     ratio = (
         (F.col("b.n") >= F.col("a.n") * F.lit(float(ratio_tau)))
         & (F.col("a.n") >= F.col("b.n") * F.lit(float(ratio_tau)))
@@ -1355,7 +1370,7 @@ def minhash_cluster_members(
             # a superset under mask collisions, so the exact verify below
             # yields bit-identical clusters
             est_agree = F.size(F.array_intersect("_siga", "_sigb"))
-            tagged = _pos_tagged_sig(F.col("sig"))
+            tagged = _pos_tagged_sig(F.col("sig"), width=num_hashes)
 
             def sig_prune(cand: DataFrame) -> DataFrame:
                 return (
@@ -2201,10 +2216,10 @@ def cross_corpus_dup_members(
     est_on = n_sigs_ab > _ESTIMATE_TIER_MIN_DOCS
     small_sigs = n_sigs_ab * (num_hashes * 8 + 48) < (64 << 20)
     sa = sigs_a.select(
-        F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig")).alias("_siga")
+        F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig"), width=num_hashes).alias("_siga")
     )
     sb = sigs_b.select(
-        F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig")).alias("_sigb")
+        F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig"), width=num_hashes).alias("_sigb")
     )
     if small_sigs:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
@@ -2489,10 +2504,10 @@ def cross_corpus_neardup_pairs(
     if n_sigs_ab > _ESTIMATE_TIER_MIN_DOCS:
         small_sigs = n_sigs_ab * (num_hashes * 8 + 48) < (64 << 20)
         sa = sigs_a.select(
-            F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig")).alias("_siga")
+            F.col("id").alias("id_a"), _pos_tagged_sig(F.col("sig"), width=num_hashes).alias("_siga")
         )
         sb = sigs_b.select(
-            F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig")).alias("_sigb")
+            F.col("id").alias("id_b"), _pos_tagged_sig(F.col("sig"), width=num_hashes).alias("_sigb")
         )
         if small_sigs:
             sa, sb = F.broadcast(sa), F.broadcast(sb)

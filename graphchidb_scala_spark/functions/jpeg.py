@@ -161,6 +161,10 @@ def _build_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]
     key = tuple(sorted(table.items()))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
+        # LRU touch (dicts iterate in insertion order): a batch mixing
+        # > _LUT_CACHE_MAX distinct specs evicts the coldest entry, not
+        # the whole cache (advisor r14 — clear-all thrashed hot tables)
+        _LUT_CACHE[key] = _LUT_CACHE.pop(key)
         return hit
     sym = [-1] * 65536
     ln = [0] * 65536
@@ -171,7 +175,7 @@ def _build_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]
             sym[i] = s
             ln[i] = length
     if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
-        _LUT_CACHE.clear()
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = out = (sym, ln)
     return out
 

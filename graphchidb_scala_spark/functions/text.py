@@ -320,7 +320,12 @@ def detect_language(
     about (≠ 'und') and the n-gram model GENERALIZES those labels to
     every document — including ones with no stopword hits at all (the
     same weak-label→classifier design as :func:`~..pipeline.
-    nb_quality_scores`).
+    nb_quality_scores`). The weak-supervision path requires ``id_col``
+    to be UNIQUE per row of ``df`` (the document-id contract the scorer's
+    per-doc groupBy already assumes): with duplicate ids the shared
+    per-doc histogram would merge counts across rows while the weak
+    labels fan out through the id join, silently training a different
+    model than per-row labeling would.
 
     The whole operator is count arithmetic + ln over md5-hashed grams —
     SQL-replayable, no UDF, model bounded at |langs|·``buckets`` rows

@@ -4170,6 +4170,95 @@ def test_pos_tagged_sig_agreement_exact_and_superset(spark):
     assert diff32.count() == 0
 
 
+def test_pos_tagged_sig_wide_signature_no_overflow(spark):
+    """advisor r14 (medium): width > 64 must not overflow the signed-long
+    tag under ANSI mode — mask_bits is derived from the width. 80-element
+    signatures (the advisor's reproduction) tag cleanly and the superset
+    property holds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphchidb_scala_spark.functions.dedup import _pos_tagged_sig
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(50):
+        a = [rng.randrange(-(2**63), 2**63 - 1) for _ in range(80)]
+        b = [
+            x if rng.random() < 0.5 else rng.randrange(-(2**63), 2**63 - 1)
+            for x in a
+        ]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a array<long>, b array<long>")
+    fold = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    tagged = F.size(
+        F.array_intersect(
+            _pos_tagged_sig(F.col("a"), width=80),
+            _pos_tagged_sig(F.col("b"), width=80),
+        )
+    )
+    bad = df.select(fold.alias("f"), tagged.alias("t")).filter(
+        F.col("t") < F.col("f")
+    )
+    assert bad.count() == 0  # no ARITHMETIC_OVERFLOW, never undercounts
+    # default width (64) still derives mask_bits=57 — bit-identical tags
+    # to the r14 fixed constant
+    mask57 = (1 << 57) - 1
+    df64 = spark.createDataFrame(
+        [(0, [x & mask57 for x in rows[0][1][:64]])], "i long, a array<long>"
+    )
+    t_new = df64.select(_pos_tagged_sig(F.col("a"), width=64).alias("t")).first()["t"]
+    expect = [(x & mask57) + (i << 57) for i, x in enumerate(rows[0][1][:64])]
+    assert t_new == expect
+
+
+def test_jpeg_lut_cache_lru_eviction():
+    """advisor r14 (low): a full _LUT_CACHE evicts one coldest entry, not
+    the whole cache — a recently-hit table survives the eviction."""
+    from graphchidb_scala_spark.functions import jpeg as J
+
+    saved = dict(J._LUT_CACHE)
+    try:
+        J._LUT_CACHE.clear()
+        tables = [
+            {(8, i): (i % 251) for i in range(1)} | {(9, 2 + i): 7}
+            for i in range(J._LUT_CACHE_MAX)
+        ]
+        for t in tables:
+            J._build_lut(t)
+        assert len(J._LUT_CACHE) == J._LUT_CACHE_MAX
+        hot = tables[0]
+        J._build_lut(hot)  # LRU touch: moves to the back
+        J._build_lut({(8, 0): 99, (10, 5): 1})  # overflow -> evict ONE
+        assert len(J._LUT_CACHE) == J._LUT_CACHE_MAX
+        hot_key = tuple(sorted(hot.items()))
+        assert hot_key in J._LUT_CACHE  # the touched entry survived
+    finally:
+        J._LUT_CACHE.clear()
+        J._LUT_CACHE.update(saved)
+
+
+def test_salted_crossing_ratio_tau_requires_n(spark):
+    """advisor r14 (low): ratio_tau > 0 without an 'n' column raises a
+    descriptive ValueError instead of a late AnalysisException."""
+    import pytest
+
+    from graphchidb_scala_spark.functions.dedup import (
+        salted_label_crossing_candidates,
+    )
+
+    lb = spark.createDataFrame(
+        [(1, "b1", 10), (2, "b1", 20)], "id long, bkt string, _lbl long"
+    )
+    with pytest.raises(ValueError, match="'n'"):
+        salted_label_crossing_candidates(lb, 4, salts=1, ratio_tau=0.5)
+
+
 def test_jpeg_lut_cache_reuse_and_identical_decode():
     """r14 optimization internals: _build_lut memoizes on table content
     (same DHT -> same object) and the memoized decode is bit-identical."""
