@@ -4956,46 +4956,44 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-14 driver-window rotation (README "Driver-window rotation": the
+# Round-15 driver-window rotation (README "Driver-window rotation": the
 # 50-key window re-cycles by OLDEST driver grade first). Composition,
-# computed from the merged CORRECTNESS_r01–r13 last-graded map (judge r13
-# 'Next round #5': the remaining r10 cohort, then the r11 stratum):
-#   - 4 never-driver-graded keys: this round's
-#     doc_build_vocab_distributed (the above-gate prefix-sum arm against
-#     the SAME oracle as doc_build_vocab — judge r13 'Next round #2'),
-#     multimodal_transcode (the storage-normalization stage, judge r13
-#     'Next round #3'), and the two sampled-arm contract keys
-#     doc_curriculum_sampled / doc_ppl_buckets_sampled (judge r13 'What's
-#     missing #2' — the above-gate arms graded on their published
-#     invariants);
-#   - ALL 23 keys last graded r10 — the oldest stratum, in registry
-#     order (vertex-program/vertex-op/doc_* block the r13 window held
-#     out);
-#   - 16 of the 50 last graded r11, in registry order (the ANN family,
-#     events windows, search keys); the other 34 r11 keys plus the r12
-#     stratum lead the r15 window.
+# computed from the merged CORRECTNESS_r01–r14 last-graded map, plus the
+# r14 judge's explicit ask (VERDICT r14 'Next round #5': grade the keys
+# the r14 optimization touched most heavily, whose correctness at HEAD
+# rested on builder sweeps only):
+#   - ALL 34 keys last graded r11 — the oldest live stratum, in registry
+#     order (search/curation/doc_* block, drop_neardups_keep_best,
+#     doc_lm_xent family head);
+#   - the 6 heavy-touched keys the r14 verdict ordered graded directly:
+#     doc_crawl_curate_v3, minhash_cluster_members, knn_graph_kmeans
+#     (last graded r13), doc_langid_weak, doc_lm_xent_detected,
+#     doc_langid (last graded r12) — a deliberate exception to strict
+#     oldest-first, documented here;
+#   - 10 of the 50 last graded r12, in registry order (token stats,
+#     embedding centroids, events props/asof/rollup, the ALS rows-only
+#     pair, kcore); the remaining 40 r12 keys lead the r16 window.
 _GRADED_WINDOW = [
-    # r14-new (never graded)
-    "doc_build_vocab_distributed", "multimodal_transcode",
-    "doc_curriculum_sampled", "doc_ppl_buckets_sampled",
-    "events_heavy_users", "doc_frequent_terms", "doc_frequent_terms_by_lang",
-    "doc_phrase_search", "doc_phrase_search_indexed",
-    "doc_near_search", "doc_near_search_indexed",
-    # last graded r10 (all 23), registry order
-    "cc5", "bfs_vertex_program", "gather_apply_wsum", "vertex_get",
-    "vertex_writes", "vertex_select_scan", "autofill_defaults",
-    "incremental_degrees", "random_vertex", "random_walks", "motif_census",
-    "doc_dedup_exact", "doc_text_profile", "doc_quality_filter",
-    "doc_ngram_neardup", "doc_wordgram_neardup", "events_changepoint",
-    "bpe_train_merges", "bpe_encode_top30", "doc_crosscorpus_filter",
-    "doc_crosscorpus_filter_progressive", "doc_neardup_screen_indexed",
-    "containment_cluster_members",
-    # last graded r11 (first 25 in registry order; rest lead r15)
-    "minhash_lsh_neardup", "simhash_neardup", "drop_near_duplicates",
-    "ann_topk", "ann_topk_ivf", "ann_topk_ivf_indexed", "ann_topk_pq",
-    "ann_topk_lsh_indexed", "embed_neardup", "multimodal_features",
-    "events_window_hourly", "events_sessionize", "pagerank_converged",
-    "cc_converged_stats", "ann_topk_lsh", "doc_split_hash",
+    # last graded r11 (all 34), registry order
+    "doc_contamination", "doc_stratified_sample", "doc_cap_per_source",
+    "doc_pack_sequences", "doc_strip_boilerplate", "doc_weighted_sample",
+    "doc_repetition_stats", "doc_tfidf_search", "doc_bm25_search",
+    "doc_bm25_search_indexed", "doc_tfidf_search_indexed",
+    "doc_rebalance_mix", "knn_graph_ivf", "events_funnel", "ppr3",
+    "adamic_adar_top20", "semantic_dedup", "doc_pii_scrub",
+    "doc_dsir_weights", "events_window_sliding", "events_hll_distinct",
+    "jaccard_top20", "copurchase_top20", "graph_asof_counts",
+    "doc_curate_corpus", "drop_neardups_keep_best", "doc_quality_nb",
+    "doc_hybrid_rrf", "embed_cluster_sample", "doc_lm_xent",
+    "cluster_topic_terms", "hard_negatives_kmeans", "doc_lm_xent_by_lang",
+    "doc_curate_corpus_v2",
+    # r14-heavy-touched (VERDICT r14 'Next round #5')
+    "doc_crawl_curate_v3", "minhash_cluster_members", "knn_graph_kmeans",
+    "doc_langid_weak", "doc_lm_xent_detected", "doc_langid",
+    # last graded r12 (first 10 in registry order; rest lead r16)
+    "token_histogram", "token_bigrams", "token_bigram_pmi",
+    "embedding_centroids", "events_props", "events_asof", "events_rollup",
+    "als_recommend", "als_rmse", "kcore_peel3",
 ]
 
 
