@@ -13,6 +13,15 @@ MEDIANS, "spread" the per-query [min, max], so a single contended run can
 neither inflate nor mask the headline number. The headline total is the sum
 of medians.
 
+The three entries added in r14 (crawl_curate_v3 — a 45-70 s capstone —
+plus doc_phrase_search / doc_frequent_terms) run as a separate TRAILING
+block of reps after the main loop (r15, judge r14 'Next round #1'): the
+r15 skip-capstone A/B measured the capstone's in-rep debris costing its
+rep-mates ~7% geomean (doc_langid 2.1x) even with the inter-query GC, so
+the short entries now only ever follow short entries. Same queries, same
+timing wrapper, same median-of-reps methodology — only the execution
+order moved; per-entry numbers remain comparable with r13/r14.
+
 Setup (graph-view build + cache) is timed separately as "setup_cache" and
 excluded from the headline total — it is the ingest/compaction analogue, paid
 once per dataset, not per query.
@@ -49,6 +58,12 @@ from graphchidb_scala_spark.streaming.ingest import EdgeStore
 # composition is tuned to the stripped form of THIS wrapper — a different
 # wrapper shifts the xent distribution and collapses the survivor set)
 from __spark_entry__ import _HTML_PRE, _HTML_POST, _V3_LM_MAX
+
+# r14-new entries timed in a trailing rep block (see module docstring):
+# the capstone's debris measurably slows allocation-heavy rep-mates, and
+# the two short r14 search/sketch entries travel with it so the main
+# block is exactly the r13 entry set.
+_TRAILING_BLOCK = ("crawl_curate_v3", "doc_phrase_search", "doc_frequent_terms")
 
 
 def aggregate_reps(
@@ -140,6 +155,7 @@ def main() -> None:
     bench_t0 = time.time()
     errors: dict[str, str] = {}
     per_rep: list[dict[str, float]] = []
+    last_queries: dict = {}
     for rep in range(n_reps):
         # -------- per-rep fixtures (untimed): every rep starts from identical
         # store state, so medians compare like with like (ingest must not see
@@ -287,6 +303,7 @@ def main() -> None:
             "compact_store": compact_5x100k,
         }
 
+        last_queries = queries
         # ablation knob: SPARK_GRAFT_BENCH_SKIP=q1,q2 drops entries for
         # A/B attribution runs (e.g. does a long new entry perturb its
         # rep-mates?) — skipped keys simply don't appear in the output
@@ -295,7 +312,7 @@ def main() -> None:
         )
         timings: dict[str, float] = {}
         for name, fn in queries.items():
-            if name in skip:
+            if name in skip or name in _TRAILING_BLOCK:
                 continue
             # Driver GC between queries: ContextCleaner only releases dropped
             # shuffle files / broadcasts / checkpoint RDDs when the driver GCs,
@@ -332,7 +349,57 @@ def main() -> None:
             )
             break
 
+    # ---- trailing block: the r14-new entries, reps AFTER every main-block
+    # rep so their (GC/shuffle-file) debris never precedes a short entry.
+    # Same timing wrapper, same median aggregation; the closures read only
+    # the shared cached `docs`, never the per-rep store fixtures.
+    skip = set(
+        filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
+    )
+    tail_names = [
+        n for n in _TRAILING_BLOCK if n in last_queries and n not in skip
+    ]
+    tail_per_rep: list[dict[str, float]] = []
+    for rep in range(len(per_rep)):
+        timings = {}
+        for name in tail_names:
+            fn = last_queries[name]
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            t = time.time()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — same failure contract
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"  tail-rep{rep} {name}: FAILED {errors[name]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                timings[name] = None
+                continue
+            timings[name] = round(time.time() - t, 3)
+            print(
+                f"  tail-rep{rep} {name}: {timings[name]:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        tail_per_rep.append(timings)
+        if time.time() - bench_t0 > 2 * bench_budget and rep + 1 < len(per_rep):
+            print(
+                f"  bench budget exhausted after tail-rep{rep}; reporting "
+                f"tail medians over {rep + 1} rep(s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
+
     medians, spread, total = aggregate_reps(per_rep)
+    if tail_per_rep and tail_names:
+        t_med, t_spread, t_total = aggregate_reps(tail_per_rep)
+        medians.update(t_med)
+        spread.update(t_spread)
+        total = round(total + t_total, 3)
     medians["setup_cache"] = round(setup_sec, 3)
     out = {
         "metric": "headline_queries_total",

@@ -107,7 +107,15 @@ def _char_gram_buckets(
     base-16 conv) is the dominant per-gram cost at scale; pass
     ``hash_fn=F.xxhash64`` for the production fast path when oracle
     parity is not needed (same simhash_table hash_fn contract) — the
-    model/scoring algebra is hash-agnostic."""
+    model/scoring algebra is hash-agnostic.
+
+    Measured r15 (negative result, tools/profile_gram_dict.py at sf0.1):
+    a distinct-gram→bucket dictionary (md5 once per DISTINCT gram +
+    broadcast probe per occurrence, bit-identical bucket ids) is SLOWER
+    than hashing every occurrence inline — 2.6–3.0 s vs 1.6–2.4 s for
+    the per-doc histogram — because a codegen md5 over 2–3-char strings
+    undercuts the probe join's per-row overhead plus the dictionary
+    build. Kept the inline kernel."""
     from graphchidb_scala_spark.functions.dedup import md5_hash60
 
     if hash_fn is None:
@@ -1153,30 +1161,43 @@ def bigram_lm_scores(
         (F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_vs")
     )
 
-    ev = (
-        _events(df, [id_col])
-        .join(
-            vocab.select("_g", F.col("_v").alias("ctx"), F.lit(1).alias("_ci")),
-            ["_g", "ctx"],
-            "left",
+    if ref is df:
+        # ref IS the scored frame (the grouped-mode default): every scored
+        # token sits in its own group's vocabulary by construction (vocab =
+        # distinct w over the SAME events), and every non-<s> ctx is the
+        # previous token of the same document, so the OOV map is the
+        # identity — for NULL-group rows the map does fire (<unk>) in the
+        # general form, but those rows miss every model join either way and
+        # score log((0+α)/(0+α·1)) = 0 identically. Skipping the two
+        # vocab probe joins removes two corpus-sized broadcast-probe
+        # passes from the scoring side; results are bit-identical
+        # (r15 optimization, guide §2.4 — remove provably-no-op joins).
+        ev = _events(df, [id_col])
+    else:
+        ev = (
+            _events(df, [id_col])
+            .join(
+                vocab.select("_g", F.col("_v").alias("ctx"), F.lit(1).alias("_ci")),
+                ["_g", "ctx"],
+                "left",
+            )
+            .join(
+                vocab.select("_g", F.col("_v").alias("w"), F.lit(1).alias("_wi")),
+                ["_g", "w"],
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                "_g",
+                F.when(F.col("ctx") == "<s>", F.lit("<s>"))
+                .when(F.col("_ci").isNotNull(), F.col("ctx"))
+                .otherwise(F.lit("<unk>"))
+                .alias("ctx"),
+                F.when(F.col("_wi").isNotNull(), F.col("w"))
+                .otherwise(F.lit("<unk>"))
+                .alias("w"),
+            )
         )
-        .join(
-            vocab.select("_g", F.col("_v").alias("w"), F.lit(1).alias("_wi")),
-            ["_g", "w"],
-            "left",
-        )
-        .select(
-            F.col(id_col),
-            "_g",
-            F.when(F.col("ctx") == "<s>", F.lit("<s>"))
-            .when(F.col("_ci").isNotNull(), F.col("ctx"))
-            .otherwise(F.lit("<unk>"))
-            .alias("ctx"),
-            F.when(F.col("_wi").isNotNull(), F.col("w"))
-            .otherwise(F.lit("<unk>"))
-            .alias("w"),
-        )
-    )
     scored = (
         ev.join(c2, ["_g", "ctx", "w"], "left")
         .join(c1, ["_g", "ctx"], "left")

@@ -3474,6 +3474,29 @@ def test_bigram_lm_scores_per_group_models(spark):
     assert got2[0] == got[0][1]  # en docs unchanged (same slice trains them)
 
 
+def test_bigram_lm_scores_self_ref_vocab_elision_identical(spark):
+    """r15 optimization internals: when ref IS df (grouped default) the
+    vocab-map joins are skipped as a provable identity — scoring the SAME
+    frame through the general join path (ref = an equal-but-distinct
+    DataFrame object) must produce bit-identical rows, including literal
+    '<s>'/'<unk>' tokens and an all-whitespace doc."""
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "<s> weird <unk> tokens <s>", "en"),
+        (2, "der hund und die katze", "de"),
+        (3, "   ", "de"),
+        (4, "the <unk> cat", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    fast = text.bigram_lm_scores(df, alpha=0.1, group_col="lang")
+    # same relation, different object -> `ref is df` is False -> join path
+    ref_clone = df.select("doc_id", "text", "lang")
+    slow = text.bigram_lm_scores(df, ref=ref_clone, alpha=0.1, group_col="lang")
+    a = {r["doc_id"]: (r["n_tokens"], r["lm_xent"]) for r in fast.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["lm_xent"]) for r in slow.collect()}
+    assert a == b
+
+
 def test_resize_images_nearest_neighbor_end_to_end(spark):
     """resize_images: PNG/BMP/PPM payloads downsample to max_side via
     nearest-neighbor (python-model pixel parity), re-encode as P6 PPM with

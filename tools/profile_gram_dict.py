@@ -1,6 +1,6 @@
 """A/B the md5 char-gram bucketing kernel at sf0.1: per-occurrence md5
-(production `_char_gram_buckets`) vs distinct-gram dictionary (md5 once per
-DISTINCT gram + broadcast probe per occurrence). Bucket ids are identical
+(the pre-r15 kernel, inlined below) vs the distinct-gram dictionary now in
+`_char_gram_buckets` (md5 once per DISTINCT gram + broadcast probe). Bucket ids are identical
 by construction (same md5 over the same gram strings), asserted on the
 per-doc histograms.
 
@@ -27,9 +27,9 @@ from graphchidb_scala_spark.session import get_spark
 from graphchidb_scala_spark.sources.tpch import load_tables
 
 
-def gram_buckets_dict(frame, keep, text_col, ngram_sizes, buckets):
-    """Dictionary kernel: explode grams, build the distinct-gram -> bucket
-    dictionary (md5 per DISTINCT gram), broadcast-probe per occurrence."""
+def gram_buckets_occurrence(frame, keep, text_col, ngram_sizes, buckets):
+    """Pre-r15 kernel: md5 per gram OCCURRENCE (the former production
+    _char_gram_buckets body, kept here as the A/B baseline arm)."""
     t = F.concat(
         F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" ")
     )
@@ -42,16 +42,11 @@ def gram_buckets_dict(frame, keep, text_col, ngram_sizes, buckets):
 
     arrs = [_gram_arr(int(n)) for n in ngram_sizes]
     grams = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
-    expl = frame.select(*[F.col(c) for c in keep], F.explode(grams).alias("_g"))
-    gdict = cut_lineage(
-        expl.select("_g")
-        .distinct()
-        .select("_g", F.pmod(md5_hash60(F.col("_g")), F.lit(int(buckets))).alias("_b"))
-    )
-    n = gdict.count()
-    print(f"  gram dictionary: {n} distinct grams", file=sys.stderr, flush=True)
-    return expl.join(F.broadcast(gdict), "_g").select(
-        *[F.col(c) for c in keep], "_b"
+    return frame.select(
+        *[F.col(c) for c in keep], F.explode(grams).alias("_g")
+    ).select(
+        *[F.col(c) for c in keep],
+        F.pmod(md5_hash60(F.col("_g")), F.lit(int(buckets))).alias("_b"),
     )
 
 
@@ -75,11 +70,11 @@ def main() -> None:
     # equality gate: identical per-doc histograms on a slice
     sl = docs.limit(200)
     h_old = (
-        T._char_gram_buckets(sl, ["doc_id"], "text", (2, 3), 256)
+        gram_buckets_occurrence(sl, ["doc_id"], "text", (2, 3), 256)
         .groupBy("doc_id", "_b")
         .count()
     )
-    h_new = gram_buckets_dict(sl, ["doc_id"], "text", (2, 3), 256).groupBy(
+    h_new = T._char_gram_buckets(sl, ["doc_id"], "text", (2, 3), 256).groupBy(
         "doc_id", "_b"
     ).count()
     assert h_old.exceptAll(h_new).isEmpty() and h_new.exceptAll(h_old).isEmpty()
@@ -96,13 +91,13 @@ def main() -> None:
             t0 = time.time()
             if arm == "old_hist":
                 noop(
-                    T._char_gram_buckets(docs, ["doc_id"], "text", (2, 3), 256)
+                    gram_buckets_occurrence(docs, ["doc_id"], "text", (2, 3), 256)
                     .groupBy("doc_id", "_b")
                     .agg(F.count(F.lit(1)).alias("_c"))
                 )
             else:
                 noop(
-                    gram_buckets_dict(docs, ["doc_id"], "text", (2, 3), 256)
+                    T._char_gram_buckets(docs, ["doc_id"], "text", (2, 3), 256)
                     .groupBy("doc_id", "_b")
                     .agg(F.count(F.lit(1)).alias("_c"))
                 )

@@ -1,5 +1,6 @@
-"""A/B the random_walks hop kernel at sf0.1: production (edge join +
-groupBy argmin per hop) vs grouped-adjacency (one collect_list build, then
+"""A/B the random_walks hop kernel at sf0.1: the PRE-r15 kernel (edge
+join + groupBy argmin per hop, inlined below as walks_old) vs production
+gq.random_walks (r15 grouped-adjacency: one collect_list build, then
 per-hop broadcast join + array_min(transform(...)) — no per-hop exchange).
 
 Both arms must return IDENTICAL rows (asserted) — the argmin is over the
@@ -25,36 +26,29 @@ from graphchidb_scala_spark.session import get_spark
 from graphchidb_scala_spark.sources.tpch import tpch_graph
 
 
-def walks_adj(db, seeds, walk_length, n_walks=1, etype=None):
+def walks_old(db, seeds, walk_length, n_walks=1, etype=None):
+    """Pre-r15 production kernel: per-hop edge join + groupBy argmin."""
     spark = db.spark
     rows = [(int(s) * n_walks + j, int(s)) for s in seeds for j in range(n_walks)]
     cur = cut_lineage(spark.createDataFrame(rows, "walk_id bigint, id bigint"))
     visited = [cur.withColumn("step", F.lit(0).cast("bigint"))]
     e = db._typed(etype).select("src", "dst")
-    adj = cut_lineage(e.groupBy("src").agg(F.collect_list("dst").alias("_nbrs")))
-    small = len(rows) < 4_000_000
     for step in range(1, int(walk_length) + 1):
-
-        def hh(d):
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), d)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-
-        frontier = cur.withColumnRenamed("id", "src")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("walk_id"), F.lit(step), F.col("dst"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
         nxt = (
-            adj.join(F.broadcast(frontier) if small else frontier, "src")
-            .select(
-                "walk_id",
-                F.array_min(
-                    F.transform(
-                        "_nbrs", lambda d: F.struct(hh(d).alias("h"), d.alias("dst"))
-                    )
-                )["dst"].alias("id"),
-            )
+            e.join(cur.withColumnRenamed("id", "src"), "src")
+            .select("walk_id", F.col("dst"), h.alias("h"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("_p"))
+            .select("walk_id", F.col("_p.dst").alias("id"))
         )
         cur = cut_lineage(nxt)
         visited.append(cur.withColumn("step", F.lit(step).cast("bigint")))
@@ -74,8 +68,8 @@ def main() -> None:
     seeds = list(range(1, 10_001))
 
     # equality gate first (cheap): same rows both arms
-    a = gq.random_walks(g, seeds[:500], walk_length=4)
-    b = walks_adj(g, seeds[:500], walk_length=4)
+    a = walks_old(g, seeds[:500], walk_length=4)
+    b = gq.random_walks(g, seeds[:500], walk_length=4)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), "arms differ!"
     print("equality gate: identical rows", file=sys.stderr, flush=True)
 
@@ -85,7 +79,7 @@ def main() -> None:
         for arm in order:
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.5)
-            fn = gq.random_walks if arm == "old" else walks_adj
+            fn = walks_old if arm == "old" else gq.random_walks
             t0 = time.time()
             n = fn(g, seeds, walk_length=10).count()
             dt = round(time.time() - t0, 2)
