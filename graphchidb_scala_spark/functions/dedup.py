@@ -1542,24 +1542,25 @@ def minhash_cluster_members(
         # prune; with the fold 3× cheaper and the distinct exchange
         # byte-light, distinct-first wins at both sf0.1 and the 10×
         # replica.
-        # dedup via ONE numbered-pinned exchange (r15): the former
-        # distinct().repartition(parallelism) paid TWO exchanges — the
-        # distinct's own hash shuffle plus a round-robin (with its
-        # sort-before-repartition) re-spread, because a hash repartition
-        # on the distinct's own keys is elided at parallelism ==
-        # shuffle.partitions. Repartitioning FIRST on (id_a, id_b) keeps
-        # the user-numbered pin (AQE cannot coalesce it under the
-        # bytes-small/work-heavy candidate rows) and the groupBy then
-        # satisfies its distribution requirement with no second exchange.
-        # max() == distinct here: _la/_lb are functions of their ids (the
-        # labels table maps each id to exactly one cluster), so every
-        # (id_a, id_b) group is constant in both — same rows out.
-        # Measured (tools: dist arms, 23.4M raw / 8.36M unique capstone
-        # candidates): 4.3-4.4 s vs 5.7-12.4 s for distinct+round-robin.
+        # dedup + pin, r15: groupBy(pair).max replaces distinct (max() ==
+        # distinct here — _la/_lb are functions of their ids, the labels
+        # table maps each id to exactly one cluster), keeping the
+        # map-side partial aggregation that shrinks the raw multi-band
+        # mass BEFORE its exchange (dropping it and exchanging raw rows
+        # OOM'd the 10× replica at c32: 430.6M raw rows land in one
+        # final-agg stage). The numbered pin then re-spreads the UNIQUE
+        # mass only: hashing on (id_a, id_b, _la) — a different
+        # expression set than the agg's output partitioning, so the
+        # planner cannot elide it (the r8 pin-elision trap), with the
+        # same spread quality (_la is id_a-determined) and none of the
+        # round-robin form's sort-before-repartition. Measured capstone
+        # candidates (23.4M raw / 8.36M unique): distinct+round-robin
+        # 5.7-12.4 s; this form ≈ the bare-distinct arm (3.9-5.6 s) plus
+        # a sortless 8.36M-row re-spread.
         cross = (
-            cross.repartition(parallelism, "id_a", "id_b")
-            .groupBy("id_a", "id_b")
+            cross.groupBy("id_a", "id_b")
             .agg(F.max("_la").alias("_la"), F.max("_lb").alias("_lb"))
+            .repartition(parallelism, "id_a", "id_b", "_la")
         )
         # BROADCAST-regime adaptive est2 engage (r14 session D). With the
         # shingle arrays broadcast-resident the exact verify is map-side,
@@ -1835,15 +1836,14 @@ def containment_cluster_members(
             F.when(F.col("_ida") < F.col("_idb"), F.col("_lb"))
             .otherwise(F.col("_la")).alias("_cb"),
         )
-        # dedup via ONE numbered-pinned exchange (r15, same rewrite as the
-        # minhash members repair): repartition FIRST on the pair key —
-        # user-numbered, so AQE cannot coalesce the work-heavy candidate
-        # partitions — and the groupBy satisfies its distribution with no
-        # second exchange; max() == distinct because _ca/_cb are functions
-        # of (id_a, id_b) (one label per id).
-        .repartition(parallelism, "id_a", "id_b")
+        # dedup + pin (r15, same rewrite as the minhash members repair):
+        # groupBy(pair).max == distinct (_ca/_cb are functions of the
+        # pair), keeping the map-side partial agg ahead of the exchange;
+        # the numbered pin re-spreads the unique mass on a 3-key hash the
+        # planner cannot elide, without the round-robin form's sort.
         .groupBy("id_a", "id_b")
         .agg(F.max("_ca").alias("_ca"), F.max("_cb").alias("_cb"))
+        .repartition(parallelism, "id_a", "id_b", "_ca")
     )
     new_edges = cut_lineage(_verify(cross, extra_cols=("_ca", "_cb")))
     if new_edges.count() > 0:
