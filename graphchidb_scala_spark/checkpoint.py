@@ -24,15 +24,30 @@ a cluster deployment opts in with one line:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
-def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+def cut_lineage(
+    df: DataFrame, eager: bool = True, spill_only: bool = False
+) -> DataFrame:
     """Materialize ``df`` and truncate its lineage/logical plan.
 
     Uses a reliable ``checkpoint`` when the SparkContext has a checkpoint
     directory configured (cluster deployments), else ``localCheckpoint``
-    (single-node: executor-local blocks, no distributed-FS round-trip)."""
+    (single-node: executor-local blocks, no distributed-FS round-trip).
+
+    ``spill_only`` stores the local checkpoint DISK_ONLY instead of the
+    default MEMORY_AND_DISK — for data-sized intermediates (candidate
+    pair tables in the many-millions) whose blocks would otherwise
+    compete with broadcast hash relations and aggregation buffers for
+    heap. Measured r15: the 10× replica capstone at c32 OOM'd
+    deserializing the 130M-row crossing-candidate checkpoint under the
+    repair verify's resident broadcasts; DISK_ONLY streams it instead
+    (reliable ``checkpoint`` is already on-disk, so the flag is a no-op
+    there)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
+    if spill_only:
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=eager)

@@ -1579,7 +1579,11 @@ def minhash_cluster_members(
         # The engage decision affects COST only: est2 keeps a documented
         # ~3e-5-miss superset and the exact verify is unchanged.
         if _est2_possible and sig2_b is None:
-            cross = cut_lineage(cross)
+            # spill_only: this table is candidate-mass-sized (130M rows /
+            # ~5 GB at the 10× replica) and is re-read under the repair
+            # verify's resident broadcast hash relations — MEMORY_AND_DISK
+            # blocks OOM'd the 10× c32 run (r15); stream it from disk
+            cross = cut_lineage(cross, spill_only=True)
             n_cand = cross.count()
             if n_cand > 32 * n_docs:
                 bar = _est2_cut(float(threshold))
