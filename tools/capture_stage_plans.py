@@ -59,7 +59,7 @@ def main() -> None:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
 
     orig_cut = D.cut_lineage
-    D.cut_lineage = lambda df, eager=True: df  # keep plans visible
+    D.cut_lineage = lambda df, eager=True, spill_only=False: df  # keep plans visible
     try:
         sh = docs.select(
             F.col("doc_id").cast("bigint").alias("id"),
