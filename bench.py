@@ -62,8 +62,12 @@ from __spark_entry__ import _HTML_PRE, _HTML_POST, _V3_LM_MAX
 # r14-new entries timed in a trailing rep block (see module docstring):
 # the capstone's debris measurably slows allocation-heavy rep-mates, and
 # the two short r14 search/sketch entries travel with it so the main
-# block is exactly the r13 entry set.
-_TRAILING_BLOCK = ("crawl_curate_v3", "doc_phrase_search", "doc_frequent_terms")
+# block is exactly the r13 entry set. Order matters: the tail loop is
+# entry-major (all reps of one entry back-to-back) with the short entries
+# FIRST, so they never time a rep in the capstone's debris — the r15
+# closing run showed rep-major tail ordering inflating doc_phrase_search
+# ~2x (0.55 -> 1.11 s) purely from running right after the capstone.
+_TRAILING_BLOCK = ("doc_phrase_search", "doc_frequent_terms", "crawl_curate_v3")
 
 
 def aggregate_reps(
@@ -359,11 +363,21 @@ def main() -> None:
     tail_names = [
         n for n in _TRAILING_BLOCK if n in last_queries and n not in skip
     ]
-    tail_per_rep: list[dict[str, float]] = []
-    for rep in range(len(per_rep)):
-        timings = {}
-        for name in tail_names:
-            fn = last_queries[name]
+    # Entry-major: all reps of one entry back-to-back (shorts before the
+    # capstone, per _TRAILING_BLOCK order), so a short entry's timed rep
+    # never starts in the capstone's GC/shuffle-file debris. Median over
+    # the same rep count as the main block; rep 0 of every entry always
+    # runs (an entry must never drop out of the output on budget), later
+    # reps respect the global budget like the main loop.
+    tail_per_rep: list[dict[str, float | None]] = [
+        {} for _ in range(len(per_rep))
+    ]
+    budget_hit = False
+    for name in tail_names:
+        fn = last_queries[name]
+        for rep in range(len(per_rep)):
+            if rep > 0 and budget_hit:
+                break
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.5)
             t = time.time()
@@ -372,27 +386,27 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — same failure contract
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(
-                    f"  tail-rep{rep} {name}: FAILED {errors[name]}",
+                    f"  tail {name} rep{rep}: FAILED {errors[name]}",
                     file=sys.stderr,
                     flush=True,
                 )
-                timings[name] = None
+                tail_per_rep[rep][name] = None
                 continue
-            timings[name] = round(time.time() - t, 3)
+            tail_per_rep[rep][name] = round(time.time() - t, 3)
             print(
-                f"  tail-rep{rep} {name}: {timings[name]:.1f}s",
+                f"  tail {name} rep{rep}: {tail_per_rep[rep][name]:.1f}s",
                 file=sys.stderr,
                 flush=True,
             )
-        tail_per_rep.append(timings)
-        if time.time() - bench_t0 > 2 * bench_budget and rep + 1 < len(per_rep):
-            print(
-                f"  bench budget exhausted after tail-rep{rep}; reporting "
-                f"tail medians over {rep + 1} rep(s)",
-                file=sys.stderr,
-                flush=True,
-            )
-            break
+            if time.time() - bench_t0 > 2 * bench_budget and not budget_hit:
+                budget_hit = True
+                print(
+                    f"  bench budget exhausted at tail {name} rep{rep}; "
+                    f"remaining tail entries run one rep each",
+                    file=sys.stderr,
+                    flush=True,
+                )
+    tail_per_rep = [r for r in tail_per_rep if r]
 
     medians, spread, total = aggregate_reps(per_rep)
     if tail_per_rep and tail_names:
